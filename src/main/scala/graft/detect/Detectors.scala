@@ -1,0 +1,55 @@
+package graft.detect
+
+import graft.model.SpanEnt
+
+/** Offset bookkeeping: Python string indices are Unicode code points; Java
+  * regex reports UTF-16 offsets. For BMP-only text (the overwhelmingly common
+  * case, incl. CJK) they coincide — detect once per string and only pay the
+  * conversion when supplementary characters are present.
+  */
+final class CpOffsets(val s: String) {
+  val utf16Len: Int = s.length
+  val cpLen: Int = s.codePointCount(0, utf16Len)
+  val identity: Boolean = cpLen == utf16Len
+  def toCp(u16: Int): Int = if (identity) u16 else s.codePointCount(0, u16)
+  def toU16(cp: Int): Int = if (identity) cp else s.offsetByCodePoints(0, cp)
+}
+
+/** Per-row PII detectors — pure functions `String => Array[SpanEnt]` with
+  * the reference's exact emission order.
+  */
+object Detectors {
+
+  /** `RegexDetector.detect` (`pii/detectors/regex_detector.py:76-89`):
+    * for each rule in config order, all non-overlapping matches in text
+    * order; score 1.0, source "regex". Spans in code points.
+    */
+  def regexDetect(text: String, rules: IndexedSeq[RegexRules.Rule]): Array[SpanEnt] =
+    scan(text, rules, "regex")
+
+  def regexDetect(text: String, lang: String): Array[SpanEnt] =
+    scan(text, RegexRules.forLang(lang), "regex")
+
+  /** `BertNERDetector._stub_detection` (`bert_detector.py:162-177`). */
+  def stubDetect(text: String): Array[SpanEnt] =
+    scan(text, RegexRules.stub, "regex_stub")
+
+  private def scan(
+      text: String,
+      rules: IndexedSeq[RegexRules.Rule],
+      source: String
+  ): Array[SpanEnt] = {
+    val off = new CpOffsets(text)
+    val out = new scala.collection.mutable.ArrayBuffer[SpanEnt](8)
+    var r = 0
+    while (r < rules.length) {
+      val rule = rules(r)
+      val m = rule.pattern.matcher(text)
+      while (m.find()) {
+        out += SpanEnt(off.toCp(m.start), off.toCp(m.end), rule.typ, 1.0, source)
+      }
+      r += 1
+    }
+    out.toArray
+  }
+}

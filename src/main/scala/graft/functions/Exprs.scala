@@ -1,0 +1,207 @@
+package graft.functions
+
+import graft.detect.{AhoCorasick, Detectors, Resolver}
+import graft.extract.HtmlExtract
+import graft.model.{DeidEvent, Entity, SpanEnt}
+import graft.pipeline.DeidCore
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY §2.10).
+  *
+  * Why not built-ins / UDFs: `regexp_extract_all` drops offsets and per-rule
+  * type tags; a Scala UDF pays catalyst↔scala converters on nested arrays.
+  * These expressions evaluate straight to InternalRow-compatible values
+  * (UTF8String / GenericArrayData / ArrayBasedMapData), so the surrounding
+  * projection stays in one WholeStageCodegen stage with only this leaf as a
+  * CodegenFallback call.
+  *
+  * All regex Patterns / automatons are built once per JVM in statics
+  * (executor-side lazy vals), mirroring the reference's detector memoization
+  * (`runtime/registry.py:10-51`).
+  */
+object GraftSchemas {
+  val spanEntType: StructType = StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("typ", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("source", StringType, nullable = false)
+  ))
+
+  val entityType: StructType = StructType(Seq(
+    StructField("typ", StringType, nullable = false),
+    StructField("confidence", DoubleType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("language", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false)
+  ))
+
+  val eventType: StructType = StructType(Seq(
+    StructField("entity_type", StringType, nullable = false),
+    StructField("original", StringType, nullable = false),
+    StructField("replacement", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("source", StringType, nullable = false)
+  ))
+
+  val deidResultType: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("entities", ArrayType(entityType, containsNull = false), nullable = false),
+    StructField("events", ArrayType(eventType, containsNull = false), nullable = false),
+    StructField("replacement_map", MapType(StringType, StringType, valueContainsNull = false),
+      nullable = false)
+  ))
+
+  val tokenType: StructType = StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false)
+  ))
+
+  def spanEntRow(e: SpanEnt): InternalRow =
+    InternalRow(e.start, e.end, UTF8String.fromString(e.typ), e.score,
+      UTF8String.fromString(e.source))
+
+  def entityRow(e: Entity): InternalRow =
+    InternalRow(UTF8String.fromString(e.typ), e.confidence, e.score,
+      UTF8String.fromString(e.source), UTF8String.fromString(e.language),
+      e.start, e.end, UTF8String.fromString(e.text))
+
+  def eventRow(e: DeidEvent): InternalRow =
+    InternalRow(UTF8String.fromString(e.entity_type), UTF8String.fromString(e.original),
+      UTF8String.fromString(e.replacement), e.start, e.end,
+      UTF8String.fromString(e.source))
+}
+
+/** `RegexDetectSpans(text)` — D1 (+D2 stub, +D7 resolution when `resolve`).
+  * Returns `array<struct<start,end,typ,score,source>>` in detector emission
+  * order (or resolved order when `resolve=true`).
+  */
+case class RegexDetectExpr(
+    child: Expression,
+    lang: String = "zh",
+    withStub: Boolean = false,
+    resolve: Boolean = true
+) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(GraftSchemas.spanEntType, containsNull = false)
+  override def prettyName: String = "graft_regex_detect"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val ents = DeidCore.detectRaw(text, lang, withStub)
+    val out = if (resolve) Resolver.resolve(ents) else ents
+    new GenericArrayData(out.map(GraftSchemas.spanEntRow))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexDetectExpr =
+    copy(child = newChild)
+}
+
+/** `DictDetectSpans(text)` — Aho–Corasick gazetteer scan (north rule). */
+case class DictDetectExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(GraftSchemas.spanEntType, containsNull = false)
+  override def prettyName: String = "graft_dict_detect"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    new GenericArrayData(AhoCorasick.default.detect(text).map(GraftSchemas.spanEntRow))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DictDetectExpr =
+    copy(child = newChild)
+}
+
+/** The whole per-turn pipeline as one expression: (extract?) → detect →
+  * resolve → redact → normalize. Returns
+  * `struct<text, entities, events, replacement_map>`.
+  */
+case class DeidTurnExpr(
+    child: Expression,
+    mode: String = "replace",
+    lang: String = "zh",
+    withStub: Boolean = false,
+    extractHtml: Boolean = true
+) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = GraftSchemas.deidResultType
+  override def prettyName: String = "graft_deid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    val text =
+      if (extractHtml && HtmlExtract.looksLikeHtml(raw)) HtmlExtract.getText(raw)
+      else raw
+    val r = DeidCore.process(text, mode, lang, withStub)
+    InternalRow(
+      UTF8String.fromString(r.text),
+      new GenericArrayData(r.entities.map(GraftSchemas.entityRow).toArray),
+      new GenericArrayData(r.events.map(GraftSchemas.eventRow).toArray),
+      ArrayBasedMapData(
+        r.replacementMap.keys.map(UTF8String.fromString).toArray,
+        r.replacementMap.values.map(UTF8String.fromString).toArray
+      )
+    )
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeidTurnExpr =
+    copy(child = newChild)
+}
+
+/** bs4 `get_text("\n")`-parity HTML strip (S3). */
+case class HtmlTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_text"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(HtmlExtract.getText(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): HtmlTextExpr =
+    copy(child = newChild)
+}
+
+/** Density-scored main-content extraction (north rule, additive mode). */
+case class HtmlMainExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_html_main"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(HtmlExtract.mainContent(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): HtmlMainExpr =
+    copy(child = newChild)
+}
+
+/** `\S+` whitespace tokenizer with code-point offsets (P9,
+  * `training/masked_pairs.py:45-51`).
+  */
+case class TokensWithOffsetsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(GraftSchemas.tokenType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val off = new graft.detect.CpOffsets(text)
+    val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    while (m.find()) {
+      buf += InternalRow(UTF8String.fromString(m.group()),
+        off.toCp(m.start), off.toCp(m.end))
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokensWithOffsetsExpr =
+    copy(child = newChild)
+}

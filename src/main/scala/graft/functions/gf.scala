@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.Bridge.{column, expression}
+
+/** Column DSL over the custom Catalyst expressions — the library's public
+  * function surface (analogue of `org.apache.spark.sql.functions`).
+  */
+object gf {
+
+  /** Regex PII detection (D1/D2/D7). `resolve=true` applies composite
+    * conflict resolution; `withStub` adds the model-stub patterns first.
+    */
+  def regexDetect(
+      text: Column,
+      lang: String = "zh",
+      withStub: Boolean = false,
+      resolve: Boolean = true
+  ): Column =
+    column(RegexDetectExpr(expression(text), lang, withStub, resolve))
+
+  /** Aho–Corasick gazetteer detection. */
+  def dictDetect(text: Column): Column =
+    column(DictDetectExpr(expression(text)))
+
+  /** Full per-turn pipeline: (html extract?) → detect → resolve → redact.
+    * Returns struct<text, entities, events, replacement_map>.
+    */
+  def deid(
+      text: Column,
+      mode: String = "replace",
+      lang: String = "zh",
+      withStub: Boolean = false,
+      extractHtml: Boolean = true
+  ): Column =
+    column(DeidTurnExpr(expression(text), mode, lang, withStub, extractHtml))
+
+  /** bs4 `get_text("\n")`-parity HTML strip. */
+  def htmlText(html: Column): Column = column(HtmlTextExpr(expression(html)))
+
+  /** Boilerplate-scored main content. */
+  def htmlMain(html: Column): Column = column(HtmlMainExpr(expression(html)))
+
+  /** `\S+` tokens with code-point offsets. */
+  def tokensWithOffsets(text: Column): Column =
+    column(TokensWithOffsetsExpr(expression(text)))
+}

@@ -23,15 +23,17 @@ object DeidCore {
       replacementMap: Map[String, String]
   )
 
-  /** Detector stack for a job. `withStub` prepends the model-stub detector
-    * (`bert_detector.py:162-177`) ahead of the regex backstop, matching the
-    * composite's detector order semantics (`composite.py:15-33`).
+  /** Detector-stack bag union before resolution (`composite.py:15-33`).
+    * `withStub` prepends the model-stub detector (`bert_detector.py:162-177`)
+    * ahead of the regex backstop, matching the composite's detector order.
     */
-  def detect(text: String, lang: String, withStub: Boolean): Array[SpanEnt] = {
+  def detectRaw(text: String, lang: String, withStub: Boolean): Array[SpanEnt] = {
     val regex = Detectors.regexDetect(text, lang)
-    val all = if (withStub) Detectors.stubDetect(text) ++ regex else regex
-    Resolver.resolve(all)
+    if (withStub) Detectors.stubDetect(text) ++ regex else regex
   }
+
+  def detect(text: String, lang: String, withStub: Boolean): Array[SpanEnt] =
+    Resolver.resolve(detectRaw(text, lang, withStub))
 
   /** Full per-turn pipeline. `mode` accepts the reference's aliases. */
   def process(

@@ -1,0 +1,83 @@
+package graft.plans
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SparkSessionExtensions registering the engine's SQL functions, so plain
+  * `spark.sql("SELECT graft_deid(text) ...")` works:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case Literal(null, _) => null
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit = {
+      val fb: FunctionRegistry.FunctionBuilder = (args: Seq[Expression]) => builder(args)
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), fb))
+    }
+
+    inject("graft_regex_detect",
+      "graft_regex_detect(text[, lang[, with_stub[, resolve]]]) - PII regex spans") {
+      case Seq(t) => RegexDetectExpr(t)
+      case Seq(t, l) => RegexDetectExpr(t, litStr(l, "lang"))
+      case Seq(t, l, s) =>
+        RegexDetectExpr(t, litStr(l, "lang"), litStr(s, "with_stub").toBoolean)
+      case Seq(t, l, s, r) =>
+        RegexDetectExpr(t, litStr(l, "lang"), litStr(s, "with_stub").toBoolean,
+          litStr(r, "resolve").toBoolean)
+      case args => throw new IllegalArgumentException(
+        s"graft_regex_detect expects 1-4 args, got ${args.length}")
+    }
+
+    inject("graft_dict_detect", "graft_dict_detect(text) - Aho-Corasick gazetteer spans") {
+      case Seq(t) => DictDetectExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_dict_detect expects 1 arg, got ${args.length}")
+    }
+
+    inject("graft_deid",
+      "graft_deid(text[, mode[, lang]]) - struct<text,entities,events,replacement_map>") {
+      case Seq(t) => DeidTurnExpr(t)
+      case Seq(t, m) => DeidTurnExpr(t, litStr(m, "mode"))
+      case Seq(t, m, l) => DeidTurnExpr(t, litStr(m, "mode"), litStr(l, "lang"))
+      case args => throw new IllegalArgumentException(
+        s"graft_deid expects 1-3 args, got ${args.length}")
+    }
+
+    inject("graft_html_text", "graft_html_text(html) - bs4 get_text parity strip") {
+      case Seq(t) => HtmlTextExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_html_text expects 1 arg, got ${args.length}")
+    }
+
+    inject("graft_html_main", "graft_html_main(html) - density-scored main content") {
+      case Seq(t) => HtmlMainExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_html_main expects 1 arg, got ${args.length}")
+    }
+
+    inject("graft_tokens", "graft_tokens(text) - \\S+ tokens with offsets") {
+      case Seq(t) => TokensWithOffsetsExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_tokens expects 1 arg, got ${args.length}")
+    }
+  }
+}

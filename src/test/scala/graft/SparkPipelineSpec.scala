@@ -1,0 +1,118 @@
+package graft
+
+import graft.extract.HtmlExtract
+import graft.functions.gf
+import graft.pipeline.{Deid, DeidCore, TurnsGen}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparkPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("turns table is deterministic and well-shaped") {
+    val t = TurnsGen.turns(spark, sfDir)
+    assert(t.columns.toSeq ==
+      Seq("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    val n = t.count()
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(n == orders * 3)
+    // deterministic across evaluations
+    assert(t.selectExpr("sum(hash(conv_id, turn_idx, text))").first().getLong(0) ==
+      TurnsGen.turns(spark, sfDir)
+        .selectExpr("sum(hash(conv_id, turn_idx, text))").first().getLong(0))
+  }
+
+  test("Spark redact matches DeidCore row-by-row (incl. html rows)") {
+    val t = TurnsGen.turns(spark, sfDir).limit(400)
+    val rows = Deid.redact(t)
+      .join(t.select(col("conv_id"), col("turn_idx"), col("text").as("orig")),
+        Seq("conv_id", "turn_idx"))
+      .collect()
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      val orig = r.getAs[String]("orig")
+      val extracted =
+        if (HtmlExtract.looksLikeHtml(orig)) HtmlExtract.getText(orig) else orig
+      val want = DeidCore.process(extracted, mode = "replace", lang = "zh")
+      assert(r.getAs[String]("text") == want.text, s"text mismatch for $orig")
+      val ents = r.getAs[scala.collection.Seq[Row]]("entities")
+      assert(ents.length == want.entities.length)
+      ents.zip(want.entities).foreach { case (g, w) =>
+        assert(g.getAs[String]("typ") == w.typ && g.getAs[Int]("start") == w.start
+          && g.getAs[Int]("end") == w.end && g.getAs[String]("text") == w.text)
+      }
+      val evs = r.getAs[scala.collection.Seq[Row]]("events")
+      assert(evs.length == want.events.length)
+      evs.zip(want.events).foreach { case (g, w) =>
+        assert(g.getAs[String]("original") == w.original
+          && g.getAs[String]("replacement") == w.replacement)
+      }
+      assert(r.getAs[scala.collection.Map[String, String]]("replacement_map").toMap ==
+        want.replacementMap)
+    }
+  }
+
+  test("blackbox mode preserves text length (cp) on non-html rows") {
+    val t = TurnsGen.turns(spark, sfDir)
+      .where(not(col("text").contains("<html")))
+    val bad = Deid.redact(t, mode = "blackbox")
+      .join(t.select(col("conv_id"), col("turn_idx"),
+        length(col("text")).as("len_in")), Seq("conv_id", "turn_idx"))
+      .where(length(col("text")) =!= col("len_in"))
+      .count()
+    assert(bad == 0)
+    // blackbox emits no events / empty map (reference event filter semantics)
+    val withEvents = Deid.redact(t.limit(50), mode = "blackbox")
+      .where(size(col("events")) > 0 || size(map_keys(col("replacement_map"))) > 0)
+      .count()
+    assert(withEvents == 0)
+  }
+
+  test("SQL function registration via GraftExtensions") {
+    TurnsGen.turns(spark, sfDir).createOrReplaceTempView("turns_v")
+    val df = spark.sql(
+      """SELECT conv_id, turn_idx, graft_deid(text).text AS clean,
+        |       size(graft_regex_detect(text)) AS n_ents,
+        |       graft_html_text('<p>a</p><p>b</p>') AS ht
+        |FROM turns_v LIMIT 5""".stripMargin)
+    assert(df.count() == 5)
+    assert(df.select("ht").first().getString(0) == "a\nb")
+  }
+
+  test("same original + same conv text => identical replacement; different turn text => different") {
+    // turn 0 and turn 2 of consecutive orders share PII values but differ in
+    // context hash ⇒ replacements differ across turns, constant within turn.
+    val sql = spark.sql(
+      "SELECT graft_deid('Call 0912345678 or 0912345678 again').replacement_map AS m")
+    val m = sql.first().getAs[Map[String, String]]("m")
+    assert(m.size == 1) // one key PHONE:0912345678
+    val other = spark.sql(
+      "SELECT graft_deid('Different context. Call 0912345678.').replacement_map AS m")
+      .first().getAs[Map[String, String]]("m")
+    assert(other.keySet == m.keySet)
+    assert(other.values.head != m.values.head)
+  }
+
+  test("entity histogram is deterministic and ordered by (-count, type)") {
+    val t = TurnsGen.turns(spark, sfDir)
+    val h = Deid.entityHistogram(Deid.redact(t)).collect()
+    assert(h.nonEmpty)
+    val counts = h.map(r => (r.getAs[Long]("cnt"), r.getAs[String]("typ")))
+    val sorted = counts.sortBy { case (c, t2) => (-c, t2) }
+    assert(counts.toSeq == sorted.toSeq)
+  }
+
+  test("redact plan is a narrow projection over the scan (no shuffle exchange)") {
+    // the 3-row VALUES explode uses a BroadcastNestedLoopJoin (fine); the
+    // per-turn work itself must introduce no shuffle.
+    val plan = Deid.redact(TurnsGen.turns(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange RoundRobinPartitioning"),
+      s"unexpected shuffle in:\n$plan")
+  }
+}

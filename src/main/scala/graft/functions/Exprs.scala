@@ -205,3 +205,79 @@ case class TokensWithOffsetsExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): TokensWithOffsetsExpr =
     copy(child = newChild)
 }
+
+/** 64-bit SimHash over lowercased `\S+` tokens: per-token 64-bit hash
+  * (FNV-1a + splitmix64 finalizer), per-bit vote weighted by term count,
+  * signature bit = sign of vote. Near-dup search pairs this with a
+  * pigeonhole band join ([[graft.ops.Dedup.simhashNearDups]]).
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    SimHash64Expr.simhash(text)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object SimHash64Expr {
+  def hash64(s: String): Long = {
+    // FNV-1a 64 over UTF-8 bytes, then splitmix64 finalizer for avalanche
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def simhash(text: String): Long = {
+    val votes = new Array[Int](64)
+    val m = java.util.regex.Pattern.compile("\\S+").matcher(text.toLowerCase)
+    while (m.find()) {
+      val h = hash64(m.group())
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** difflib `SequenceMatcher.ratio()` clone (G4, `deid_eval.py:140-143`) —
+  * Ratcliff–Obershelp over code points, without difflib's junk/autojunk
+  * popularity heuristic for b-elements longer than 200 (autojunk IS applied
+  * when len(b) > 200, replicated here).
+  */
+case class SeqMatcherRatioExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_seq_ratio"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SeqMatcher.ratio(l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SeqMatcherRatioExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -44,4 +44,11 @@ object gf {
   /** `\S+` tokens with code-point offsets. */
   def tokensWithOffsets(text: Column): Column =
     column(TokensWithOffsetsExpr(expression(text)))
+
+  /** 64-bit SimHash document signature. */
+  def simhash64(text: Column): Column = column(SimHash64Expr(expression(text)))
+
+  /** difflib `SequenceMatcher.ratio()` parity (G4). */
+  def seqRatio(a: Column, b: Column): Column =
+    column(SeqMatcherRatioExpr(expression(a), expression(b)))
 }

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora.
+  *
+  * Everything here is built from codegen'd built-in expressions (no UDFs on
+  * the hot path except the SimHash leaf) and shuffles only on bucket keys —
+  * the LSH designs never materialize the O(n²) pair space:
+  *
+  *  - exact: hash-groupBy on sha2(text) — one shuffle on the hash;
+  *  - MinHash+LSH: shingle → H minhashes → B bands → join on (band, hash) —
+  *    shuffle is proportional to corpus size × B, candidate verification
+  *    touches only same-bucket pairs;
+  *  - SimHash: 64-bit signature, Hamming-≤k via pigeonhole band join;
+  *  - n-gram Jaccard: exact verification predicate used on LSH candidates
+  *    (or brute-force at test scale).
+  */
+object Dedup {
+
+  /** Exact duplicates: every doc mapped to the smallest doc_id sharing its
+    * text. One shuffle (window over text hash).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("text_hash", sha2(col(textCol), 256))
+      .withColumn("keeper_id",
+        min(col(idCol)).over(Window.partitionBy(col("text_hash"))))
+      .select(col(idCol), col("keeper_id"),
+        (col(idCol) =!= col("keeper_id")).as("is_dup"))
+  }
+
+  /** k-word shingles (lowercased, whitespace-tokenized). */
+  def shingles(textCol: Column, k: Int = 3): Column = {
+    val toks = split(trim(lower(textCol)), "\\s+")
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: H independent permutations approximated by seeded
+    * xxhash64. Entirely built-in ⇒ whole-stage codegen.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map { h =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(h))))
+    }: _*)
+
+  /** LSH banding: (id, band, band_hash) rows — join key for candidates.
+    * bands × rowsPerBand must equal numHashes.
+    */
+  def minhashBands(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16
+  ): DataFrame = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    docs
+      // materialize shingles FIRST: the signature references its input H
+      // times, and HOFs defeat common-subexpression elimination — inlining
+      // the shingle construction would recompute it per hash function.
+      .select(col(idCol), shingles(col(textCol)).as("sh"))
+      .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * lit(r) + 1, lit(r))))).as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate pairs from LSH buckets, verified with exact shingle Jaccard.
+    * Returns (a, b, jaccard) with a < b and jaccard >= threshold. The
+    * self-join shuffles on (band, band_hash) only.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val b = minhashBands(docs, idCol, textCol, numHashes, bands)
+    val candidates = b.as("l")
+      .join(b.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
+      .distinct()
+    val sh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
+    candidates
+      .join(sh.withColumnRenamed(idCol, "a").withColumnRenamed("sh", "sh_a"), "a")
+      .join(sh.withColumnRenamed(idCol, "b").withColumnRenamed("sh", "sh_b"), "b")
+      .withColumn("jaccard", jaccardArrays(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Exact Jaccard over two string arrays (distinct semantics). */
+  def jaccardArrays(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(1.0)).otherwise(inter / union)
+  }
+
+  /** Brute-force n-gram Jaccard pairs (test scale / verification oracle):
+    * all pairs with at least one shared shingle — computed by exploding
+    * shingles and joining on the shingle, so it still avoids a full cross
+    * join. Returns (a, b, inter, ua, ub) integer counts (exact; no float).
+    */
+  def ngramJaccardCounts(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3
+  ): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("sh"))
+    val exploded = sh.select(col("id"), col("sh"), explode(col("sh")).as("g"))
+    val pairs = exploded.as("l").join(exploded.as("r"),
+        col("l.g") === col("r.g") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("a"), col("r.id").as("b"))
+      .agg(count(lit(1)).as("inter"),
+        first(size(col("l.sh"))).as("ua"), first(size(col("r.sh"))).as("ub"))
+    pairs
+  }
+
+  /** SimHash near-dup candidates: Hamming(sig_a, sig_b) <= maxDist via
+    * pigeonhole — split the 64-bit signature into (maxDist+1) chunks; equal
+    * pairs must share at least one chunk ⇒ join per chunk, verify distance.
+    */
+  def simhashNearDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDist: Int = 3
+  ): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sigs = docs.select(col(idCol).as("id"),
+      graft.functions.gf.simhash64(col(textCol)).as("sig"))
+    val chunkCols = (0 until chunks).map(c =>
+      shiftright(col("sig"), c * width).bitwiseAND(lit((1L << width) - 1)))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "chunk_val")))
+    banded.as("l").join(banded.as("r"),
+        col("l.chunk") === col("r.chunk") &&
+          col("l.chunk_val") === col("r.chunk_val") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+}

@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.functions.PyRandom
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  *  - [[bruteForceTopK]] — exact cosine top-k: the O(n·m) baseline, written
+  *    so the big side streams (broadcast the query set, never the corpus).
+  *  - [[lshTopK]] — random-hyperplane LSH:
+  *    sign-bit bucket join; shuffle ∝ corpus size, per-bucket
+  *    verification only. The scale path for 100 TB corpora.
+  *
+  * Dot products use the `aggregate`/`zip_with` higher-order functions —
+  * codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** dot(a, b) in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for the rows of `queries` against `corpus`
+    * (both with (idCol, vecCol)). `queries` is expected to be small — it is
+    * broadcast; the corpus side never shuffles.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec")))
+    val c = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).cast("array<double>").as("n_vec"))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes (seeded MT19937 — no wall-clock). */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new PyRandom(seed)
+    // uniform in [-1, 1) from 32-bit draws; direction-only use, so uniform
+    // cube (not gaussian) is fine for sign-bit LSH at these dims.
+    Seq.fill(bits)(Seq.fill(dim)(rng.getrandbits(32).toDouble / 2147483648.0 - 1.0))
+  }
+
+  /** Sign-bit bucket id for a vector. */
+  def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = typedLit(p)
+      when(dot(vecCol, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Multi-table LSH ANN (standard recall amplification): `tables`
+    * independent sign-bit hash tables of `bits` planes each; a pair is a
+    * candidate if it collides in ANY table. Candidates are deduped, then
+    * ranked by exact cosine. Buckets are the shuffle key ⇒ linear in corpus
+    * size; recall is tuned by (tables, bits) — tested against
+    * [[bruteForceTopK]] in the spec.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      k: Int = 5,
+      bits: Int = 4,
+      tables: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val b = lshTables(corpus, bits, tables, dim, idCol, vecCol)
+    val cand = b.as("l").join(b.as("r"),
+        col("l.table") === col("r.table") &&
+          col("l.bucket") === col("r.bucket") && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("q_id"), col("r.id").as("n_id"),
+        col("l.vec").as("q_vec"), col("r.vec").as("n_vec"))
+      .dropDuplicates("q_id", "n_id")
+    cand
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
+  /** (id, vec, table, bucket) rows across `tables` hash tables. */
+  def lshTables(
+      corpus: DataFrame,
+      bits: Int,
+      tables: Int,
+      dim: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val planes = hyperplanes(dim, bits * tables)
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val bucketCols = (0 until tables).map { t =>
+      lshBucket(col("vec"), planes.slice(t * bits, (t + 1) * bits))
+    }
+    base.select(col("id"), col("vec"),
+      posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (sim >= threshold), via LSH
+    * buckets — the embedding flavor of the dedup suite.
+    */
+  def cosineNearDups(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      bits: Int = 4,
+      tables: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val b = lshTables(corpus, bits, tables, dim, idCol, vecCol)
+    b.as("l").join(b.as("r"),
+        col("l.table") === col("r.table") &&
+          col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.vec").as("va"), col("r.vec").as("vb"))
+      .dropDuplicates("a", "b")
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+}

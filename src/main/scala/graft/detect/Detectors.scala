@@ -41,12 +41,29 @@ object Detectors {
   ): Array[SpanEnt] = {
     val off = new CpOffsets(text)
     val out = new scala.collection.mutable.ArrayBuffer[SpanEnt](8)
+    val hasCjk = {
+      var i = 0
+      var found = false
+      while (i < text.length && !found) {
+        val c = text.charAt(i)
+        if (c >= '一' && c <= '鿿') found = true
+        i += 1
+      }
+      found
+    }
     var r = 0
     while (r < rules.length) {
       val rule = rules(r)
-      val m = rule.pattern.matcher(text)
-      while (m.find()) {
-        out += SpanEnt(off.toCp(m.start), off.toCp(m.end), rule.typ, 1.0, source)
+      // guard: a match provably contains one of these literals; skip the
+      // backtracking matcher when none occurs (semantics unchanged)
+      val runnable =
+        if (rule.cjkGuards && !hasCjk) false
+        else rule.guards.isEmpty || rule.guards.exists(text.contains)
+      if (runnable) {
+        val m = rule.pattern.matcher(text)
+        while (m.find()) {
+          out += SpanEnt(off.toCp(m.start), off.toCp(m.end), rule.typ, 1.0, source)
+        }
       }
       r += 1
     }

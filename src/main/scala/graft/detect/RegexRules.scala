@@ -14,10 +14,25 @@ import java.util.regex.Pattern
   * semantics for `\w`, `\d`, `\b` and case-insensitive matching; Java
   * defaults to ASCII. We compile every pattern with
   * `UNICODE_CHARACTER_CLASS` (implies `UNICODE_CASE`) to match.
+  *
+  * Each rule carries `guards`: literal substrings a match provably requires
+  * (extracted by hand from mandatory literal parts of the pattern). The
+  * scanner skips the matcher when no guard occurs in the text — pure
+  * performance (the zh `[^…]{1,30}(anchor)` address rules backtrack ~30× per
+  * position on non-matching text), zero semantic change. `cjkGuards` marks
+  * rules whose guards are all CJK, so one has-CJK test per text skips them
+  * wholesale on ASCII text.
   */
 object RegexRules {
 
-  final case class Rule(typ: String, pattern: Pattern)
+  final case class Rule(
+      typ: String,
+      pattern: Pattern,
+      guards: Seq[String] = Nil
+  ) {
+    val cjkGuards: Boolean =
+      guards.nonEmpty && guards.forall(_.forall(c => c >= '一' && c <= '鿿'))
+  }
 
   private def compile(p: String, flags: Int = 0): Pattern =
     Pattern.compile(p, flags | Pattern.UNICODE_CHARACTER_CLASS)
@@ -25,20 +40,24 @@ object RegexRules {
   /** `configs/regex_zh.yaml` — order preserved. */
   lazy val zh: IndexedSeq[Rule] = IndexedSeq(
     Rule("ID", compile("[A-Z]\\d{9}", Pattern.CASE_INSENSITIVE)),
-    Rule("PHONE", compile("09\\d{2}-?\\d{3}-?\\d{3}", Pattern.MULTILINE)),
-    Rule("EMAIL", compile("[\\w\\.-]+@[\\w\\.-]+\\.[A-Za-z]{2,4}")),
-    Rule("ADDRESS", compile("(台北市|台中市|高雄市)[^,，°]{3,20}(路|街|巷)\\d+號?")),
+    Rule("PHONE", compile("09\\d{2}-?\\d{3}-?\\d{3}", Pattern.MULTILINE), Seq("09")),
+    Rule("EMAIL", compile("[\\w\\.-]+@[\\w\\.-]+\\.[A-Za-z]{2,4}"), Seq("@")),
+    Rule("ADDRESS", compile("(台北市|台中市|高雄市)[^,，°]{3,20}(路|街|巷)\\d+號?"),
+      Seq("台北市", "台中市", "高雄市")),
     Rule(
       "ADDRESS",
       compile(
         "(臺北市|台北市|新北市|桃園市|臺中市|台中市|臺南市|台南市|高雄市)[^,，°]{1,30}(路|街|巷|大道|段)\\d+號"
-      )
+      ),
+      Seq("臺北市", "台北市", "新北市", "桃園市", "臺中市", "台中市", "臺南市", "台南市", "高雄市")
     ),
-    Rule("ADDRESS", compile("[^\\n，；。]{1,30}(村|里)([^\\n，；。]{1,20})(鄰)\\d+號")),
-    Rule("ADDRESS", compile("(\\d+樓|\\d+樓之\\d|\\d+樓之\\d+)")),
-    Rule("ADDRESS", compile("(建國路|中山北路|信義路|光復南路|民生東路)[^,，°]{1,20}段?\\d+號")),
-    Rule("ADDRESS", compile("\\d{3,4}巷\\d{1,3}弄\\d{1,3}號")),
-    Rule("ADDRESS", compile("[^\\n，；。]{1,30}(大樓|社區|大廈|商業大樓)[^,，；。]{0,30}")),
+    Rule("ADDRESS", compile("[^\\n，；。]{1,30}(村|里)([^\\n，；。]{1,20})(鄰)\\d+號"), Seq("鄰")),
+    Rule("ADDRESS", compile("(\\d+樓|\\d+樓之\\d|\\d+樓之\\d+)"), Seq("樓")),
+    Rule("ADDRESS", compile("(建國路|中山北路|信義路|光復南路|民生東路)[^,，°]{1,20}段?\\d+號"),
+      Seq("建國路", "中山北路", "信義路", "光復南路", "民生東路")),
+    Rule("ADDRESS", compile("\\d{3,4}巷\\d{1,3}弄\\d{1,3}號"), Seq("巷")),
+    Rule("ADDRESS", compile("[^\\n，；。]{1,30}(大樓|社區|大廈|商業大樓)[^,，；。]{0,30}"),
+      Seq("大樓", "社區", "大廈")),
     Rule("PASSPORT", compile("[A-Z]{1,2}\\d{6,8}")),
     Rule("UNIFIED_BUSINESS_NO", compile("\\d{8}")),
     Rule("MEDICAL_ID", compile("[A-Z]\\d{7,8}"))
@@ -46,18 +65,19 @@ object RegexRules {
 
   /** `configs/regex_en.yaml` — order preserved. */
   lazy val en: IndexedSeq[Rule] = IndexedSeq(
-    Rule("ID", compile("\\b\\d{3}-\\d{2}-\\d{4}\\b", Pattern.CASE_INSENSITIVE)),
+    Rule("ID", compile("\\b\\d{3}-\\d{2}-\\d{4}\\b", Pattern.CASE_INSENSITIVE), Seq("-")),
     Rule(
       "PHONE",
       compile("\\b(?:\\+1[-.\\s]?|1[-.\\s]?)?\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\b")
     ),
-    Rule("EMAIL", compile("[\\w\\.\\-]+@[\\w\\.\\-]+\\.[A-Za-z]{2,}")),
+    Rule("EMAIL", compile("[\\w\\.\\-]+@[\\w\\.\\-]+\\.[A-Za-z]{2,}"), Seq("@")),
     Rule(
       "ADDRESS",
-      compile("\\b\\d+\\s+\\w+\\s+(?:Street|St|Avenue|Ave|Boulevard|Blvd|Road|Rd|Lane|Ln)\\b")
+      compile("\\b\\d+\\s+\\w+\\s+(?:Street|St|Avenue|Ave|Boulevard|Blvd|Road|Rd|Lane|Ln)\\b"),
+      Seq("St", "Ave", "Blvd", "Rd", "Road", "Ln", "Lane")
     ),
     Rule("PASSPORT", compile("[A-PR-WYa-pr-wy][1-9]\\d\\s?\\d{4}[1-9]")),
-    Rule("UNIFIED_BUSINESS_NO", compile("\\b\\d{2}-\\d{7}\\b")),
+    Rule("UNIFIED_BUSINESS_NO", compile("\\b\\d{2}-\\d{7}\\b"), Seq("-")),
     Rule("MEDICAL_ID", compile("\\b[A-Za-z0-9]{6,12}\\b"))
   )
 
@@ -69,7 +89,7 @@ object RegexRules {
     */
   lazy val stub: IndexedSeq[Rule] = IndexedSeq(
     Rule("ID", compile("[A-Z][12]\\d{8}")),
-    Rule("PHONE", compile("09\\d{2}-?\\d{3}-?\\d{3}"))
+    Rule("PHONE", compile("09\\d{2}-?\\d{3}-?\\d{3}"), Seq("09"))
   )
 
   def forLang(lang: String): IndexedSeq[Rule] =

@@ -281,3 +281,36 @@ case class SeqMatcherRatioExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SeqMatcherRatioExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** `repetition_3gram_rate` (G7, `deid_eval.py:257-268`): sliding char
+  * 3-grams (code points); repeated-gram mass / total grams.
+  */
+case class Rep3GramExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_rep3gram"
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    val cps = raw.codePoints().toArray
+    if (cps.length < 3) 0.0d
+    else {
+      val n = cps.length - 2
+      val counts = new java.util.HashMap[Long, Int](n * 2)
+      var i = 0
+      while (i < n) {
+        // pack 3 code points (21 bits each) into one long key
+        val key = (cps(i).toLong << 42) | (cps(i + 1).toLong << 21) | cps(i + 2).toLong
+        counts.merge(key, 1, (a, b) => a + b)
+        i += 1
+      }
+      var repeated = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) { val v = it.next(); if (v > 1) repeated += v }
+      repeated.toDouble / n.toDouble
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Rep3GramExpr =
+    copy(child = newChild)
+}

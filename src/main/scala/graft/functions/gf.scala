@@ -51,4 +51,7 @@ object gf {
   /** difflib `SequenceMatcher.ratio()` parity (G4). */
   def seqRatio(a: Column, b: Column): Column =
     column(SeqMatcherRatioExpr(expression(a), expression(b)))
+
+  /** char-3-gram repetition rate (G7). */
+  def rep3gram(text: Column): Column = column(Rep3GramExpr(expression(text)))
 }

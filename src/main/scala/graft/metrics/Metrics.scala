@@ -1,0 +1,151 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aggregations / metrics (SURVEY §2.6) with the reference's exact formulas.
+  */
+object Metrics {
+
+  /** G1 — `summarize_numbers` (`training/quality.py:10-23`, same formula at
+    * `scripts/benchmark_pipeline.py:45-52`): min/max/mean, p50 =
+    * `statistics.median` (midpoint interpolation for even n), p95 = the
+    * LOWER nearest-rank `sorted[int(0.95*(n-1))]` — NOT `percentile_approx`.
+    * Exact-by-construction: collect_list + sort; promote to a sketch only
+    * for report-grade numbers, never parity-checked ones.
+    */
+  def summarizeNumbers(df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
+    val sorted = sort_array(collect_list(col(valueCol).cast("double")))
+    val base = if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols.map(col): _*)
+    base
+      .agg(sorted.as("sorted"), count(col(valueCol)).as("n"))
+      .withColumn("min", element_at(col("sorted"), 1))
+      .withColumn("max", element_at(col("sorted"), -1))
+      .withColumn("mean", aggregate(col("sorted"), lit(0.0d), (a, x) => a + x) / col("n"))
+      .withColumn("p50",
+        when(col("n") % 2 === 1, element_at(col("sorted"), (col("n") / 2 + 1).cast("int")))
+          .otherwise((element_at(col("sorted"), (col("n") / 2).cast("int"))
+            + element_at(col("sorted"), (col("n") / 2 + 1).cast("int"))) / 2.0))
+      .withColumn("p95",
+        element_at(col("sorted"), floor(lit(0.95) * (col("n") - 1)).cast("int") + 1))
+      .drop("sorted")
+  }
+
+  /** G5 — `TYPE_PATTERNS` (`training/deid_eval.py:99-112`), as Spark regex
+    * strings (Java syntax; these 13 are portable as-is).
+    */
+  val typePatterns: Map[String, String] = Map(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "PHONE" -> "(?:\\+?\\d{1,3}[-\\s]?)?(?:0?9\\d{8}|\\d{2,4}[-\\s]?\\d{3,4}[-\\s]?\\d{3,4})",
+    "ID" -> "[A-Z][12]\\d{8}",
+    "UNIFIED_BUSINESS_NO" -> "\\b\\d{8}\\b",
+    "BANK_ACCOUNT" -> "\\b\\d{10,20}\\b",
+    "CREDIT_CARD" -> "\\b(?:\\d[ -]*?){13,19}\\b",
+    "LICENSE_PLATE" -> "\\b[A-Z]{2,3}-?\\d{3,4}\\b",
+    "PASSPORT" -> "\\b[A-Z]{1,2}\\d{7,8}\\b",
+    "MEDICAL_ID" -> "\\bM\\d{7}\\b",
+    "URL" -> "https?://[^\\s]+",
+    "IP_ADDRESS" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "DATE" -> "\\b\\d{4}[-/]\\d{1,2}[-/]\\d{1,2}\\b"
+  )
+
+  /** G5 count of one type's pattern in a text column. */
+  def countTypeMatches(textCol: Column, piiType: String): Column =
+    typePatterns.get(piiType) match {
+      case Some(p) => regexp_count(textCol, lit(p))
+      case None => lit(0)
+    }
+
+  /** G3 — `compute_pii_removal_recall` (`deid_eval.py:122-137`): counts of
+    * values absent (substring) from the prediction. Integers; recall =
+    * removed/total is left to the caller.
+    */
+  def piiRemoved(valuesCol: Column, predictionCol: Column): Column =
+    size(filter(valuesCol, v => !contains(predictionCol, v) && length(v) > 0)) +
+      size(filter(valuesCol, v => length(v) === 0))
+
+  /** G6 — `check_format_compliance` (`deid_eval.py:180-206`): prompt
+    * separators, leftover markup, caller-provided banned phrases; empty text
+    * is non-compliant.
+    */
+  def formatCompliant(predictionCol: Column, bannedPhrases: Seq[String] = Nil): Column = {
+    val lowered = lower(trim(predictionCol))
+    val separators = Seq("input:", "output:", "analysis:", "explanation:", "step", "reason:")
+    val allNeedles = separators ++ bannedPhrases.map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val anyNeedle = allNeedles.map(n => contains(lowered, lit(n)))
+      .reduce(_ || _)
+    val markup = contains(lowered, lit("<pii")) || contains(lowered, lit("[/"))
+    (length(lowered) > 0) && !anyNeedle && !markup
+  }
+
+  /** G7 — `repetition_3gram_rate` (`deid_eval.py:257-268`): char 3-grams,
+    * repeated-gram mass / total grams. Built-ins only: explode-free via
+    * transform + grouping inside the row would be awkward; a compact
+    * approach uses the custom expression in [[graft.functions.gf.rep3gram]].
+    */
+  def repetition3gramRate(textCol: Column): Column =
+    graft.functions.gf.rep3gram(textCol)
+
+  /** G2 — `validate_span_example` (`training/quality.py:37-108`) issue kinds
+    * per row over (text, entities array<struct<typ,start,end,text>>).
+    * Returns an array of issue-kind strings (the reference's dict payloads
+    * reduced to kinds; `analyze` only aggregates kinds).
+    */
+  def validateIssues(textCol: Column, entitiesCol: Column): Column = {
+    val n = length(textCol)
+    val missing = transform(
+      filter(entitiesCol, e => e.getField("typ").isNull || e.getField("typ") === ""),
+      _ => lit("missing_type"))
+    val oob = transform(
+      filter(entitiesCol, e =>
+        e.getField("start") < 0 || e.getField("end") < 0 ||
+          e.getField("start") > n || e.getField("end") > n),
+      _ => lit("span_out_of_bounds"))
+    val inBounds = filter(entitiesCol, e =>
+      e.getField("start") >= 0 && e.getField("end") >= 0 &&
+        e.getField("start") <= n && e.getField("end") <= n)
+    val empty = transform(
+      filter(inBounds, e => e.getField("start") >= e.getField("end")),
+      _ => lit("empty_span"))
+    val valid = filter(inBounds, e => e.getField("start") < e.getField("end"))
+    // substring with dynamic start: substr(col, start+1, end-start)
+    val mismatch = transform(
+      filter(valid, e => e.getField("text").isNotNull &&
+        e.getField("text") =!= textCol.substr(e.getField("start") + 1,
+          e.getField("end") - e.getField("start"))),
+      _ => lit("text_mismatch"))
+    val sortedSpans = array_sort(transform(valid, e =>
+      struct(e.getField("start").as("s"), e.getField("end").as("e"))))
+    val overlaps = filter(
+      zip_with(sortedSpans, slice(sortedSpans, lit(2), greatest(size(sortedSpans) - 1, lit(0))),
+        (a, b) => b.isNotNull && b.getField("s") < a.getField("e")),
+      x => x)
+    concat(missing, oob, empty, mismatch,
+      transform(overlaps, _ => lit("overlap")))
+  }
+
+  /** G2 analyze — issue-kind counts ordered by (-count, kind)
+    * (`quality.py:168`), plus G9-style entity-type histogram.
+    */
+  def issueHistogram(df: DataFrame, textCol: String, entitiesCol: String): DataFrame =
+    df.select(explode(validateIssues(col(textCol), col(entitiesCol))).as("kind"))
+      .groupBy("kind").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("kind"))
+
+  /** G8 — `aggregate_reports` (`deid_eval.py:307-337`) over a per-example
+    * report table with integer facet columns.
+    */
+  def aggregateReports(reports: DataFrame): DataFrame =
+    reports.agg(
+      count(lit(1)).as("count"),
+      avg(when(col("pii_total") > 0,
+        col("pii_removed").cast("double") / col("pii_total")).otherwise(1.0))
+        .as("pii_removal_recall"),
+      sum("pii_total").as("pii_total"),
+      sum(col("pii_total") - col("pii_removed")).as("pii_leak_count"),
+      (sum(col("pii_total") - col("pii_removed")).cast("double") /
+        greatest(sum("pii_total"), lit(1)).cast("double")).as("pii_leak_rate"),
+      avg(col("repetition_3gram_rate")).as("repetition_3gram_rate"),
+      avg(col("format_compliant").cast("double")).as("format_compliance_rate")
+    )
+}

@@ -1,0 +1,106 @@
+package graft.plans
+
+import graft.functions.Digests
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpointed, idempotently-resumable bucketed writes (north rule;
+  * SURVEY §7.5).
+  *
+  * Layout:
+  * {{{
+  *   <out>/data/bucket=<b>/part-*.parquet   -- hash(conv_id) % nBuckets
+  *   <out>/_lineage/part-*.parquet          -- (run_id, bucket, status,
+  *                                              turns, rule_fp, input_fp,
+  *                                              finished_unix_ms)
+  * }}}
+  *
+  * A run processes only buckets without a `done` lineage row for its
+  * `run_id`. Each bucket directory is replaced atomically via dynamic
+  * partition overwrite, so a task/driver retry cannot half-write a bucket
+  * that is marked done: the lineage row is appended only after the write
+  * commits. At 10^12-turn scale the unit of resume is the bucket (set
+  * `nBuckets` ≈ cluster cores × 4); re-running a completed job is a no-op.
+  *
+  * This is the parquet-native analogue of Iceberg snapshot+manifest
+  * semantics; swapping the writer for an Iceberg table keeps the interface.
+  */
+object CheckpointedRun {
+
+  final case class RunStatus(runId: String, total: Int, processed: Int, skipped: Int)
+
+  def runId(inputFingerprint: String, ruleFingerprint: String, nBuckets: Int): String =
+    Digests.sha256Hex(s"$inputFingerprint:$ruleFingerprint:$nBuckets").substring(0, 16)
+
+  /** Execute (or resume) a bucketed materialization of `df`.
+    *
+    * @param df          rows including a `conv_id` column; all columns are written
+    * @param outPath     output root
+    * @param inputFingerprint stable fingerprint of the input snapshot
+    * @param ruleFingerprint  stable fingerprint of the job config/rules
+    */
+  def run(
+      spark: SparkSession,
+      df: DataFrame,
+      outPath: String,
+      inputFingerprint: String,
+      ruleFingerprint: String,
+      nBuckets: Int = 64
+  ): RunStatus = {
+    val id = runId(inputFingerprint, ruleFingerprint, nBuckets)
+    val lineagePath = s"$outPath/_lineage"
+    val dataPath = s"$outPath/data"
+
+    val done: Set[Int] =
+      if (pathExists(spark, lineagePath)) {
+        spark.read.parquet(lineagePath)
+          .where(col("run_id") === id && col("status") === "done")
+          .select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+      } else Set.empty
+
+    val pending = (0 until nBuckets).filterNot(done)
+    if (pending.isEmpty) return RunStatus(id, nBuckets, 0, nBuckets)
+
+    val bucketed = df.withColumn("bucket", pmod(hash(col("conv_id")), lit(nBuckets)))
+      .where(col("bucket").isin(pending: _*))
+      // salted clustering + stable in-partition order (north rule O7)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      bucketed.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(dataPath)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+
+    // lineage rows appended AFTER the data commit (idempotence: a crash
+    // before this point just reprocesses the pending buckets next run)
+    val stats = spark.read.parquet(dataPath)
+      .where(col("bucket").isin(pending: _*))
+      .groupBy("bucket").agg(count(lit(1)).as("turns"))
+      .withColumn("run_id", lit(id))
+      .withColumn("status", lit("done"))
+      .withColumn("input_fp", lit(inputFingerprint))
+      .withColumn("rule_fp", lit(ruleFingerprint))
+      .withColumn("finished_unix_ms", lit(System.currentTimeMillis()))
+      .select("run_id", "bucket", "status", "turns", "input_fp", "rule_fp",
+        "finished_unix_ms")
+    stats.coalesce(1).write.mode(SaveMode.Append).parquet(lineagePath)
+
+    RunStatus(id, nBuckets, pending.size, done.size)
+  }
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+}

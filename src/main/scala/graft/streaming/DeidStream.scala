@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.pipeline.Deid
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming front-end for the redaction pipeline.
+  *
+  * The reference is strictly batch (SURVEY §1.4) and the north rule asks for
+  * batch + checkpoint-resume; this module is the additive streaming surface:
+  * the same narrow `Deid.redact` transform applied to a file/Kafka stream,
+  * with event-time windowed entity metrics under a watermark.
+  */
+object DeidStream {
+
+  /** Streaming turns source from a parquet directory (schema = Turn). */
+  def readTurns(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("conv_id string, turn_idx int, role string, text string, " +
+        "tool string, ts timestamp")
+      .parquet(path)
+
+  /** Redacted streaming frame — identical transform as batch. */
+  def redact(turns: DataFrame, mode: String = "replace"): DataFrame =
+    Deid.redact(turns, mode)
+
+  /** Per-10-minute-window entity-type counts with a 1-hour watermark —
+    * the streaming analogue of the G9 histogram.
+    */
+  def entityCountsByWindow(turns: DataFrame, mode: String = "replace"): DataFrame =
+    turns
+      .withWatermark("ts", "1 hour")
+      .withColumn("r", graft.functions.gf.deid(col("text"), mode))
+      .select(col("ts"), explode(col("r.entities")).as("e"))
+      .groupBy(window(col("ts"), "10 minutes"), col("e.typ").as("typ"))
+      .count()
+
+  /** File-sink writer with checkpointing; `availableNow` processes the
+    * backlog then stops (used by tests; production uses continuous micro-
+    * batches with the same checkpoint dir).
+    */
+  def writer(
+      redacted: DataFrame,
+      outPath: String,
+      checkpoint: String,
+      availableNow: Boolean = true
+  ): DataStreamWriter[Row] = {
+    val w = redacted.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    if (availableNow) w.trigger(Trigger.AvailableNow()) else w
+  }
+}

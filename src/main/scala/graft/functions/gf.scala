@@ -54,4 +54,8 @@ object gf {
 
   /** char-3-gram repetition rate (G7). */
   def rep3gram(text: Column): Column = column(Rep3GramExpr(expression(text)))
+
+  /** primitive-loop cosine similarity over two array<double> columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
 }

@@ -27,7 +27,7 @@ object Similarity {
     sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.gf.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for the rows of `queries` against `corpus`
     * (both with (idCol, vecCol)). `queries` is expected to be small — it is
@@ -80,26 +80,37 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame,
       k: Int = 5,
-      bits: Int = 4,
+      bits: Int = 0, // <= 0: auto from corpus size (target ~128/bucket)
       tables: Int = 16,
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val b = lshTables(corpus, bits, tables, dim, idCol, vecCol)
-    val cand = b.as("l").join(b.as("r"),
+    val b = lshTables(corpus, resolveBits(corpus, bits), tables, dim, idCol, vecCol)
+    // compute sim inside the bucket join, then dedupe on the narrow
+    // (q_id, n_id, sim) rows — never shuffle the vectors themselves
+    b.as("l").join(b.as("r"),
         col("l.table") === col("r.table") &&
           col("l.bucket") === col("r.bucket") && col("l.id") =!= col("r.id"))
       .select(col("l.id").as("q_id"), col("r.id").as("n_id"),
-        col("l.vec").as("q_vec"), col("r.vec").as("n_vec"))
-      .dropDuplicates("q_id", "n_id")
-    cand
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+        cosine(col("l.vec"), col("r.vec")).as("sim"))
+      .groupBy("q_id", "n_id").agg(max("sim").as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
+
+  /** bits ≈ log2(n / 128): keeps expected bucket size ~128 at any corpus
+    * size so candidate-pair work stays near-linear.
+    */
+  private def resolveBits(corpus: DataFrame, bits: Int): Int =
+    if (bits > 0) bits
+    else {
+      val n = corpus.count().toDouble
+      math.min(16, math.max(4,
+        math.ceil(math.log(math.max(n, 1.0) / 128.0) / math.log(2.0)).toInt))
+    }
 
   /** (id, vec, table, bucket) rows across `tables` hash tables. */
   def lshTables(
@@ -126,21 +137,19 @@ object Similarity {
   def cosineNearDups(
       corpus: DataFrame,
       threshold: Double = 0.95,
-      bits: Int = 4,
+      bits: Int = 0,
       tables: Int = 16,
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val b = lshTables(corpus, bits, tables, dim, idCol, vecCol)
+    val b = lshTables(corpus, resolveBits(corpus, bits), tables, dim, idCol, vecCol)
     b.as("l").join(b.as("r"),
         col("l.table") === col("r.table") &&
           col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
-        col("l.vec").as("va"), col("r.vec").as("vb"))
-      .dropDuplicates("a", "b")
-      .withColumn("sim", cosine(col("va"), col("vb")))
+        cosine(col("l.vec"), col("r.vec")).as("sim"))
       .where(col("sim") >= threshold)
-      .select(col("a"), col("b"), col("sim"))
+      .groupBy("a", "b").agg(max("sim").as("sim"))
   }
 }

@@ -23,7 +23,31 @@ object SeqMatcher {
     if (length > 0) 2.0 * matches / length else 1.0
   }
 
-  def matchingBlocks(a: Array[Int], b: Array[Int]): List[Match] = {
+  def matchingBlocks(a: Array[Int], b: Array[Int]): List[Match] =
+    matchingBlocks(a, b, autojunk = true)
+
+  /** difflib `get_opcodes()` over already-interned element ids. */
+  def opcodes(a: Array[Int], b: Array[Int], autojunk: Boolean)
+      : List[(String, Int, Int, Int, Int)] = {
+    val blocks = matchingBlocks(a, b, autojunk) :+ Match(a.length, b.length, 0)
+    var i = 0
+    var j = 0
+    val out = mutable.ListBuffer.empty[(String, Int, Int, Int, Int)]
+    blocks.foreach { m =>
+      val tag =
+        if (i < m.a && j < m.b) "replace"
+        else if (i < m.a) "delete"
+        else if (j < m.b) "insert"
+        else ""
+      if (tag.nonEmpty) out += ((tag, i, m.a, j, m.b))
+      if (m.size > 0) out += (("equal", m.a, m.a + m.size, m.b, m.b + m.size))
+      i = m.a + m.size
+      j = m.b + m.size
+    }
+    out.toList
+  }
+
+  def matchingBlocks(a: Array[Int], b: Array[Int], autojunk: Boolean): List[Match] = {
     // __chain_b with autojunk
     val b2j = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Int]]
     var i = 0
@@ -31,7 +55,7 @@ object SeqMatcher {
       b2j.getOrElseUpdate(b(i), mutable.ArrayBuffer.empty) += i
       i += 1
     }
-    if (b.length >= 200) {
+    if (autojunk && b.length >= 200) {
       val ntest = b.length / 100 + 1
       val popular = b2j.iterator.filter(_._2.length > ntest).map(_._1).toList
       popular.foreach(b2j.remove)

@@ -61,8 +61,7 @@ object Metrics {
     * removed/total is left to the caller.
     */
   def piiRemoved(valuesCol: Column, predictionCol: Column): Column =
-    size(filter(valuesCol, v => !contains(predictionCol, v) && length(v) > 0)) +
-      size(filter(valuesCol, v => length(v) === 0))
+    size(filter(valuesCol, v => length(v) > 0 && !contains(predictionCol, v)))
 
   /** G6 — `check_format_compliance` (`deid_eval.py:180-206`): prompt
     * separators, leftover markup, caller-provided banned phrases; empty text

@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.{Deid, TurnsGen}
+import graft.plans.CheckpointedRun
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CheckpointSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("checkpointed run completes, resumes as no-op, and reprocesses only missing buckets") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val redacted = Deid.redact(TurnsGen.turns(spark, sfDir))
+
+    // first run: everything pending
+    val s1 = CheckpointedRun.run(spark, redacted, out, "sf0.001", "rules-v1", nBuckets = 8)
+    assert(s1.processed == 8 && s1.skipped == 0)
+    val full = spark.read.parquet(s"$out/data")
+    val totalRows = full.count()
+    assert(totalRows == spark.read.parquet(s"$sfDir/orders.parquet").count() * 3)
+
+    // re-run: pure no-op
+    val s2 = CheckpointedRun.run(spark, redacted, out, "sf0.001", "rules-v1", nBuckets = 8)
+    assert(s2.processed == 0 && s2.skipped == 8)
+
+    // simulate a crash: drop lineage rows for 3 buckets (keep the data —
+    // idempotent overwrite must regenerate identical content)
+    val lineage = spark.read.parquet(s"$out/_lineage").cache()
+    lineage.count()
+    lineage.where(col("bucket") >= 3)
+      .write.mode("overwrite").parquet(s"$out/_lineage_tmp")
+    spark.read.parquet(s"$out/_lineage_tmp").write.mode("overwrite")
+      .parquet(s"$out/_lineage")
+    val s3 = CheckpointedRun.run(spark, redacted, out, "sf0.001", "rules-v1", nBuckets = 8)
+    assert(s3.processed == 3 && s3.skipped == 5, s"got $s3")
+
+    // content identical to a fresh full run
+    val after = spark.read.parquet(s"$out/data")
+    assert(after.count() == totalRows)
+    val h1 = after.selectExpr("sum(hash(conv_id, turn_idx, text))").first().getLong(0)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    CheckpointedRun.run(spark, redacted, out2, "sf0.001", "rules-v1", nBuckets = 8)
+    val h2 = spark.read.parquet(s"$out2/data")
+      .selectExpr("sum(hash(conv_id, turn_idx, text))").first().getLong(0)
+    assert(h1 == h2)
+  }
+
+  test("different rule fingerprint gets a different run id (no false resume)") {
+    val a = CheckpointedRun.runId("in", "rules-v1", 8)
+    val b = CheckpointedRun.runId("in", "rules-v2", 8)
+    val c = CheckpointedRun.runId("in", "rules-v1", 16)
+    assert(a != b && a != c)
+  }
+}

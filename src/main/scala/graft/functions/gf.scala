@@ -58,4 +58,10 @@ object gf {
   /** primitive-loop cosine similarity over two array<double> columns. */
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
+
+  /** layout-ordered PDF text extraction over a binary column. */
+  def pdfText(pdf: Column): Column = column(PdfTextExpr(expression(pdf)))
+
+  /** deterministic synthetic PDF payload from text (fixtures/bench). */
+  def pdfSynth(text: Column): Column = column(PdfSynthExpr(expression(text)))
 }

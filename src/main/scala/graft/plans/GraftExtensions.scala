@@ -79,5 +79,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"graft_tokens expects 1 arg, got ${args.length}")
     }
+
+    inject("graft_pdf_text", "graft_pdf_text(pdf_binary) - layout-ordered PDF text") {
+      case Seq(t) => PdfTextExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_pdf_text expects 1 arg, got ${args.length}")
+    }
+
+    inject("graft_simhash64", "graft_simhash64(text) - 64-bit SimHash signature") {
+      case Seq(t) => SimHash64Expr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_simhash64 expects 1 arg, got ${args.length}")
+    }
+
+    inject("graft_seq_ratio", "graft_seq_ratio(a, b) - difflib SequenceMatcher ratio") {
+      case Seq(a, b) => SeqMatcherRatioExpr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"graft_seq_ratio expects 2 args, got ${args.length}")
+    }
+
+    inject("graft_cosine", "graft_cosine(a, b) - cosine similarity of double arrays") {
+      case Seq(a, b) => CosineSimExpr(a, b)
+      case args => throw new IllegalArgumentException(
+        s"graft_cosine expects 2 args, got ${args.length}")
+    }
+
+    inject("graft_rep3gram", "graft_rep3gram(text) - char 3-gram repetition rate") {
+      case Seq(t) => Rep3GramExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_rep3gram expects 1 arg, got ${args.length}")
+    }
   }
 }

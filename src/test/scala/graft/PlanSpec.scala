@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Similarity
+import graft.pipeline.{Deid, TurnsGen}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make the engine scale are
+  * pinned here so a refactor can't silently regress them (SURVEY §4).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    TurnsGen.turns(spark, sfDir).write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where(col("conv_id") === "42")
+      .select("conv_id", "turn_idx")
+    val p = plan(q)
+    assert(p.contains("PushedFilters: [IsNotNull(conv_id), EqualTo(conv_id,42)]"), p)
+    assert(p.contains("ReadSchema: struct<conv_id:string,turn_idx:int>"), p)
+  }
+
+  test("redact is whole-stage-codegen'd with zero exchanges over a file scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan2").toString
+    TurnsGen.turns(spark, sfDir).write.mode("overwrite").parquet(dir)
+    val p = plan(Deid.redact(spark.read.parquet(dir)))
+    assert(!p.contains("Exchange"), p)
+    // `*(n)` prefixes mark WholeStageCodegen stages in the plan string; the
+    // CodegenFallback deid projection sits between codegen'd stages
+    assert(p.contains("*("), p)
+    assert(p.contains("ReadSchema: struct<conv_id:string,turn_idx:int,text:string>"), p)
+  }
+
+  test("brute-force ANN broadcasts the query side, never the corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("salted write clustering splits a mega-conversation across partitions") {
+    val mega = TurnsGen.turns(spark, sfDir)
+      .withColumn("conv_id", lit("mega"))
+      .withColumn("turn_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("conv_id")).cast("int"))
+    // AQE would (correctly) coalesce this tiny shuffle; disable it so the
+    // test observes the salting mechanism itself
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val clustered = Deid.clusterForWrite(Deid.redact(mega), saltBucket = 512)
+      val nParts = clustered
+        .select(spark_partition_id().as("pid")).distinct().count()
+      assert(nParts > 1, s"mega-conversation pinned to $nParts partition(s)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dedup/ANN jobs shuffle on bucket keys only (no cartesian)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(Similarity.lshTopK(emb, k = 3, bits = 4, tables = 4))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

@@ -69,8 +69,26 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val turnsPerSec = nTurns / results("deid_replace")
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus}""")
     spark.stop()
+
+    // North-rule scaling evidence (BASELINE.md): identical job + input at
+    // 2, 8, 32 cores — 2→8 stays inside this host's flat-throughput range
+    // (the shared VM throttles per-core above ~16 busy cores; see
+    // BASELINE.md), 8→32 is reported alongside it.
+    val scalingJson =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) "null"
+      else {
+        val levels = ScalingBench.measure(sfDir, Seq(2, 8, 32), replicate = 4, runs = 2)
+        val byCpu = levels.map(l => l.cpus -> l).toMap
+        val eff28 = byCpu(8).turnsPerSec / (4.0 * byCpu(2).turnsPerSec)
+        val eff832 = byCpu(32).turnsPerSec / (4.0 * byCpu(8).turnsPerSec)
+        val levelsJson = levels.map(l =>
+          f"""{"cpus":${l.cpus},"sec":${l.sec}%.3f,"turns_per_sec":${l.turnsPerSec}%.0f}""")
+          .mkString("[", ",", "]")
+        f"""{"turns":${levels.head.turns},"levels":$levelsJson,"efficiency_2_to_8":$eff28%.3f,"efficiency_8_to_32":$eff832%.3f}"""
+      }
+
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"scaling":$scalingJson}""")
   }
 }

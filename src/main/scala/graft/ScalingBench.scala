@@ -14,18 +14,31 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
+  final case class Level(cpus: Int, turns: Long, sec: Double, turnsPerSec: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val nCores = args.lift(1).map(_.toInt).getOrElse(8)
     val n4Cores = args.lift(2).map(_.toInt).getOrElse(nCores * 4)
-    val turnsPath = s"/tmp/graft_scaling_turns_${sfDir.replaceAll("[^0-9.]", "")}"
-
     val replicate = args.lift(3).map(_.toInt).getOrElse(8)
+    val results = measure(sfDir, Seq(nCores, n4Cores), replicate, runs = 3)
+    val Seq(lo, hi) = results
+    val eff = hi.turnsPerSec / ((hi.cpus.toDouble / lo.cpus) * lo.turnsPerSec)
+    println(
+      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","sf":"$sfDir","turns":${lo.turns},"n_cores":${lo.cpus},"n4_cores":${hi.cpus},"sec_n":${lo.sec}%.3f,"sec_4n":${hi.sec}%.3f,"turns_per_sec_n":${lo.turnsPerSec}%.0f,"turns_per_sec_4n":${hi.turnsPerSec}%.0f}""")
+  }
+
+  /** Measure redaction throughput at several core counts on identical input.
+    * Creates (and stops) one SparkSession per level — callers must not hold
+    * an active session.
+    */
+  def measure(sfDir: String, levels: Seq[Int], replicate: Int, runs: Int): Seq[Level] = {
+    val turnsPath = s"/tmp/graft_scaling_turns_${sfDir.replaceAll("[^0-9.]", "")}_$replicate"
 
     // materialize input once; replicate so each measured run is long enough
-    // (>= ~10 s at 4N) that fixed stage-scheduling overheads don't read as
-    // scaling loss; 128 splits so both levels are input-parallel
+    // that fixed stage-scheduling overheads don't read as scaling loss;
+    // 128 splits so every level is input-parallel
     locally {
       val s = session(8)
       import org.apache.spark.sql.functions._
@@ -38,27 +51,19 @@ object ScalingBench {
       s.stop()
     }
 
-    val results = Seq(nCores, n4Cores).map { cpus =>
+    levels.map { cpus =>
       val s = session(cpus)
       val turns = s.read.parquet(turnsPath)
       val n = turns.count()
-      // warmup
-      Bench.force(Deid.redact(turns.limit(5000)))
-      val runs = (1 to 3).map { _ =>
+      Bench.force(Deid.redact(turns.limit(5000))) // warmup
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         Bench.force(Deid.redact(turns))
         (System.nanoTime() - t0) / 1e9
       }
-      val best = runs.min
       s.stop()
-      (cpus, n, best, n / best)
+      Level(cpus, n, times.min, n / times.min)
     }
-
-    val (c8, n, t8, thr8) = results(0)
-    val (c32, _, t32, thr32) = results(1)
-    val eff = thr32 / (4.0 * thr8)
-    println(
-      f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","sf":"$sfDir","turns":$n,"n_cores":$c8,"n4_cores":$c32,"sec_n":$t8%.3f,"sec_4n":$t32%.3f,"turns_per_sec_n":$thr8%.0f,"turns_per_sec_4n":$thr32%.0f}""")
   }
 
   private def session(cpus: Int): SparkSession = {

@@ -96,6 +96,58 @@ object SparkEntry {
           col("e.typ"))
         .orderBy("conv_id", "turn_idx", "start")),
 
+    "deid_replace_en" -> ((s, dir) =>
+      Deid.redact(turns(s, dir), lang = "en")
+        .select(col("conv_id"), col("turn_idx"), col("text"),
+          size(col("entities")).as("n_entities"))
+        .orderBy("conv_id", "turn_idx")),
+
+    // ---- training-side dataflow (D10/D11/P6 as queries) ---------------------
+    "pii_markup_extract" -> ((s, dir) => {
+      val extract = udf((text: String) =>
+        graft.training.PiiMarkup.extractPiiBlocks(text)
+          .map(b => (b.piiType, b.value, b.valueStart, b.valueEnd)))
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          // wrap each turn's detected emails/phones in XML markup, then
+          // recover them with the D10 extractor
+          concat(lit("<PII type='NOTE'>"), col("text"), lit("</PII>")).as("marked"))
+        .select(col("conv_id"), col("turn_idx"), explode(extract(col("marked"))).as("b"))
+        .select(col("conv_id"), col("turn_idx"), col("b._1").as("pii_type"),
+          col("b._3").as("value_start"), col("b._4").as("value_end"))
+        .orderBy("conv_id", "turn_idx", "value_start")
+    }),
+
+    "masked_pair_recovery" -> ((s, dir) => {
+      val recover = udf((orig: String, masked: String) =>
+        graft.training.MaskedPairs.extractEntitiesFromMaskedPair(orig, masked)
+          .map(e => (e.typ, e.start, e.end, e.text)))
+      val t = turns(s, dir)
+      // placeholderized variant: replace each detected span with <TYPE>
+      val ph = t.select(col("conv_id"), col("turn_idx"), col("text"),
+        udf((text: String) => {
+          val ents = graft.pipeline.DeidCore.detect(text, "zh", withStub = false)
+            .map(e => (e.start, e.end, e.typ)).toSeq
+          graft.training.Placeholders.replaceSpansWithPlaceholders(text, ents)
+        }).apply(col("text")).as("masked"))
+      ph.select(col("conv_id"), col("turn_idx"),
+          explode(recover(col("text"), col("masked"))).as("e"))
+        .select(col("conv_id"), col("turn_idx"), col("e._1").as("typ"),
+          col("e._2").as("start"), col("e._3").as("end"))
+        .orderBy("conv_id", "turn_idx", "start", "typ")
+    }),
+
+    "canonical_types" -> ((s, dir) => {
+      val canon = udf((raw: String) =>
+        graft.training.Canonical.canonicalizeEntityType(raw).orNull)
+      turns(s, dir)
+        .select(explode(gf.regexDetect(col("text"))).as("e"))
+        .select(col("e.typ").as("raw_type"))
+        .distinct()
+        .withColumn("canonical", canon(concat(col("raw_type"), lit("_1"))))
+        .orderBy("raw_type")
+    }),
+
     // ---- extraction --------------------------------------------------------
     "html_text_strip" -> ((s, dir) =>
       turns(s, dir).where(col("text").contains("<html"))

@@ -38,26 +38,44 @@ object Redactor {
   ): (String, List[RawEvent]) = {
     val ctx = contextHash.getOrElse(Digests.sha256Hex(text))
     val sortedDesc = entities.sortBy(e => -e.start) // stable on equal starts
-    var cur = text
-    val events = List.newBuilder[RawEvent]
+    val off = new CpOffsets(text)
+    // Per-document memo keyed `type:original` — the reference's LRU cache
+    // semantics within one document (`replace/cache.py`, key includes the
+    // ctx hash, constant here): dense repeated PII generates once.
+    val memo = new java.util.HashMap[String, String]()
+    val n = sortedDesc.length
+    val originals = new Array[String](n)
+    val replacements = new Array[String](n)
     var i = 0
-    while (i < sortedDesc.length) {
+    while (i < n) {
       val ent = sortedDesc(i)
-      val original = cpSlice(text, ent.start, ent.end)
-      val replacement =
-        FakeProvider.generateDeterministic(ent.typ, original, ctx, isTw)
-      cur = splice(cur, ent.start, ent.end, replacement)
+      val original = cpSliceWith(text, off, ent.start, ent.end)
+      originals(i) = original
+      val key = s"${ent.typ}:$original"
+      var repl = memo.get(key)
+      if (repl == null) {
+        repl = FakeProvider.generateDeterministic(ent.typ, original, ctx, isTw)
+        memo.put(key, repl)
+      }
+      replacements(i) = repl
+      i += 1
+    }
+    val result = spliceAll(text, off, sortedDesc.map(e => (e.start, e.end)), replacements)
+    val events = List.newBuilder[RawEvent]
+    i = 0
+    while (i < n) {
+      val ent = sortedDesc(i)
       events += RawEvent(
         ent.typ,
-        Some(original),
-        Some(replacement),
+        Some(originals(i)),
+        Some(replacements(i)),
         ent.start,
-        ent.start + replacement.codePointCount(0, replacement.length),
+        ent.start + replacements(i).codePointCount(0, replacements(i).length),
         ent.source
       )
       i += 1
     }
-    (cur, events.result())
+    (result, events.result())
   }
 
   /** `_blackbox_mode` (`replacer.py:83-102`) — length-preserving masking. */
@@ -66,17 +84,85 @@ object Redactor {
       entities: Array[SpanEnt]
   ): (String, List[RawEvent]) = {
     val sortedDesc = entities.sortBy(e => -e.start)
-    var cur = text
+    val off = new CpOffsets(text)
+    val replacements = sortedDesc.map(e => "█" * (e.end - e.start))
+    val result = spliceAll(text, off, sortedDesc.map(e => (e.start, e.end)), replacements)
     val events = List.newBuilder[RawEvent]
     var i = 0
     while (i < sortedDesc.length) {
       val ent = sortedDesc(i)
-      val blackbox = "█" * (ent.end - ent.start)
-      cur = splice(cur, ent.start, ent.end, blackbox)
-      events += RawEvent(ent.typ, None, None, ent.start, ent.start + blackbox.length, ent.source)
+      events += RawEvent(ent.typ, None, None, ent.start,
+        ent.start + replacements(i).length, ent.source)
       i += 1
     }
-    (cur, events.result())
+    (result, events.result())
+  }
+
+  /** Apply descending-sorted splices. Fast path: when spans are pairwise
+    * non-overlapping (`end(k) <= start(k-1)` in descending order — the
+    * common case after conflict resolution), one left-to-right pass builds
+    * the result in O(n). Any residual overlap falls back to the exact
+    * Python emulation (each splice re-applied to the evolving string).
+    */
+  private def spliceAll(
+      text: String,
+      off: CpOffsets,
+      spansDesc: Array[(Int, Int)],
+      replacementsDesc: Array[String]
+  ): String = {
+    val n = spansDesc.length
+    if (n == 0) return text
+    var overlapping = false
+    var k = 1
+    while (k < n && !overlapping) {
+      if (spansDesc(k)._2 > spansDesc(k - 1)._1) overlapping = true
+      k += 1
+    }
+    val cpLen = off.cpLen
+    if (!overlapping) {
+      val sb = new java.lang.StringBuilder(text.length + 64)
+      var prevU16 = 0
+      var i = n - 1 // ascending order
+      while (i >= 0) {
+        val (s, e) = spansDesc(i)
+        val s2 = math.min(math.max(s, 0), cpLen)
+        val e2 = math.min(math.max(e, s2), cpLen)
+        val u16s = off.toU16(s2)
+        val u16e = off.toU16(e2)
+        if (u16s >= prevU16) {
+          sb.append(text, prevU16, u16s)
+          sb.append(replacementsDesc(i))
+          prevU16 = u16e
+        } else {
+          // equal starts (zero-width collisions): keep exact emulation
+          return spliceAllSlow(text, spansDesc, replacementsDesc)
+        }
+        i -= 1
+      }
+      sb.append(text, prevU16, text.length)
+      sb.toString
+    } else spliceAllSlow(text, spansDesc, replacementsDesc)
+  }
+
+  private def spliceAllSlow(
+      text: String,
+      spansDesc: Array[(Int, Int)],
+      replacementsDesc: Array[String]
+  ): String = {
+    var cur = text
+    var i = 0
+    while (i < spansDesc.length) {
+      cur = splice(cur, spansDesc(i)._1, spansDesc(i)._2, replacementsDesc(i))
+      i += 1
+    }
+    cur
+  }
+
+  private def cpSliceWith(s: String, off: CpOffsets, start: Int, end: Int): String = {
+    val cpLen = off.cpLen
+    val s2 = math.min(math.max(start, 0), cpLen)
+    val e2 = math.min(math.max(end, s2), cpLen)
+    s.substring(off.toU16(s2), off.toU16(e2))
   }
 
   /** `"replacement"/"replace" → replace`, `"blackbox/black/redact/mask" →

@@ -1,0 +1,79 @@
+package graft.detect
+
+import graft.detect.BioDecode.ScoredToken
+import graft.model.SpanEnt
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** D3/D4 scaffold — the model-backed NER detector's *dataflow*, with the
+  * model forward pass behind a pluggable [[TokenScorer]].
+  *
+  * Mirrors the reference's structure exactly
+  * (`bert_detector.py:53-160`, `bert_onnx_detector.py:54-174`):
+  * sliding-window chunking (stride = maxLen/2) → per-chunk token scoring →
+  * BIO decode with offset shift → overlapping-entity merge. The scorer is
+  * where ONNX Runtime Java would sit (session per executor via
+  * `@transient lazy val`, one batched `run` per partition — the reference
+  * batches all chunks in one `session.run`, `bert_onnx_detector.py:77-81`);
+  * this environment ships no model runtime, so tests plug a deterministic
+  * fake. Everything around the scorer is real and unit-tested.
+  */
+object ModelDetector {
+
+  /** Scores one batch of text chunks into labeled tokens. Implementations
+    * must be Serializable; heavyweight state (a session) belongs in a
+    * `@transient lazy val` so each executor builds it once.
+    */
+  trait TokenScorer extends Serializable {
+    def score(chunks: Seq[String]): Seq[Seq[ScoredToken]]
+  }
+
+  /** `BERT_CONFIDENCE_THRESHOLD` (`config.py:101`) — P10. */
+  val defaultConfidenceThreshold = 0.85
+
+  /** Detect over one text: chunk → score → decode(+shift) → threshold →
+    * merge. Pure given the scorer.
+    */
+  def detect(
+      text: String,
+      scorer: TokenScorer,
+      maxLen: Int = 512,
+      confidenceThreshold: Double = defaultConfidenceThreshold,
+      source: String = "bert"
+  ): List[SpanEnt] = {
+    val starts = BioDecode.chunkStarts(text.codePointCount(0, text.length), maxLen)
+    val chunks = starts.map { s =>
+      graft.redact.Redactor.cpSlice(text, s, s + maxLen)
+    }
+    val scored = scorer.score(chunks)
+    val entities = starts.zip(scored).flatMap { case (offset, toks) =>
+      // P10: the onnx detector drops tokens under the threshold pre-decode
+      // (`bert_onnx_detector.py:105`)
+      BioDecode.decode(toks.filter(t => t.special || t.score >= confidenceThreshold),
+        offset, source)
+    }
+    BioDecode.mergeEntities(entities)
+  }
+
+  /** Distributed form: one scorer instance per executor, texts scored in
+    * partition-sized batches (the Spark analogue of the reference's one
+    * batched `session.run`).
+    */
+  def detectColumn(
+      df: DataFrame,
+      textCol: String,
+      scorer: TokenScorer,
+      maxLen: Int = 512
+  )(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val schema = df.schema
+    val idx = schema.fieldIndex(textCol)
+    val ds: Dataset[(String, List[SpanEnt])] = df
+      .select(col(textCol))
+      .as[String]
+      .mapPartitions { it =>
+        it.map(t => (t, detect(t, scorer, maxLen)))
+      }
+    ds.toDF(textCol, "model_entities")
+  }
+}

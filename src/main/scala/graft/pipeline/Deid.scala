@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Deid {
 
+  /** CLI mode aliases (`main.py` + `__init__.py:150-157`): `black/blackbox/
+    * redact/mask → blackbox`, `detect → detect`, else `replace`.
+    */
+  def normalizeCliMode(mode: String): String = {
+    val m = Option(mode).getOrElse("").trim.toLowerCase
+    if (m == "detect") "detect" else graft.redact.Redactor.normalizeMode(m)
+  }
+
   /** Redact a turns table. Pure narrow transform — composable, unshuffled. */
   def redact(
       turns: DataFrame,

@@ -78,7 +78,7 @@ object Bench {
     val scalingJson =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) "null"
       else {
-        val levels = ScalingBench.measure(sfDir, Seq(2, 8, 32), replicate = 4, runs = 2)
+        val levels = ScalingBench.measure(sfDir, Seq(2, 8, 32), replicate = 2, runs = 2)
         val byCpu = levels.map(l => l.cpus -> l).toMap
         val eff28 = byCpu(8).turnsPerSec / (4.0 * byCpu(2).turnsPerSec)
         val eff832 = byCpu(32).turnsPerSec / (4.0 * byCpu(8).turnsPerSec)

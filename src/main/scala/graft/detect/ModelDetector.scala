@@ -77,3 +77,43 @@ object ModelDetector {
     ds.toDF(textCol, "model_entities")
   }
 }
+
+/** F3 + the ONNX logits→token bridge (`bert_onnx_detector.py:17-20,83-137`):
+  * numerically-stable softmax per token, argmax label, max-prob confidence.
+  * This is the exact shape ONNX Runtime Java's output tensor feeds.
+  */
+object Logits {
+
+  /** `_softmax` (`bert_onnx_detector.py:17-20`): stable exp-normalize. */
+  def softmax(xs: Array[Double]): Array[Double] = {
+    var max = Double.NegativeInfinity
+    var i = 0
+    while (i < xs.length) { if (xs(i) > max) max = xs(i); i += 1 }
+    val out = new Array[Double](xs.length)
+    var sum = 0.0
+    i = 0
+    while (i < xs.length) { out(i) = math.exp(xs(i) - max); sum += out(i); i += 1 }
+    i = 0
+    while (i < xs.length) { out(i) /= sum; i += 1 }
+    out
+  }
+
+  /** One chunk's logits → scored tokens: per token argmax(softmax(logits))
+    * with its probability as confidence; offsets/special flags provided by
+    * the tokenizer side.
+    */
+  def toScoredTokens(
+      logits: Array[Array[Double]],
+      offsets: Array[(Int, Int)],
+      special: Array[Boolean],
+      id2label: Int => String
+  ): Seq[BioDecode.ScoredToken] =
+    logits.indices.map { i =>
+      val probs = softmax(logits(i))
+      var best = 0
+      var j = 1
+      while (j < probs.length) { if (probs(j) > probs(best)) best = j; j += 1 }
+      BioDecode.ScoredToken(offsets(i)._1, offsets(i)._2, id2label(best),
+        probs(best), special(i))
+    }
+}

@@ -270,6 +270,13 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "props_json" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(when(get_json_object(col("props"), "$.k").isNotNull, 1)).as("with_k"))
+        .orderBy("event_type")),
+
     "percentile_exact" -> ((s, dir) =>
       Metrics.summarizeNumbers(events(s, dir), "value", Seq("event_type"))
         .select("event_type", "n", "min", "max", "p50", "p95")
@@ -395,6 +402,11 @@ object SparkEntry {
           "SELECT user_id, CAST(sum(CASE WHEN prev_ts IS NULL OR " +
           "epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, " +
           "count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
+
+      "props_json" ->
+        ("SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+          "count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS with_k " +
+          "FROM events GROUP BY event_type ORDER BY event_type"),
 
       "percentile_exact" ->
         ("WITH s AS (SELECT event_type, list_sort(list(value)) AS xs, count(*) AS n " +

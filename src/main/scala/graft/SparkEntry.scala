@@ -78,6 +78,41 @@ object SparkEntry {
             e => e.getField("typ") === "PHONE")).as("n_phone"))
         .orderBy("conv_id", "turn_idx")),
 
+    "detect_id_counts" -> ((s, dir) => typeCounts(s, dir, "ID", "n_id")),
+    "detect_passport_counts" -> ((s, dir) => typeCounts(s, dir, "PASSPORT", "n_passport")),
+    "detect_ubn_counts" -> ((s, dir) => typeCounts(s, dir, "UNIFIED_BUSINESS_NO", "n_ubn")),
+    "detect_medical_counts" -> ((s, dir) => typeCounts(s, dir, "MEDICAL_ID", "n_medical")),
+
+    "detect_ssn_counts" -> ((s, dir) =>
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          size(filter(gf.regexDetect(col("text"), lang = "en", resolve = false),
+            e => e.getField("typ") === "ID")).as("n_ssn"))
+        .orderBy("conv_id", "turn_idx")),
+
+    "dict_detect_counts" -> ((s, dir) =>
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          size(gf.dictDetect(col("text"))).as("n_dict"))
+        .orderBy("conv_id", "turn_idx")),
+
+    // D3/D4 scaffold end-to-end: chunk → batch-score (deterministic fake
+    // scorer standing in for the ONNX session) → threshold BIO decode →
+    // merge; per-turn per-type counts are SQL-expressible for the oracle.
+    "model_detect" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val byTyp = (t: String) =>
+        (c: org.apache.spark.sql.Column) =>
+          size(filter(c, e => e.getField("typ") === t))
+      graft.detect.ModelDetector
+        .detectTurns(turns(s, dir), graft.detect.ModelDetector.HeuristicScorer)
+        .select(col("conv_id"), col("turn_idx"),
+          byTyp("EMAIL")(col("model_entities")).as("n_email_model"),
+          byTyp("PHONE")(col("model_entities")).as("n_phone_model"),
+          byTyp("ID")(col("model_entities")).as("n_id_model"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     "events_audit" -> ((s, dir) =>
       Deid.redact(turns(s, dir))
         .select(col("conv_id"), col("turn_idx"), explode(col("events")).as("ev"))
@@ -186,16 +221,24 @@ object SparkEntry {
       Dedup.simhashNearDups(plantedDocs(s, dir), maxDist = 3)
         .orderBy("a", "b")),
 
+    // planted copies (base<50 plus their near/exact twins) so the result is
+    // non-empty and exactly reproducible by the DuckDB brute-force oracle
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardCounts(
-        docs(s, dir).where(col("doc_id") < 50), k = 3)
-        .where(col("inter") * 2 >= col("ua")) // meaningful overlap only
+        plantedDocs(s, dir).where(col("doc_id") % 100000 < 50), k = 3)
+        .where(col("inter") >= 1 && col("inter") * 2 >= col("ua"))
         .orderBy("a", "b")),
 
-    "dedup_embedding_pairs" -> ((s, dir) =>
-      Similarity.cosineNearDups(embeddings(s, dir), threshold = 0.9)
+    // exact-copy planted vectors: LSH finds identical vectors with
+    // probability 1 (they collide in every table), and the max NATURAL
+    // cosine in the synthetic embeddings is ~0.51 — so at threshold 0.9 the
+    // approximate LSH result equals the oracle's exact brute-force result.
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      val planted = plantedEmbeddings(s, dir)
+      Similarity.cosineNearDups(planted, threshold = 0.9, nHint = planted.count())
         .select(col("a"), col("b"))
-        .orderBy("a", "b")),
+        .orderBy("a", "b")
+    }),
 
     // ---- similarity (embeddings) -------------------------------------------
     "knn_bruteforce" -> ((s, dir) =>
@@ -204,10 +247,14 @@ object SparkEntry {
         .select(col("q_id"), col("rank"), col("n_id"))
         .orderBy("q_id", "rank")),
 
-    "knn_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(embeddings(s, dir), k = 5)
+    "knn_lsh" -> ((s, dir) => {
+      // explicit size hint from parquet metadata — the LIBRARY runs no
+      // hidden count job; the caller supplies scale knowledge
+      val emb = embeddings(s, dir)
+      Similarity.lshTopK(emb, k = 5, nHint = emb.count())
         .select(col("q_id"), col("rank"), col("n_id"))
-        .orderBy("q_id", "rank")),
+        .orderBy("q_id", "rank")
+    }),
 
     "label_histogram" -> ((s, dir) =>
       embeddings(s, dir).groupBy("label").agg(count(lit(1)).as("cnt"))
@@ -317,6 +364,27 @@ object SparkEntry {
     })
   )
 
+  /** Per-turn counts of one regex-rule type with resolve=false (the raw
+    * detector emission — SQL-replicable as leftmost non-overlapping regex
+    * counts).
+    */
+  private def typeCounts(s: SparkSession, dir: String, typ: String, as: String): DataFrame =
+    turns(s, dir)
+      .select(col("conv_id"), col("turn_idx"),
+        size(filter(gf.regexDetect(col("text"), resolve = false),
+          e => e.getField("typ") === typ)).as(as))
+      .orderBy("conv_id", "turn_idx")
+
+  /** embeddings ∪ deterministic exact-copy vectors (vec_id % 10 == 0, id +
+    * 100000) — the embedding-dedup corpus, same construction in the oracle.
+    */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val base = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    base.union(
+      base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
   /** documents ∪ deterministic near/exact duplicate copies — the dedup
     * corpus (same construction in tests; derived only from sfDir).
     */
@@ -355,6 +423,53 @@ object SparkEntry {
           "CAST(len(regexp_extract_all(text, '09\\d{2}-?\\d{3}-?\\d{3}')) AS INTEGER) AS n_phone " +
           "FROM turns ORDER BY conv_id, turn_idx"),
 
+      // raw-rule (resolve=false) per-type counts: leftmost non-overlapping
+      // greedy matching is identical between java.util.regex and RE2 for
+      // these patterns (no alternation-order or backtracking divergence)
+      "detect_id_counts" ->
+        (s"$cte SELECT conv_id, turn_idx, " +
+          "CAST(len(regexp_extract_all(text, '[A-Za-z][0-9]{9}')) AS INTEGER) AS n_id " +
+          "FROM turns ORDER BY conv_id, turn_idx"),
+
+      "detect_passport_counts" ->
+        (s"$cte SELECT conv_id, turn_idx, " +
+          "CAST(len(regexp_extract_all(text, '[A-Z]{1,2}[0-9]{6,8}')) AS INTEGER) AS n_passport " +
+          "FROM turns ORDER BY conv_id, turn_idx"),
+
+      "detect_ubn_counts" ->
+        (s"$cte SELECT conv_id, turn_idx, " +
+          "CAST(len(regexp_extract_all(text, '[0-9]{8}')) AS INTEGER) AS n_ubn " +
+          "FROM turns ORDER BY conv_id, turn_idx"),
+
+      "detect_medical_counts" ->
+        (s"$cte SELECT conv_id, turn_idx, " +
+          "CAST(len(regexp_extract_all(text, '[A-Z][0-9]{7,8}')) AS INTEGER) AS n_medical " +
+          "FROM turns ORDER BY conv_id, turn_idx"),
+
+      "detect_ssn_counts" ->
+        (s"$cte SELECT conv_id, turn_idx, " +
+          "CAST(len(regexp_extract_all(text, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS INTEGER) AS n_ssn " +
+          "FROM turns ORDER BY conv_id, turn_idx"),
+
+      // gazetteer terms are fixed strings, none self-overlapping → per-term
+      // occurrence count = replace()-based count; total = sum over vocab
+      "dict_detect_counts" -> {
+        val terms = graft.detect.AhoCorasick.referenceVocab.map(_._1)
+        val sum = terms.map { t =>
+          val len = t.codePointCount(0, t.length)
+          s"((length(text) - length(replace(text, '$t', ''))) // $len)"
+        }.mkString(" + ")
+        s"$cte SELECT conv_id, turn_idx, CAST($sum AS INTEGER) AS n_dict " +
+          "FROM turns ORDER BY conv_id, turn_idx"
+      },
+
+      "model_detect" ->
+        (s"$cte SELECT conv_id, turn_idx, " +
+          "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> contains(x, '@'))) AS INTEGER) AS n_email_model, " +
+          "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> regexp_matches(x, '^09[0-9]{8}[.,!?]?$'))) AS INTEGER) AS n_phone_model, " +
+          "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> regexp_matches(x, '^[A-Z][0-9]{9}[.,!?]?$'))) AS INTEGER) AS n_id_model " +
+          "FROM turns ORDER BY conv_id, turn_idx"),
+
       "dedup_exact" ->
         ("SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper_id, " +
           "doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup " +
@@ -362,6 +477,72 @@ object SparkEntry {
 
       "label_histogram" ->
         "SELECT label, count(*) AS cnt FROM embeddings GROUP BY label ORDER BY label",
+
+      // brute-force n-gram Jaccard over the planted 50-doc corpus — DuckDB
+      // list comprehension rebuilds the exact k=3 word shingles
+      "dedup_ngram_jaccard" ->
+        ("""WITH p AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+          |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0 AND doc_id < 50
+          |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0 AND doc_id < 50),
+          |s AS (
+          |  SELECT doc_id AS id,
+          |         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          |                       ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS sh
+          |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM p))
+          |SELECT l.id AS a, r.id AS b,
+          |       CAST(len(list_intersect(l.sh, r.sh)) AS BIGINT) AS inter,
+          |       CAST(len(l.sh) AS INTEGER) AS ua, CAST(len(r.sh) AS INTEGER) AS ub
+          |FROM s l JOIN s r ON l.id < r.id
+          |WHERE len(list_intersect(l.sh, r.sh)) >= 1
+          |  AND len(list_intersect(l.sh, r.sh)) * 2 >= len(l.sh)
+          |ORDER BY a, b""".stripMargin.replace("\n", " ")),
+
+      // exact brute force over the planted corpus: only the planted
+      // identical-vector pairs clear 0.9 (max natural cosine ~0.51), and LSH
+      // finds identical vectors with probability 1 — approximate == exact
+      "dedup_embedding_pairs" ->
+        ("""WITH pe AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 0)
+          |SELECT l.vec_id AS a, r.vec_id AS b
+          |FROM pe l JOIN pe r ON l.vec_id < r.vec_id
+          |WHERE list_cosine_similarity(l.v, r.v) >= 0.9
+          |ORDER BY a, b""".stripMargin.replace("\n", " ")),
+
+      "knn_bruteforce" ->
+        ("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+          |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim FROM q JOIN c ON q_id <> n_id),
+          |r AS (SELECT q_id, n_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank FROM s)
+          |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")),
+
+      // heuristic language id: zh on CJK share > 0.2, else argmax stopword
+      // hits with ties broken by lexicographically LARGEST lang (Spark's
+      // array_max over (hits, lang) structs)
+      "lang_id" ->
+        ("""WITH f AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / length(text) END AS cjk,
+          |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id, cjk,
+          |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS hen,
+          |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS hes,
+          |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf'))) AS hde,
+          |    len(list_filter(toks, x -> x IN ('le','la','de','et','est','un','une','les','pour','dans'))) AS hfr
+          |  FROM f)
+          |SELECT doc_id,
+          |  CASE WHEN cjk > 0.2 THEN 'zh'
+          |       WHEN greatest(hen, hes, hde, hfr) = 0 THEN 'unknown'
+          |       WHEN hfr = greatest(hen, hes, hde, hfr) THEN 'fr'
+          |       WHEN hes = greatest(hen, hes, hde, hfr) THEN 'es'
+          |       WHEN hen = greatest(hen, hes, hde, hfr) THEN 'en'
+          |       ELSE 'de' END AS lang_pred
+          |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       "doc_token_stats" ->
         ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
@@ -404,7 +585,10 @@ object SparkEntry {
           "count(*) AS n_events FROM g GROUP BY user_id ORDER BY user_id"),
 
       "props_json" ->
-        ("SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, " +
+        // DuckDB sum(BIGINT) yields HUGEINT (int128); the driver's content
+        // hash is type-sensitive, so cast back to BIGINT to match Spark's
+        // long sum.
+        ("SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
           "count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS with_k " +
           "FROM events GROUP BY event_type ORDER BY event_type"),
 

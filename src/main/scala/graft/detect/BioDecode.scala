@@ -26,27 +26,41 @@ object BioDecode {
       special: Boolean = false
   )
 
-  /** `_process_chunk`'s decode loop (`bert_detector.py:96-136`): B- starts,
-    * same-type I- extends (span end advances, score takes max), anything
-    * else closes; specials and (0,0) offsets skipped; `offset` shifts spans
-    * into the full-text coordinate space (sliding-window chunking,
-    * `bert_detector.py:59-63`).
+  /** `_process_chunk`'s decode loop (`bert_detector.py:96-136`,
+    * `bert_onnx_detector.py:96-137`): B- starts, same-type I- extends (span
+    * end advances, score takes max), anything else closes; specials and
+    * (0,0) offsets skipped; `offset` shifts spans into the full-text
+    * coordinate space (sliding-window chunking, `bert_detector.py:59-63`).
+    *
+    * `threshold`: an "O" label OR a sub-threshold score CLOSES the current
+    * entity in-loop (`bert_onnx_detector.py:105-109`) — it must NOT be
+    * pre-filtered out, or a following same-type I- token would wrongly
+    * extend across the low-confidence gap.
     */
-  def decode(tokens: Seq[ScoredToken], offset: Int = 0, source: String = "bert"): List[SpanEnt] = {
+  def decode(
+      tokens: Seq[ScoredToken],
+      offset: Int = 0,
+      source: String = "bert",
+      threshold: Double = 0.0
+  ): List[SpanEnt] = {
     val out = scala.collection.mutable.ListBuffer.empty[SpanEnt]
     var cur: SpanEnt = null
     tokens.foreach { t =>
       if (!t.special && !(t.start == 0 && t.end == 0)) {
-        val base = t.label.replace("B-", "").replace("I-", "")
-        val typ = entityTypeMap.getOrElse(base, base)
-        if (t.label.startsWith("B-")) {
-          if (cur != null) out += cur
-          cur = SpanEnt(t.start + offset, t.end + offset, typ, t.score, source)
-        } else if (t.label.startsWith("I-") && cur != null && cur.typ == typ) {
-          cur = cur.copy(end = t.end + offset, score = math.max(cur.score, t.score))
+        if (t.label == "O" || t.score < threshold) {
+          if (cur != null) { out += cur; cur = null }
         } else {
-          if (cur != null) out += cur
-          cur = null
+          val base = t.label.replace("B-", "").replace("I-", "")
+          val typ = entityTypeMap.getOrElse(base, base)
+          if (t.label.startsWith("B-")) {
+            if (cur != null) out += cur
+            cur = SpanEnt(t.start + offset, t.end + offset, typ, t.score, source)
+          } else if (t.label.startsWith("I-") && cur != null && cur.typ == typ) {
+            cur = cur.copy(end = t.end + offset, score = math.max(cur.score, t.score))
+          } else {
+            if (cur != null) out += cur
+            cur = null
+          }
         }
       }
     }

@@ -47,10 +47,11 @@ object ModelDetector {
     }
     val scored = scorer.score(chunks)
     val entities = starts.zip(scored).flatMap { case (offset, toks) =>
-      // P10: the onnx detector drops tokens under the threshold pre-decode
-      // (`bert_onnx_detector.py:105`)
-      BioDecode.decode(toks.filter(t => t.special || t.score >= confidenceThreshold),
-        offset, source)
+      // P10: a sub-threshold (or "O") token CLOSES the current entity inside
+      // the decode loop (`bert_onnx_detector.py:105-109`) — it is handled
+      // in-loop, not pre-filtered, so an I- token after a low-confidence gap
+      // starts fresh instead of extending across it.
+      BioDecode.decode(toks, offset, source, confidenceThreshold)
     }
     BioDecode.mergeEntities(entities)
   }
@@ -75,6 +76,55 @@ object ModelDetector {
         it.map(t => (t, detect(t, scorer, maxLen)))
       }
     ds.toDF(textCol, "model_entities")
+  }
+
+  /** Keyed distributed form over a turns table — carries (conv_id, turn_idx)
+    * through the partition-batched scorer so downstream queries can join /
+    * order (the driver-contract surface for the D3/D4 scaffold).
+    */
+  def detectTurns(
+      df: DataFrame,
+      scorer: TokenScorer,
+      maxLen: Int = 512
+  )(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        it.map { case (c, i, t) => (c, i, detect(t, scorer, maxLen)) }
+      }
+      .toDF("conv_id", "turn_idx", "model_entities")
+  }
+
+  /** Deterministic stand-in for the ONNX session (this environment ships no
+    * model runtime — SURVEY §7.6): labels whole `\S+` tokens with B- tags by
+    * simple lexical rules, confidence 0.95. Exercises the REAL dataflow
+    * (chunking → batch scoring → threshold-aware BIO decode → merge,
+    * `bert_onnx_detector.py:54-174`) end-to-end with SQL-expressible
+    * semantics, so the driver's DuckDB oracle can gate the scaffold.
+    */
+  object HeuristicScorer extends TokenScorer {
+    @transient private lazy val tokenPat = java.util.regex.Pattern.compile("\\S+")
+    @transient private lazy val phonePat =
+      java.util.regex.Pattern.compile("^09\\d{8}[.,!?]?$")
+    @transient private lazy val idPat =
+      java.util.regex.Pattern.compile("^[A-Z]\\d{9}[.,!?]?$")
+
+    def score(chunks: Seq[String]): Seq[Seq[ScoredToken]] =
+      chunks.map { chunk =>
+        val m = tokenPat.matcher(chunk)
+        val out = Seq.newBuilder[ScoredToken]
+        while (m.find()) {
+          val tok = m.group()
+          val label =
+            if (tok.contains("@")) "B-EMAIL"
+            else if (phonePat.matcher(tok).matches()) "B-PHONE"
+            else if (idPat.matcher(tok).matches()) "B-ID"
+            else "O"
+          out += ScoredToken(m.start, m.end, label, 0.95)
+        }
+        out.result()
+      }
   }
 }
 

@@ -263,6 +263,56 @@ object SimHash64Expr {
   }
 }
 
+/** Single-pass MinHash signature over k-word shingles — `array<long>` of
+  * `numHashes` minima.
+  *
+  * Bit-identical to the HOF formulation
+  * `transform(sequence(0, H-1), h -> array_min(transform(shingles, s ->
+  * xxhash64(s, h))))` (pinned by DedupSpec), but evaluated in ONE pass:
+  * each shingle's bytes are xxhash'd once (`XXH64.hashUTF8String`, seed 42 —
+  * exactly `xxhash64`'s running-hash over a string child), then the H
+  * per-function values derive via `hashInt(h, base)` — H integer mixes
+  * instead of H interpreted array traversals re-hashing every string. This
+  * was the round-1 bench's dominant cost (64 interpreted HOF passes per doc).
+  */
+case class MinHashSigExpr(child: Expression, numHashes: Int = 64, k: Int = 3)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    // replicate split(trim(lower(text)), "\s+") on UTF8String exactly
+    val s = input.asInstanceOf[UTF8String].toLowerCase.trim()
+    val toks = s.split(UTF8String.fromString("\\s+"), -1)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    def mix(sh: UTF8String): Unit = {
+      val base = XXH64.hashUTF8String(sh, 42L)
+      var h = 0
+      while (h < numHashes) {
+        val v = XXH64.hashInt(h, base)
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+    }
+    if (toks.length < k) {
+      // short-text fallback: one shingle = all tokens joined (concat_ws " ")
+      mix(UTF8String.concatWs(UTF8String.fromString(" "), toks: _*))
+    } else {
+      var i = 0
+      val sep = UTF8String.fromString(" ")
+      while (i <= toks.length - k) {
+        mix(UTF8String.concatWs(sep, toks.slice(i, i + k).toIndexedSeq: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
 /** difflib `SequenceMatcher.ratio()` clone (G4, `deid_eval.py:140-143`) —
   * Ratcliff–Obershelp over code points, without difflib's junk/autojunk
   * popularity heuristic for b-elements longer than 200 (autojunk IS applied

@@ -48,6 +48,10 @@ object gf {
   /** 64-bit SimHash document signature. */
   def simhash64(text: Column): Column = column(SimHash64Expr(expression(text)))
 
+  /** single-pass MinHash signature (numHashes longs) over k-word shingles. */
+  def minhashSig(text: Column, numHashes: Int = 64, k: Int = 3): Column =
+    column(MinHashSigExpr(expression(text), numHashes, k))
+
   /** difflib `SequenceMatcher.ratio()` parity (G4). */
   def seqRatio(a: Column, b: Column): Column =
     column(SeqMatcherRatioExpr(expression(a), expression(b)))

@@ -81,7 +81,8 @@ object DeidEval {
 
   /** `check_format_compliance` (`deid_eval.py:180-206`). */
   def formatCompliant(prediction: String, bannedPhrases: Seq[String] = Nil): Boolean = {
-    val text = Option(prediction).getOrElse("").trim
+    // Python str.strip(): all Unicode whitespace, not just <= U+0020
+    val text = Option(prediction).getOrElse("").replaceAll("(?U)^\\s+|\\s+$", "")
     if (text.isEmpty) return false
     val lowered = text.toLowerCase
     val separators = Seq("input:", "output:", "analysis:", "explanation:", "step", "reason:")
@@ -121,9 +122,10 @@ object DeidEval {
     val leak = total - removed
 
     val maskedInput = PiiMarkup.maskPiiBlocks(inputText, blocks)
-    val maskedNorm = maskedInput.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    // (?U): Python str.split() splits on Unicode whitespace (NBSP etc.)
+    val maskedNorm = maskedInput.split("(?U)\\s+").filter(_.nonEmpty).mkString(" ")
     val predNorm = Option(predictionText).getOrElse("")
-      .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      .split("(?U)\\s+").filter(_.nonEmpty).mkString(" ")
     val sim = if (maskedNorm.nonEmpty) SeqMatcher.ratio(maskedNorm, predNorm) else 1.0
 
     ExampleReport(

@@ -17,17 +17,20 @@ object Metrics {
   def summarizeNumbers(df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
     val sorted = sort_array(collect_list(col(valueCol).cast("double")))
     val base = if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols.map(col): _*)
+    // n=0 (global agg over an empty frame) mirrors summarize_numbers' empty
+    // contract: all-zeros dict — and must not index sorted[0] (ANSI throws).
+    def z(c: Column): Column = when(col("n") === 0, lit(0.0d)).otherwise(c)
     base
       .agg(sorted.as("sorted"), count(col(valueCol)).as("n"))
-      .withColumn("min", element_at(col("sorted"), 1))
-      .withColumn("max", element_at(col("sorted"), -1))
-      .withColumn("mean", aggregate(col("sorted"), lit(0.0d), (a, x) => a + x) / col("n"))
+      .withColumn("min", z(element_at(col("sorted"), 1)))
+      .withColumn("max", z(element_at(col("sorted"), -1)))
+      .withColumn("mean", z(aggregate(col("sorted"), lit(0.0d), (a, x) => a + x) / col("n")))
       .withColumn("p50",
-        when(col("n") % 2 === 1, element_at(col("sorted"), (col("n") / 2 + 1).cast("int")))
+        z(when(col("n") % 2 === 1, element_at(col("sorted"), (col("n") / 2 + 1).cast("int")))
           .otherwise((element_at(col("sorted"), (col("n") / 2).cast("int"))
-            + element_at(col("sorted"), (col("n") / 2 + 1).cast("int"))) / 2.0))
+            + element_at(col("sorted"), (col("n") / 2 + 1).cast("int"))) / 2.0)))
       .withColumn("p95",
-        element_at(col("sorted"), floor(lit(0.95) * (col("n") - 1)).cast("int") + 1))
+        z(element_at(col("sorted"), floor(lit(0.95) * (col("n") - 1)).cast("int") + 1)))
       .drop("sorted")
   }
 
@@ -68,7 +71,10 @@ object Metrics {
     * is non-compliant.
     */
   def formatCompliant(predictionCol: Column, bannedPhrases: Seq[String] = Nil): Column = {
-    val lowered = lower(trim(predictionCol))
+    // Python str.strip() strips all Unicode whitespace; SQL trim() strips
+    // only ASCII spaces — '\n' / '\t' / NBSP would be judged non-empty here
+    // but '<EMPTY>' by the reference (deid_eval.py:182).
+    val lowered = lower(regexp_replace(predictionCol, "(?U)^\\s+|\\s+$", ""))
     val separators = Seq("input:", "output:", "analysis:", "explanation:", "step", "reason:")
     val allNeedles = separators ++ bannedPhrases.map(_.trim.toLowerCase).filter(_.nonEmpty)
     val anyNeedle = allNeedles.map(n => contains(lowered, lit(n)))
@@ -95,12 +101,20 @@ object Metrics {
     val missing = transform(
       filter(entitiesCol, e => e.getField("typ").isNull || e.getField("typ") === ""),
       _ => lit("missing_type"))
-    val oob = transform(
+    // null/malformed span → invalid_span, and the entity is excluded from
+    // every later check (the reference's `continue`, quality.py:50-52)
+    val invalid = transform(
       filter(entitiesCol, e =>
+        e.getField("start").isNull || e.getField("end").isNull),
+      _ => lit("invalid_span"))
+    val spanned = filter(entitiesCol, e =>
+      e.getField("start").isNotNull && e.getField("end").isNotNull)
+    val oob = transform(
+      filter(spanned, e =>
         e.getField("start") < 0 || e.getField("end") < 0 ||
           e.getField("start") > n || e.getField("end") > n),
       _ => lit("span_out_of_bounds"))
-    val inBounds = filter(entitiesCol, e =>
+    val inBounds = filter(spanned, e =>
       e.getField("start") >= 0 && e.getField("end") >= 0 &&
         e.getField("start") <= n && e.getField("end") <= n)
     val empty = transform(
@@ -119,7 +133,7 @@ object Metrics {
       zip_with(sortedSpans, slice(sortedSpans, lit(2), greatest(size(sortedSpans) - 1, lit(0))),
         (a, b) => b.isNotNull && b.getField("s") < a.getField("e")),
       x => x)
-    concat(missing, oob, empty, mismatch,
+    concat(missing, invalid, oob, empty, mismatch,
       transform(overlaps, _ => lit("overlap")))
   }
 

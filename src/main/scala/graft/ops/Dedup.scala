@@ -41,13 +41,13 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
-  /** MinHash signature: H independent permutations approximated by seeded
-    * xxhash64. Entirely built-in ⇒ whole-stage codegen.
+  /** MinHash signature — single-pass custom expression (each shingle's bytes
+    * hashed once, H integer mixes derive the per-function values). The HOF
+    * formulation this is bit-equal to (pinned in DedupSpec) re-hashed every
+    * shingle H times across H interpreted array passes.
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { h =>
-      array_min(transform(shinglesCol, s => xxhash64(s, lit(h))))
-    }: _*)
+  def minhashSignature(textCol: Column, numHashes: Int = 64, k: Int = 3): Column =
+    graft.functions.gf.minhashSig(textCol, numHashes, k)
 
   /** LSH banding: (id, band, band_hash) rows — join key for candidates.
     * bands × rowsPerBand must equal numHashes.
@@ -62,19 +62,20 @@ object Dedup {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     docs
-      // materialize shingles FIRST: the signature references its input H
-      // times, and HOFs defeat common-subexpression elimination — inlining
-      // the shingle construction would recompute it per hash function.
-      .select(col(idCol), shingles(col(textCol)).as("sh"))
-      .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col(idCol), minhashSignature(col(textCol), numHashes).as("sig"))
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * lit(r) + 1, lit(r))))).as(Seq("band", "band_hash")))
   }
 
   /** Candidate pairs from LSH buckets, verified with exact shingle Jaccard.
-    * Returns (a, b, jaccard) with a < b and jaccard >= threshold. The
-    * self-join shuffles on (band, band_hash) only.
+    * Returns (a, b, jaccard) with a < b and jaccard >= threshold.
+    *
+    * Scale shape: the narrow (id, band, band_hash) frame is persisted so the
+    * self-join computes signatures ONCE; the shuffle key is (band, band_hash)
+    * only. Verification re-reads shingles only for docs that appear in a
+    * candidate pair (left-semi prune) — at production scale candidates ≪
+    * corpus, so the second text scan touches a small fraction of the data.
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -85,6 +86,7 @@ object Dedup {
       threshold: Double = 0.7
   ): DataFrame = {
     val b = minhashBands(docs, idCol, textCol, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = b.as("l")
       .join(b.as("r"),
         col("l.band") === col("r.band") &&
@@ -92,7 +94,13 @@ object Dedup {
           col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
       .distinct()
-    val sh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidateIds = candidates.select(col("a").as(idCol))
+      .union(candidates.select(col("b").as(idCol)))
+      .distinct()
+    val sh = docs.join(candidateIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     candidates
       .join(sh.withColumnRenamed(idCol, "a").withColumnRenamed("sh", "sh_a"), "a")
       .join(sh.withColumnRenamed(idCol, "b").withColumnRenamed("sh", "sh_b"), "b")

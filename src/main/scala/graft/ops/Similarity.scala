@@ -80,21 +80,16 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame,
       k: Int = 5,
-      bits: Int = 0, // <= 0: auto from corpus size (target ~128/bucket)
+      bits: Int = 0, // <= 0: auto from nHint (target ~128/bucket)
       tables: Int = 16,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      nHint: Long = 0L // approximate corpus size; avoids any count job
   ): DataFrame = {
-    val b = lshTables(corpus, resolveBits(corpus, bits), tables, dim, idCol, vecCol)
-    // compute sim inside the bucket join, then dedupe on the narrow
-    // (q_id, n_id, sim) rows — never shuffle the vectors themselves
-    b.as("l").join(b.as("r"),
-        col("l.table") === col("r.table") &&
-          col("l.bucket") === col("r.bucket") && col("l.id") =!= col("r.id"))
-      .select(col("l.id").as("q_id"), col("r.id").as("n_id"),
-        cosine(col("l.vec"), col("r.vec")).as("sim"))
-      .groupBy("q_id", "n_id").agg(max("sim").as("sim"))
+    val pairs = candidatePairs(corpus, resolveBits(nHint, bits), tables, dim,
+      idCol, vecCol, ordered = false)
+    scorePairs(corpus, pairs, idCol, vecCol)
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
       .where(col("rank") <= k)
@@ -102,17 +97,22 @@ object Similarity {
   }
 
   /** bits ≈ log2(n / 128): keeps expected bucket size ~128 at any corpus
-    * size so candidate-pair work stays near-linear.
+    * size so candidate-pair work stays near-linear. No ceiling — recall at
+    * high bit counts is amplified by `tables` (and the planted-dup property
+    * that identical vectors collide in EVERY table regardless of bits).
+    * `nHint` is a size hint (catalog stats / caller knowledge); there is
+    * deliberately no count job hidden in plan construction.
     */
-  private def resolveBits(corpus: DataFrame, bits: Int): Int =
+  private def resolveBits(nHint: Long, bits: Int): Int =
     if (bits > 0) bits
-    else {
-      val n = corpus.count().toDouble
-      math.min(16, math.max(4,
-        math.ceil(math.log(math.max(n, 1.0) / 128.0) / math.log(2.0)).toInt))
-    }
+    else if (nHint <= 0) 16 // no hint: a documented fixed default
+    else math.min(40, math.max(4,
+      math.ceil(math.log(math.max(nHint.toDouble, 1.0) / 128.0) / math.log(2.0)).toInt))
 
-  /** (id, vec, table, bucket) rows across `tables` hash tables. */
+  /** (id, table, bucket) rows across `tables` hash tables — ids ONLY: the
+    * vectors (512 B each at dim 64) must not be shuffled ×tables through the
+    * band join; they are re-joined once per side for scoring.
+    */
   def lshTables(
       corpus: DataFrame,
       bits: Int,
@@ -127,8 +127,48 @@ object Similarity {
     val bucketCols = (0 until tables).map { t =>
       lshBucket(col("vec"), planes.slice(t * bits, (t + 1) * bits))
     }
-    base.select(col("id"), col("vec"),
+    base.select(col("id"),
       posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
+  }
+
+  /** Deduped candidate id pairs from the multi-table bucket self-join. The
+    * banded frame is persisted so bucket hashing runs once, and only narrow
+    * (id, table, bucket) rows shuffle.
+    */
+  private def candidatePairs(
+      corpus: DataFrame,
+      bits: Int,
+      tables: Int,
+      dim: Int,
+      idCol: String,
+      vecCol: String,
+      ordered: Boolean
+  ): DataFrame = {
+    val b = lshTables(corpus, bits, tables, dim, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cond = if (ordered) col("l.id") < col("r.id") else col("l.id") =!= col("r.id")
+    b.as("l").join(b.as("r"),
+        col("l.table") === col("r.table") &&
+          col("l.bucket") === col("r.bucket") && cond)
+      .select(col("l.id").as("q_id"), col("r.id").as("n_id"))
+      .distinct()
+  }
+
+  /** Exact cosine for candidate pairs: vectors join back once per side —
+    * the ONLY vector materialization in the LSH path.
+    */
+  private def scorePairs(
+      corpus: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    pairs
+      .join(vecs.select(col("id").as("q_id"), col("vec").as("q_vec")), "q_id")
+      .join(vecs.select(col("id").as("n_id"), col("vec").as("n_vec")), "n_id")
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
   }
 
   /** Embedding-cosine near-duplicate pairs (sim >= threshold), via LSH
@@ -141,15 +181,13 @@ object Similarity {
       tables: Int = 16,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      nHint: Long = 0L
   ): DataFrame = {
-    val b = lshTables(corpus, resolveBits(corpus, bits), tables, dim, idCol, vecCol)
-    b.as("l").join(b.as("r"),
-        col("l.table") === col("r.table") &&
-          col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        cosine(col("l.vec"), col("r.vec")).as("sim"))
+    val pairs = candidatePairs(corpus, resolveBits(nHint, bits), tables, dim,
+      idCol, vecCol, ordered = true)
+    scorePairs(corpus, pairs, idCol, vecCol)
       .where(col("sim") >= threshold)
-      .groupBy("a", "b").agg(max("sim").as("sim"))
+      .select(col("q_id").as("a"), col("n_id").as("b"), col("sim"))
   }
 }

@@ -33,7 +33,7 @@ class LogitsSpec extends AnyFunSuite {
     val special = Array(true, false, false, false)
     val toks = Logits.toScoredTokens(logits, offsets, special, labels)
     assert(toks(1).label == "B-PER" && toks(1).score > 0.99)
-    val ents = BioDecode.decode(toks.filter(t => t.special || t.score >= 0.85))
+    val ents = BioDecode.decode(toks, threshold = 0.85)
     assert(ents.length == 1)
     assert(ents.head.typ == "NAME" && ents.head.start == 0 && ents.head.end == 9)
   }

@@ -41,6 +41,19 @@ class ModelDetectorSpec extends AnyFunSuite {
     assert(!ents.exists(_.typ == "ORGANIZATION"))
   }
 
+  test("sub-threshold token INSIDE an entity closes it (in-loop, not filtered)") {
+    // B-NAME(0.9) I-NAME(0.5) I-NAME(0.9): the reference's decode closes the
+    // entity at the low-confidence gap (bert_onnx_detector.py:105-109) — a
+    // pre-filter would wrongly yield one long span across the gap.
+    val toks = Seq(
+      ScoredToken(0, 5, "B-PER", 0.9),
+      ScoredToken(6, 10, "I-PER", 0.5),
+      ScoredToken(11, 15, "I-PER", 0.9))
+    val ents = graft.detect.BioDecode.decode(toks, threshold = 0.85)
+    assert(ents == List(SpanEnt(0, 5, "NAME", 0.9, "bert")),
+      s"gap must close the entity; trailing I- without a B- is dropped: $ents")
+  }
+
   test("windowing: entities found in overlapping chunks are merged once") {
     // text longer than maxLen so Alice appears in two overlapping windows
     val filler = "x " * 40

@@ -47,6 +47,26 @@ class OpsSpec extends AnyFunSuite {
       s"recall too low: ${found.size}/${wanted.size}")
   }
 
+  test("single-pass MinHashSigExpr is bit-identical to the HOF formulation") {
+    // the HOF reference formulation the expression replaces: H interpreted
+    // array passes, each re-hashing every shingle with xxhash64(s, h)
+    val hofSig = {
+      val sh = Dedup.shingles($"text")
+      array((0 until 64).map { h =>
+        array_min(transform(sh, s => xxhash64(s, lit(h))))
+      }: _*)
+    }
+    val rows = planted.limit(200)
+      .union(Seq((999901L, ""), (999902L, "  one  "), (999903L, "a b"),
+        (999904L, "多语言 文本 带 空格 和\ttabs")).toDF("doc_id", "text"))
+      .select(Dedup.minhashSignature($"text").as("fast"), hofSig.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"signature mismatch: ${r.getSeq[Long](0).take(4)} vs ${r.getSeq[Long](1).take(4)}")
+    }
+  }
+
   test("simhash near-dups: identical docs have distance 0; near-dups small") {
     val pairs = Dedup.simhashNearDups(planted, maxDist = 3).collect()
     val exactPairs = pairs.filter(r => r.getAs[Long]("b") - r.getAs[Long]("a") == 200000)
@@ -73,6 +93,24 @@ class OpsSpec extends AnyFunSuite {
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(approx).size.toDouble / brute.size
     assert(recall >= 0.7, s"ANN recall $recall")
+  }
+
+  test("LSH de-capped: planted duplicate vectors found at bits=20 (> old 16-bit cap)") {
+    // identical vectors collide in EVERY table whatever the bit width, so
+    // this pins (a) bits > 16 works at all and (b) recall on planted dups
+    // survives the de-cap. No count job runs: bits is passed explicitly.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val copies = emb.where($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val planted = emb.union(copies)
+    val pairs = Similarity.cosineNearDups(planted, threshold = 0.999,
+        bits = 20, tables = 4)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val wanted = emb.where($"vec_id" % 10 === 0)
+      .select($"vec_id").as[Long].collect()
+      .map(id => (id, id + 100000)).toSet
+    assert(wanted.subsetOf(pairs), s"missing: ${wanted.diff(pairs).take(5)}")
   }
 
   test("brute force topK is deterministic and self-excluding") {

@@ -48,6 +48,14 @@ for name, sql in sorted(oracle.items()):
     g = got.sort_values(by=list(got.columns)).reset_index(drop=True)
     import pandas as pd
     try:
+        # dtype KIND must match: the driver's content hash is type-sensitive
+        # across kinds (DuckDB HUGEINT → object/float vs Spark int64
+        # hash-mismatched in round 1 with identical values) but tolerates
+        # width (int32 vs int64 was green). Mirror that exactly.
+        kinds_w = [w[c].dtype.kind for c in w.columns]
+        kinds_g = [g[c].dtype.kind for c in g.columns]
+        if kinds_w != kinds_g:
+            raise AssertionError(f"dtype kinds differ: {kinds_g} vs {kinds_w}")
         pd.testing.assert_frame_equal(w, g, check_dtype=False, check_exact=True)
         print(f"OK   {name} ({len(got)} rows)")
     except AssertionError as e:

@@ -44,11 +44,17 @@ object Bench {
     val turns = spark.read.parquet(turnsPath)
     val nTurns = turns.count()
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime()
-      f
-      (System.nanoTime() - t0) / 1e9
-    }
+    // best-of-3 per query: a single-shot number on this shared, throttling
+    // VM is whatever the host was doing that minute (round-1 headline read
+    // 28.5 s for a transform its own scaling section ran at 2.0 s)
+    def timed(f: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // drop per-run persists (minhash/knn LSH)
+        dt
+      }.min
 
     // warmup (JIT + codegen caches)
     force(Deid.redact(turns.limit(5000)))
@@ -69,6 +75,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.sum
     val turnsPerSec = nTurns / results("deid_replace")
+
+    val skewJson = skewEvidence(spark, sfDir)
     spark.stop()
 
     // North-rule scaling evidence (BASELINE.md): identical job + input at
@@ -89,6 +97,54 @@ object Bench {
       }
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"scaling":$scalingJson}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"skew":$skewJson,"scaling":$scalingJson}""")
+  }
+
+  /** Straggler evidence: redact+cluster+write a power-law-skewed turns table
+    * (one conversation holds ~30% of rows) with and without the salted
+    * clustering, reporting final-stage task-time max/median. The salt bounds
+    * the straggler; clustering on bare conv_id pins the mega-conversation to
+    * ONE writer task.
+    */
+  private def skewEvidence(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val p = s"/tmp/graft_skew_turns_${sfDir.replaceAll("[^0-9.]", "")}"
+    TurnsGen.skewedTurns(spark, sfDir).repartition(64)
+      .write.mode("overwrite").parquet(p)
+    val sk = spark.read.parquet(p)
+    // AQE coalescing merges the small non-mega partitions up to the same
+    // size as the mega one at bench scale, masking the straggler this block
+    // exists to demonstrate; at production scale partitions exceed the
+    // coalesce target and the straggler is real — measure without AQE.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def taskStats(f: => Unit): String = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          buf.synchronized { buf += ((t.stageId, t.taskInfo.duration)) }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try f finally {
+        org.apache.spark.sql.graftshim.Bridge.waitListeners(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      val all = buf.synchronized(buf.toVector)
+      // the write stage (shuffle-read side of the clustering) is the last one
+      val last = all.map(_._1).max
+      val ts = all.filter(_._1 == last).map(_._2.toDouble).sorted
+      val median = ts(ts.length / 2)
+      val max = ts.last
+      f"""{"n_tasks":${ts.length},"median_ms":$median%.0f,"max_ms":$max%.0f,"max_over_median":${max / math.max(median, 1.0)}%.2f}"""
+    }
+
+    try {
+      val unsalted = taskStats(force(
+        Deid.redact(sk).repartition(col("conv_id"))
+          .sortWithinPartitions("conv_id", "turn_idx")))
+      val salted = taskStats(force(Deid.clusterForWrite(Deid.redact(sk))))
+      s"""{"unsalted":$unsalted,"salted":$salted}"""
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

@@ -51,14 +51,20 @@ object TurnsGen {
           "cast(conv_id AS LONG) % 86400 + turn_idx)"))
   }
 
-  /** Skewed variant for scale testing: a handful of mega-conversations
-    * (power-law conv sizes) to exercise salting + AQE skew handling.
-    * conv_id = o_orderkey % 50 ⇒ ~N/50 turns per conversation at any SF.
+  /** Skewed variant for scale testing: one mega-conversation holding ~30% of
+    * all turns plus ~50 normal ones, with turn_idx renumbered 0..n-1 within
+    * each conversation (the salt `floor(turn_idx / bucket)` only spreads a
+    * conversation whose turn indexes actually run its length).
     */
-  def skewedTurns(spark: SparkSession, sfDir: String): DataFrame =
+  def skewedTurns(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     turns(spark, sfDir)
       .withColumn("conv_id",
         when(col("conv_id").cast("long") % 10 < 3, lit("mega-0"))
           .otherwise(concat(lit("c"),
             (col("conv_id").cast("long") % 50).cast("string"))))
+      .withColumn("turn_idx",
+        (row_number().over(Window.partitionBy("conv_id").orderBy("ts", "text")) - 1)
+          .cast("int"))
+  }
 }

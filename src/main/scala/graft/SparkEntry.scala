@@ -197,7 +197,8 @@ object SparkEntry {
     "pdf_extract_roundtrip" -> ((s, dir) =>
       // synthesize a PDF payload per document (ascii projection), extract it
       // back layout-ordered, and redact the extracted text — the embedded-
-      // PDF-payload path of the north rule, end to end
+      // PDF-payload path of the north rule, end to end. needs_ocr is the S5
+      // trigger flag (page text < 50 chars ⇒ the reference would OCR).
       docs(s, dir)
         .select(col("doc_id"),
           substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 200).as("src"))
@@ -205,7 +206,41 @@ object SparkEntry {
         .withColumn("extracted", gf.pdfText(col("pdf")))
         .select(col("doc_id"), length(col("pdf")).as("pdf_bytes"),
           (col("extracted") === col("src")).as("roundtrip_ok"),
+          element_at(gf.pdfPages(col("pdf")), 1).getField("needs_ocr").as("needs_ocr"),
           size(gf.regexDetect(col("extracted"))).as("n_entities"))
+        .orderBy("doc_id")),
+
+    // K2: per-document CSV rewrite — planted PII cells come back rewritten,
+    // non-PII cells byte-identical (reference e2e: tests/test_csv_handler.py)
+    "csv_rewrite" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(lit("id,phone,note\r\nA123456789,0912-345-678,\"row "),
+            col("doc_id"), lit(" ok\"\r\n")).as("csv"))
+        .withColumn("r", gf.csvDeid(col("csv")))
+        .select(col("doc_id"), col("r.n_entities").as("n_entities"),
+          (!col("r.csv").contains("A123456789") &&
+            !col("r.csv").contains("0912-345-678")).as("pii_absent"),
+          // QUOTE_MINIMAL re-render: the note has no comma/quote/newline, so
+          // csv.writer emits it UNQUOTED even though the input quoted it
+          col("r.csv").contains(concat(lit("row "), col("doc_id"), lit(" ok")))
+            .as("note_intact"))
+        .orderBy("doc_id")),
+
+    // S9+K: synthesize a workbook per document, extract, rewrite cells,
+    // re-extract — original PII absent, cell structure preserved
+    "xlsx_roundtrip" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(lit("id A123456789\n"),
+            substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 120))
+            .as("src"))
+        .withColumn("wb", gf.xlsxSynth(col("src")))
+        .withColumn("r", gf.xlsxDeid(col("wb")))
+        .select(col("doc_id"),
+          col("r.n_entities").as("n_entities"),
+          (!gf.xlsxText(col("r.xlsx")).contains("A123456789")).as("pii_absent"),
+          (length(gf.xlsxText(col("r.xlsx"))) > 0).as("nonempty"))
         .orderBy("doc_id")),
 
     // ---- dedup suite (documents) ------------------------------------------

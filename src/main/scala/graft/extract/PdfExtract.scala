@@ -31,24 +31,47 @@ object PdfExtract {
 
   final case class Block(page: Int, x: Double, y: Double, text: String)
 
-  /** Full extracted text: blocks in layout order joined by "\n", pages
-    * concatenated in order (the reference joins page texts by "\n" too,
-    * `handlers/pdf.py:36-41`).
+  /** One extracted page: layout-ordered text plus the S5 OCR-fallback
+    * trigger flag (`parser/text_extractor.py:155`): a page whose extracted
+    * text is shorter than `OCR_THRESHOLD` (50 chars, `config.py:96`) is a
+    * scanned/empty page the reference would rasterize + OCR. The OCR itself
+    * is out of scope (no engine in this sandbox); the trigger RULE is kept
+    * as a flag column so behavior parity is testable.
     */
-  def extractText(pdf: Array[Byte]): String = {
-    val blocks = extractBlocks(pdf)
-    blocks.groupBy(_.page).toSeq.sortBy(_._1).map { case (_, bs) =>
-      bs.map(_.text.trim).filter(_.nonEmpty).mkString("\n")
-    }.mkString("\n")
-  }
+  final case class Page(page: Int, text: String, needsOcr: Boolean)
+
+  /** `OCR_THRESHOLD` (`config.py:96`). */
+  val ocrThreshold = 50
+
+  /** Full extracted text: blocks in layout order joined by "\n", pages
+    * concatenated in order, empty pages skipped (the reference joins
+    * non-empty page texts by "\n", `handlers/pdf.py:36-41`).
+    */
+  def extractText(pdf: Array[Byte]): String =
+    extractPages(pdf).map(_.text).filter(_.nonEmpty).mkString("\n")
+
+  /** Per-page extraction with the OCR trigger flag. Pages with no content
+    * stream / no text blocks yield text "" and needsOcr=true — the
+    * scanned-page case the rule exists for.
+    */
+  def extractPages(pdf: Array[Byte], threshold: Int = ocrThreshold): Seq[Page] =
+    pageBlocks(pdf).map { case (pageIdx, bs) =>
+      val text = bs.map(_.text.trim).filter(_.nonEmpty).mkString("\n")
+      Page(pageIdx, text, text.codePointCount(0, text.length) < threshold)
+    }
 
   /** Layout-ordered blocks across pages. */
-  def extractBlocks(pdf: Array[Byte]): Seq[Block] = {
+  def extractBlocks(pdf: Array[Byte]): Seq[Block] = pageBlocks(pdf).flatMap(_._2)
+
+  /** (pageIdx, layout-ordered blocks) for every page object, including pages
+    * that resolve to no text blocks.
+    */
+  def pageBlocks(pdf: Array[Byte]): Seq[(Int, Seq[Block])] = {
     val raw = new String(pdf, StandardCharsets.ISO_8859_1)
     val objects = scanObjects(raw)
     val pages = pageContentRefs(raw)
-    pages.zipWithIndex.flatMap { case (contentObj, pageIdx) =>
-      objects.get(contentObj).toSeq.flatMap { objBody =>
+    pages.zipWithIndex.map { case (contentObj, pageIdx) =>
+      pageIdx -> objects.get(contentObj).toSeq.flatMap { objBody =>
         streamBytes(objBody).toSeq.flatMap { bytes =>
           val content = new String(bytes, StandardCharsets.ISO_8859_1)
           val blocks = interpret(content, pageIdx)

@@ -399,6 +399,106 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** K2 — whole-document CSV rewrite: extract cells → deid → cell-anchored
+  * first-occurrence replacement → `csv.writer`-shaped render. Returns
+  * `struct<csv:string, n_entities:int>`.
+  */
+case class CsvDeidExpr(child: Expression, mode: String = "replace", lang: String = "zh")
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("csv", StringType, nullable = false),
+    StructField("n_entities", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_csv_deid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val (csv, n) = graft.sources.FormatJobs.rewriteCsvText(
+      input.asInstanceOf[UTF8String].toString, mode, lang)
+    InternalRow(UTF8String.fromString(csv), n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CsvDeidExpr =
+    copy(child = newChild)
+}
+
+/** S5 — per-page PDF extraction with the OCR-fallback trigger flag:
+  * `array<struct<page:int, text:string, needs_ocr:boolean>>`.
+  */
+case class PdfPagesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("needs_ocr", BooleanType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_pdf_pages"
+
+  override def nullSafeEval(input: Any): Any = {
+    val pages = graft.extract.PdfExtract.extractPages(input.asInstanceOf[Array[Byte]])
+    new GenericArrayData(pages.map(p =>
+      InternalRow(p.page, UTF8String.fromString(p.text), p.needsOcr)).toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PdfPagesExpr =
+    copy(child = newChild)
+}
+
+/** S9 — XLSX cell extraction over a binary workbook column: concatenated
+  * document text ("\n"-joined non-empty cells, `handlers/xlsx.py:21-51`).
+  */
+case class XlsxTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_xlsx_text"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.extract.XlsxExtract.extract(input.asInstanceOf[Array[Byte]]).text)
+  override protected def withNewChildInternal(newChild: Expression): XlsxTextExpr =
+    copy(child = newChild)
+}
+
+/** K — XLSX cell-targeted rewrite: extract → deid → first-occurrence cell
+  * replacement → re-serialized workbook. `struct<xlsx:binary, n_entities:int>`.
+  */
+case class XlsxDeidExpr(child: Expression, mode: String = "replace", lang: String = "zh")
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("xlsx", BinaryType, nullable = false),
+    StructField("n_entities", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_xlsx_deid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val (bytes, n) = graft.sources.FormatJobs.rewriteXlsx(
+      input.asInstanceOf[Array[Byte]], mode, lang)
+    InternalRow(bytes, n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): XlsxDeidExpr =
+    copy(child = newChild)
+}
+
+/** Deterministic synthetic one-sheet workbook from text (fixtures/bench):
+  * row i holds one whitespace token per `\n`-separated line — so
+  * extract(synth(text)).text round-trips the tokenized text.
+  */
+case class XlsxSynthExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_xlsx_synth"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val cells = text.split("\n", -1).zipWithIndex.flatMap { case (line, r) =>
+      line.split(" ", -1).filter(_.nonEmpty).zipWithIndex.map { case (tok, c) =>
+        graft.extract.XlsxExtract.Cell("Sheet1", r + 1, c + 1,
+          s"${graft.extract.XlsxExtract.colLetters(c + 1)}${r + 1}", tok)
+      }
+    }
+    graft.extract.XlsxBuilder.build(Seq("Sheet1" -> cells.toSeq))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): XlsxSynthExpr =
+    copy(child = newChild)
+}
+
 /** Layout-ordered PDF text extraction over a `binary` payload column (S4). */
 case class PdfTextExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {

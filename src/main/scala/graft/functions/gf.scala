@@ -66,6 +66,23 @@ object gf {
   /** layout-ordered PDF text extraction over a binary column. */
   def pdfText(pdf: Column): Column = column(PdfTextExpr(expression(pdf)))
 
+  /** per-page PDF extraction with the S5 OCR-fallback trigger flag. */
+  def pdfPages(pdf: Column): Column = column(PdfPagesExpr(expression(pdf)))
+
+  /** whole-document CSV rewrite (K2): struct<csv, n_entities>. */
+  def csvDeid(csv: Column, mode: String = "replace", lang: String = "zh"): Column =
+    column(CsvDeidExpr(expression(csv), mode, lang))
+
+  /** XLSX cell extraction over a binary workbook column (S9). */
+  def xlsxText(xlsx: Column): Column = column(XlsxTextExpr(expression(xlsx)))
+
+  /** whole-workbook XLSX rewrite: struct<xlsx, n_entities>. */
+  def xlsxDeid(xlsx: Column, mode: String = "replace", lang: String = "zh"): Column =
+    column(XlsxDeidExpr(expression(xlsx), mode, lang))
+
+  /** deterministic synthetic workbook from text (fixtures/bench). */
+  def xlsxSynth(text: Column): Column = column(XlsxSynthExpr(expression(text)))
+
   /** deterministic synthetic PDF payload from text (fixtures/bench). */
   def pdfSynth(text: Column): Column = column(PdfSynthExpr(expression(text)))
 }

@@ -39,9 +39,22 @@ object MixJob {
     val combined = loaded.map(_._2).reduce(_ unionAll _)
     val total = loaded.map(_._3).sum
 
+    // The bit-exact path assumes the union's row order equals the reference's
+    // sequential single-file read. Spark only guarantees that when each
+    // source resolves to ONE file small enough for one split — a directory of
+    // part-files (packed size-descending) or a multi-split file would permute
+    // the base order while the manifest still claimed order=python_shuffle.
+    val exactOrderSafe = sources.forall { s =>
+      val p = new org.apache.hadoop.fs.Path(s.path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.globStatus(p)
+      st != null && st.length == 1 && st.head.isFile &&
+        st.head.getLen <= 128L * 1024 * 1024
+    }
+
     val (ordered, orderKind) =
       if (!shuffle) (combined, "source")
-      else if (total <= exactShuffleLimit) {
+      else if (total <= exactShuffleLimit && exactOrderSafe) {
         // bit-exact Python shuffle: assign the reference's permutation
         import spark.implicits._
         val perm = Mix.pythonShuffleIndices(total.toInt, seed)

@@ -227,6 +227,10 @@ object SparkEntry {
             .as("note_intact"))
         .orderBy("doc_id")),
 
+    // S8/S10+K: paragraph-per-line DOCX and shape-per-line PPTX round trips
+    "docx_roundtrip" -> ((s, dir) => officeRoundtrip(s, dir, "docx")),
+    "pptx_roundtrip" -> ((s, dir) => officeRoundtrip(s, dir, "pptx")),
+
     // S9+K: synthesize a workbook per document, extract, rewrite cells,
     // re-extract — original PII absent, cell structure preserved
     "xlsx_roundtrip" -> ((s, dir) =>
@@ -409,6 +413,24 @@ object SparkEntry {
         size(filter(gf.regexDetect(col("text"), resolve = false),
           e => e.getField("typ") === typ)).as(as))
       .orderBy("conv_id", "turn_idx")
+
+  /** synth → extract → deid-rewrite → re-extract round trip for the
+    * anchor-free office formats (rows-only; golden gates live in
+    * FormatJobsSpec).
+    */
+  private def officeRoundtrip(s: SparkSession, dir: String, format: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit("id A123456789\n"),
+          substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 120))
+          .as("src"))
+      .withColumn("doc", gf.officeSynth(col("src"), format))
+      .withColumn("r", gf.officeDeid(col("doc"), format))
+      .select(col("doc_id"),
+        col("r.n_entities").as("n_entities"),
+        (!gf.officeText(col("r.doc"), format).contains("A123456789")).as("pii_absent"),
+        (length(gf.officeText(col("r.doc"), format)) > 0).as("nonempty"))
+      .orderBy("doc_id")
 
   /** embeddings ∪ deterministic exact-copy vectors (vec_id % 10 == 0, id +
     * 100000) — the embedding-dedup corpus, same construction in the oracle.

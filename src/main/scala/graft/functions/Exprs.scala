@@ -499,6 +499,71 @@ case class XlsxSynthExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** S8/S10 — DOCX/PPTX extraction over a binary column: the "\n"-joined
+  * document text (`handlers/docx.py:21-31`, `pptx.py:21-36`).
+  */
+case class OfficeTextExpr(child: Expression, format: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"graft_${format}_text"
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val doc = format match {
+      case "docx" => graft.extract.DocxExtract.extract(bytes)
+      case _      => graft.extract.PptxExtract.extract(bytes)
+    }
+    UTF8String.fromString(doc.text)
+  }
+  override protected def withNewChildInternal(newChild: Expression): OfficeTextExpr =
+    copy(child = newChild)
+}
+
+/** K — DOCX/PPTX anchor-free replace-all rebuild:
+  * `struct<doc:binary, n_entities:int>`.
+  */
+case class OfficeDeidExpr(
+    child: Expression,
+    format: String,
+    mode: String = "replace",
+    lang: String = "zh"
+) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("doc", BinaryType, nullable = false),
+    StructField("n_entities", IntegerType, nullable = false)))
+  override def prettyName: String = s"graft_${format}_deid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val (out, n) = format match {
+      case "docx" => graft.sources.FormatJobs.rewriteDocx(bytes, mode, lang)
+      case _      => graft.sources.FormatJobs.rewritePptx(bytes, mode, lang)
+    }
+    InternalRow(out, n)
+  }
+  override protected def withNewChildInternal(newChild: Expression): OfficeDeidExpr =
+    copy(child = newChild)
+}
+
+/** Deterministic synthetic DOCX (paragraph per line) / PPTX (shape per line)
+  * from text — fixtures/bench.
+  */
+case class OfficeSynthExpr(child: Expression, format: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = s"graft_${format}_synth"
+  override def nullSafeEval(input: Any): Any = {
+    val lines = input.asInstanceOf[UTF8String].toString.split("\n", -1).toSeq
+    format match {
+      case "docx" => graft.extract.DocxBuilder.build(lines)
+      case _ => graft.extract.PptxBuilder.build(lines.zipWithIndex.map(_.swap).map {
+        case (i, l) => (i, l)
+      })
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): OfficeSynthExpr =
+    copy(child = newChild)
+}
+
 /** Layout-ordered PDF text extraction over a `binary` payload column (S4). */
 case class PdfTextExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -83,6 +83,19 @@ object gf {
   /** deterministic synthetic workbook from text (fixtures/bench). */
   def xlsxSynth(text: Column): Column = column(XlsxSynthExpr(expression(text)))
 
+  /** DOCX/PPTX extraction over a binary column (S8/S10). */
+  def officeText(doc: Column, format: String): Column =
+    column(OfficeTextExpr(expression(doc), format))
+
+  /** DOCX/PPTX replace-all rebuild: struct<doc, n_entities>. */
+  def officeDeid(doc: Column, format: String, mode: String = "replace",
+      lang: String = "zh"): Column =
+    column(OfficeDeidExpr(expression(doc), format, mode, lang))
+
+  /** deterministic synthetic DOCX/PPTX from text (fixtures/bench). */
+  def officeSynth(text: Column, format: String): Column =
+    column(OfficeSynthExpr(expression(text), format))
+
   /** deterministic synthetic PDF payload from text (fixtures/bench). */
   def pdfSynth(text: Column): Column = column(PdfSynthExpr(expression(text)))
 }

@@ -63,6 +63,52 @@ object FormatJobs {
     (XlsxExtract.rewrite(xlsx, anchored, r.replacementMap), r.entities.length)
   }
 
+  /** S8+K: one DOCX → (rewritten DOCX bytes, entity count). The reference's
+    * docx rebuild is anchor-free replace-all per paragraph
+    * (`handlers/docx.py:64-86`).
+    */
+  def rewriteDocx(
+      docx: Array[Byte],
+      mode: String = "replace",
+      lang: String = "zh"
+  ): (Array[Byte], Int) = {
+    val doc = graft.extract.DocxExtract.extract(docx)
+    val r = DeidCore.process(doc.text, mode, lang)
+    (graft.extract.DocxExtract.rewrite(docx, replacementsOf(r)), r.entities.length)
+  }
+
+  /** S10+K: one PPTX → (rewritten PPTX bytes, entity count); replace-all per
+    * shape (`handlers/pptx.py:85-99`).
+    */
+  def rewritePptx(
+      pptx: Array[Byte],
+      mode: String = "replace",
+      lang: String = "zh"
+  ): (Array[Byte], Int) = {
+    val doc = graft.extract.PptxExtract.extract(pptx)
+    val r = DeidCore.process(doc.text, mode, lang)
+    (graft.extract.PptxExtract.rewrite(pptx, replacementsOf(r)), r.entities.length)
+  }
+
+  /** F6 — `{stem}.deid{ext}` output naming (`handlers/text.py:49`; the
+    * csv/xlsx/docx/pptx handlers hardcode their extension the same way).
+    * pathlib semantics: a leading dot is part of the stem, not a suffix.
+    */
+  def deidFileName(inputName: String): String = {
+    val base = inputName.substring(inputName.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot > 0) s"${base.substring(0, dot)}.deid${base.substring(dot)}"
+    else s"$base.deid"
+  }
+
+  /** entity-order (original, replacement) list — `docx.py:64-76`. */
+  private def replacementsOf(r: DeidCore.Result): Seq[(String, String)] =
+    r.entities.flatMap { e =>
+      if (e.text.nonEmpty && e.typ.nonEmpty)
+        r.replacementMap.get(s"${e.typ}:${e.text}").map(e.text -> _)
+      else None
+    }
+
   /** Distributed K2 job: a table of CSV documents → rewritten CSVs. One
     * narrow projection; `outPath != null` also writes the table.
     */

@@ -75,11 +75,52 @@ class FormatJobsSpec extends AnyFunSuite {
     assert(got == Seq("id", "phone", "Y237501685", "0935267744"), got)
   }
 
+  test("DOCX extract: paragraph per segment, empties kept, tab/br decoded") {
+    val docx = graft.extract.DocxBuilder.build(Seq("id\tA123456789", "", "line1\nline2"))
+    val doc = graft.extract.DocxExtract.extract(docx)
+    // python-docx doc.paragraphs keeps empty paragraphs (docx.py:23-25)
+    assert(doc.text == "id\tA123456789\n\nline1\nline2")
+    assert(doc.segments.length == 3)
+  }
+
+  test("DOCX rewrite: replace-all per paragraph, same replacements as CSV twin") {
+    // the "\n"-joined doc text equals the CSV golden's, so the context-hash
+    // seeded replacements must agree with the byte golden above
+    val docx = graft.extract.DocxBuilder.build(Seq("id", "phone", "A123456789", "0912345678"))
+    val (out, n) = FormatJobs.rewriteDocx(docx)
+    assert(n == 2)
+    assert(graft.extract.DocxExtract.paragraphs(out)
+      == Seq("id", "phone", "Y237501685", "0935267744"))
+  }
+
+  test("PPTX extract: shape per segment, stripped, empties skipped") {
+    val pptx = graft.extract.PptxBuilder.build(Seq(
+      (0, "  title with spaces  "), (0, "A123456789"), (1, "slide two")))
+    val doc = graft.extract.PptxExtract.extract(pptx)
+    assert(doc.text == "title with spaces\nA123456789\nslide two")
+  }
+
+  test("PPTX rewrite: PII gone, other shapes intact") {
+    val pptx = graft.extract.PptxBuilder.build(Seq((0, "contact"), (0, "0912345678")))
+    val (out, n) = FormatJobs.rewritePptx(pptx)
+    val texts = graft.extract.PptxExtract.shapeTexts(out).map(_._2)
+    assert(n == 1)
+    assert(texts.head == "contact")
+    assert(texts(1) != "0912345678" && texts(1).matches("09\\d{8}"), texts)
+  }
+
   test("colIndex/colLetters are inverse (A..ZZ)") {
     (1 to 702).foreach { i =>
       assert(XlsxExtract.colIndex(XlsxExtract.colLetters(i)) == i)
     }
     assert(XlsxExtract.colIndex("A") == 1 && XlsxExtract.colIndex("AA") == 27)
+  }
+
+  test("F6 filename templating: {stem}.deid{ext}, pathlib dot semantics") {
+    assert(FormatJobs.deidFileName("sample.csv") == "sample.deid.csv")
+    assert(FormatJobs.deidFileName("/a/b/report.final.pdf") == "report.final.deid.pdf")
+    assert(FormatJobs.deidFileName("noext") == "noext.deid")
+    assert(FormatJobs.deidFileName(".env") == ".env.deid") // Path(".env").suffix == ""
   }
 
   test("S5 OCR trigger: page text under 50 chars flags needs_ocr") {

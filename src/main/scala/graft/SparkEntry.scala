@@ -330,6 +330,39 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("word"))
         .limit(50)),
 
+    // ---- relational core over the TPC-H-ish tables --------------------------
+    // classic OLAP shapes with exact (integer-valued) aggregates so the
+    // oracle compare is hash-safe: shuffle agg with partial (map-side)
+    // combine, a broadcast dimension-join chain, and window top-k per group
+    "q1_pricing_summary" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "orders_by_nation" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      val nation = broadcast(s.read.parquet(s"$dir/nation.parquet"))
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    "top_orders_per_customer" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey")
+        .orderBy("o_custkey", "rank")
+    }),
+
     // ---- events: windows, sessions, exact percentiles ----------------------
     "event_windows" -> ((s, dir) =>
       events(s, dir)
@@ -628,6 +661,24 @@ object SparkEntry {
       "word_freq_top50" ->
         ("SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
           "FROM documents) WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 50"),
+
+      "q1_pricing_summary" ->
+        ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+          "count(*) AS count_order FROM lineitem " +
+          "WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' " +
+          "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+      "orders_by_nation" ->
+        ("SELECT n_name, count(*) AS n_orders FROM orders " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "GROUP BY n_name ORDER BY n_name"),
+
+      "top_orders_per_customer" ->
+        ("SELECT o_custkey, CAST(rank AS INTEGER) AS rank, o_orderkey FROM (" +
+          "SELECT o_custkey, o_orderkey, row_number() OVER (" +
+          "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank " +
+          "FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank"),
 
       "event_windows" ->
         ("SELECT event_type, CAST(date_trunc('hour', ts) AS STRING) AS hour_ts, " +

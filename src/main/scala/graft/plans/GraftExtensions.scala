@@ -109,5 +109,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"graft_rep3gram expects 1 arg, got ${args.length}")
     }
+
+    inject("graft_minhash_sig",
+      "graft_minhash_sig(text) - 64-long MinHash signature over 3-word shingles") {
+      case Seq(t) => MinHashSigExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_minhash_sig expects 1 arg, got ${args.length}")
+    }
+
+    inject("graft_pdf_pages",
+      "graft_pdf_pages(pdf_binary) - per-page text with needs_ocr trigger flag") {
+      case Seq(t) => PdfPagesExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_pdf_pages expects 1 arg, got ${args.length}")
+    }
+
+    inject("graft_csv_deid",
+      "graft_csv_deid(csv[, mode]) - rewritten CSV document: struct<csv,n_entities>") {
+      case Seq(t) => CsvDeidExpr(t)
+      case Seq(t, m) => CsvDeidExpr(t, litStr(m, "mode"))
+      case args => throw new IllegalArgumentException(
+        s"graft_csv_deid expects 1-2 args, got ${args.length}")
+    }
+
+    inject("graft_xlsx_text", "graft_xlsx_text(xlsx_binary) - workbook cell text") {
+      case Seq(t) => XlsxTextExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_xlsx_text expects 1 arg, got ${args.length}")
+    }
+
+    inject("graft_xlsx_deid",
+      "graft_xlsx_deid(xlsx_binary[, mode]) - rewritten workbook: struct<xlsx,n_entities>") {
+      case Seq(t) => XlsxDeidExpr(t)
+      case Seq(t, m) => XlsxDeidExpr(t, litStr(m, "mode"))
+      case args => throw new IllegalArgumentException(
+        s"graft_xlsx_deid expects 1-2 args, got ${args.length}")
+    }
+
+    inject("graft_office_text",
+      "graft_office_text(doc_binary, format) - docx/pptx document text") {
+      case Seq(t, f) => OfficeTextExpr(t, litStr(f, "format"))
+      case args => throw new IllegalArgumentException(
+        s"graft_office_text expects 2 args, got ${args.length}")
+    }
+
+    inject("graft_office_deid",
+      "graft_office_deid(doc_binary, format[, mode]) - rewritten docx/pptx: struct<doc,n_entities>") {
+      case Seq(t, f) => OfficeDeidExpr(t, litStr(f, "format"))
+      case Seq(t, f, m) => OfficeDeidExpr(t, litStr(f, "format"), litStr(m, "mode"))
+      case args => throw new IllegalArgumentException(
+        s"graft_office_deid expects 2-3 args, got ${args.length}")
+    }
   }
 }

@@ -61,6 +61,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dimension joins broadcast; fact-table filter pushes to the scan") {
+    val p = plan(SparkEntry.queries("orders_by_nation")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val q1 = plan(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    assert(q1.contains("PushedFilters") && q1.contains("LessThanOrEqual(l_shipdate"), q1)
+    // partial (map-side) aggregation before the exchange
+    assert(q1.contains("HashAggregate") && q1.contains("partial_sum"), q1)
+  }
+
   test("dedup/ANN jobs shuffle on bucket keys only (no cartesian)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val p = plan(Similarity.lshTopK(emb, k = 3, bits = 4, tables = 4))

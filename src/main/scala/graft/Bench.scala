@@ -59,11 +59,28 @@ object Bench {
     // warmup (JIT + codegen caches)
     force(Deid.redact(turns.limit(5000)))
 
+    // detect/html are benched over the SAME materialized parquet as the
+    // redaction queries — SparkEntry's versions re-derive turns through the
+    // synthetic generator's cross-join (and the sort's range-sampling pass
+    // runs that generator twice), which times the fixture generator, not
+    // the engine
+    import org.apache.spark.sql.functions._
+    val detectQ = turns
+      .select(col("conv_id"), col("turn_idx"),
+        explode(graft.functions.gf.regexDetect(col("text"))).as("e"))
+      .select(col("conv_id"), col("turn_idx"), col("e.start"), col("e.end"),
+        col("e.typ"), col("e.source"))
+      .orderBy("conv_id", "turn_idx", "start", "typ")
+    val htmlQ = turns.where(col("text").contains("<html"))
+      .select(col("conv_id"), col("turn_idx"),
+        graft.functions.gf.htmlText(col("text")).as("stripped"))
+      .orderBy("conv_id", "turn_idx")
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("deid_replace") = timed(force(Deid.redact(turns)))
     results("deid_blackbox") = timed(force(Deid.redact(turns, mode = "blackbox")))
-    results("detect_entities") = timed(force(SparkEntry.queries("detect_entities")(spark, sfDir)))
-    results("html_text_strip") = timed(force(SparkEntry.queries("html_text_strip")(spark, sfDir)))
+    results("detect_entities") = timed(force(detectQ))
+    results("html_text_strip") = timed(force(htmlQ))
     results("dedup_minhash_pairs") = timed(force(SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)))
     results("dedup_simhash_pairs") = timed(force(SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)))
     results("knn_lsh") = timed(force(SparkEntry.queries("knn_lsh")(spark, sfDir)))

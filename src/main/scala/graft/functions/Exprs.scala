@@ -564,6 +564,48 @@ case class OfficeSynthExpr(child: Expression, format: String)
     copy(child = newChild)
 }
 
+/** All sign-bit LSH table buckets in ONE pass: `array<long>` of `tables`
+  * bucket ids for a `array<double>` vector. Bit i of table t = sign of
+  * dot(vec, planes[t*bits+i]) — identical to the per-plane
+  * `when(dot > 0, 1<<i)` HOF column sum (pinned in OpsSpec) but a primitive
+  * loop instead of tables×bits interpreted `aggregate`/`zip_with`
+  * evaluations per row.
+  */
+case class LshBucketsExpr(child: Expression, planes: Seq[Seq[Double]], bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes.length % bits == 0)
+  private val tables = planes.length / bits
+  @transient private lazy val flat: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var i = 0
+      while (i < bits) {
+        val p = flat(t * bits + i)
+        val n = math.min(vec.numElements(), p.length)
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += vec.getDouble(j) * p(j); j += 1 }
+        if (dot > 0) bucket |= (1L << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
+    copy(child = newChild)
+}
+
 /** Layout-ordered PDF text extraction over a `binary` payload column (S4). */
 case class PdfTextExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {

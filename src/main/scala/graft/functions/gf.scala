@@ -63,6 +63,10 @@ object gf {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
 
+  /** all sign-bit LSH table buckets in one pass (array<long>, one per table). */
+  def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bits: Int): Column =
+    column(LshBucketsExpr(expression(vec), planes, bits))
+
   /** layout-ordered PDF text extraction over a binary column. */
   def pdfText(pdf: Column): Column = column(PdfTextExpr(expression(pdf)))
 

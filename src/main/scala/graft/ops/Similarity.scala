@@ -111,7 +111,10 @@ object Similarity {
 
   /** (id, table, bucket) rows across `tables` hash tables — ids ONLY: the
     * vectors (512 B each at dim 64) must not be shuffled ×tables through the
-    * band join; they are re-joined once per side for scoring.
+    * band join; they are re-joined once per side for scoring. All buckets
+    * come from ONE pass over the vector ([[graft.functions.LshBucketsExpr]])
+    * — the per-plane HOF formulation ([[lshBucket]], kept as the spec
+    * reference) evaluated tables×bits interpreted dot products per row.
     */
   def lshTables(
       corpus: DataFrame,
@@ -124,11 +127,9 @@ object Similarity {
     val planes = hyperplanes(dim, bits * tables)
     val base = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val bucketCols = (0 until tables).map { t =>
-      lshBucket(col("vec"), planes.slice(t * bits, (t + 1) * bits))
-    }
     base.select(col("id"),
-      posexplode(array(bucketCols: _*)).as(Seq("table", "bucket")))
+      posexplode(graft.functions.gf.lshBuckets(col("vec"), planes, bits))
+        .as(Seq("table", "bucket")))
   }
 
   /** Deduped candidate id pairs from the multi-table bucket self-join. The

@@ -95,6 +95,24 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"ANN recall $recall")
   }
 
+  test("single-pass LshBucketsExpr is bit-identical to the per-plane HOF buckets") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("vec"))
+    val bits = 6
+    val tables = 16
+    val planes = Similarity.hyperplanes(64, bits * tables)
+    val hof = array((0 until tables).map { t =>
+      Similarity.lshBucket($"vec", planes.slice(t * bits, (t + 1) * bits))
+    }: _*)
+    val rows = emb.limit(300)
+      .select(graft.functions.gf.lshBuckets($"vec", planes, bits).as("fast"), hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+  }
+
   test("LSH de-capped: planted duplicate vectors found at bits=20 (> old 16-bit cap)") {
     // identical vectors collide in EVERY table whatever the bit width, so
     // this pins (a) bits > 16 works at all and (b) recall on planted dups

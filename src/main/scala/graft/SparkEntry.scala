@@ -210,6 +210,21 @@ object SparkEntry {
           size(gf.regexDetect(col("extracted"))).as("n_entities"))
         .orderBy("doc_id")),
 
+    // A2/K3: synth PDF with PII lines → black-box redaction → re-extract:
+    // PII text removed from the document, black fills present
+    "pdf_redact" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(lit("id A123456789 here\ncall 0912-345-678 now\n"),
+            substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 80))
+            .as("src"))
+        .withColumn("pdf", gf.pdfSynth(col("src")))
+        .withColumn("r", gf.pdfRedact(col("pdf")))
+        .select(col("doc_id"), col("r.n_rects").as("n_rects"),
+          (!gf.pdfText(col("r.pdf")).contains("A123456789") &&
+            !gf.pdfText(col("r.pdf")).contains("0912-345-678")).as("pii_absent"))
+        .orderBy("doc_id")),
+
     // K2: per-document CSV rewrite — planted PII cells come back rewritten,
     // non-PII cells byte-identical (reference e2e: tests/test_csv_handler.py)
     "csv_rewrite" -> ((s, dir) =>

@@ -19,6 +19,11 @@ object PdfBuilder {
     build(Seq(content), flate)
   }
 
+  /** Literal-string escaping for content streams (shared with the redaction
+    * rebuilder).
+    */
+  def escapeText(s: String): String = escape(s)
+
   private def escape(s: String): String =
     s.flatMap {
       case '(' => "\\("

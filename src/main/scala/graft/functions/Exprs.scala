@@ -618,6 +618,27 @@ case class PdfTextExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** A2/K3 — whole-document PDF redaction: detect per block → resolve rects →
+  * rebuild with covered glyphs removed + black fills.
+  * `struct<pdf:binary, n_rects:int>`.
+  */
+case class PdfRedactExpr(child: Expression, lang: String = "zh")
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("pdf", BinaryType, nullable = false),
+    StructField("n_rects", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_pdf_redact"
+
+  override def nullSafeEval(input: Any): Any = {
+    val (out, rects) = graft.extract.PdfRedact.redact(
+      input.asInstanceOf[Array[Byte]], lang)
+    InternalRow(out, rects.length)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PdfRedactExpr =
+    copy(child = newChild)
+}
+
 /** Deterministic synthetic PDF payload from text (fixture/bench generator —
   * see [[graft.extract.PdfBuilder]]).
   */

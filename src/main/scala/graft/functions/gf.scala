@@ -73,6 +73,10 @@ object gf {
   /** per-page PDF extraction with the S5 OCR-fallback trigger flag. */
   def pdfPages(pdf: Column): Column = column(PdfPagesExpr(expression(pdf)))
 
+  /** whole-document PDF black-box redaction (A2/K3): struct<pdf, n_rects>. */
+  def pdfRedact(pdf: Column, lang: String = "zh"): Column =
+    column(PdfRedactExpr(expression(pdf), lang))
+
   /** whole-document CSV rewrite (K2): struct<csv, n_entities>. */
   def csvDeid(csv: Column, mode: String = "replace", lang: String = "zh"): Column =
     column(CsvDeidExpr(expression(csv), mode, lang))

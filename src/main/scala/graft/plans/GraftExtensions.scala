@@ -124,6 +124,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"graft_pdf_pages expects 1 arg, got ${args.length}")
     }
 
+    inject("graft_pdf_redact",
+      "graft_pdf_redact(pdf_binary[, lang]) - black-box redacted PDF: struct<pdf,n_rects>") {
+      case Seq(t) => PdfRedactExpr(t)
+      case Seq(t, l) => PdfRedactExpr(t, litStr(l, "lang"))
+      case args => throw new IllegalArgumentException(
+        s"graft_pdf_redact expects 1-2 args, got ${args.length}")
+    }
+
     inject("graft_csv_deid",
       "graft_csv_deid(csv[, mode]) - rewritten CSV document: struct<csv,n_entities>") {
       case Seq(t) => CsvDeidExpr(t)

@@ -123,6 +123,38 @@ class FormatJobsSpec extends AnyFunSuite {
     assert(FormatJobs.deidFileName(".env") == ".env.deid") // Path(".env").suffix == ""
   }
 
+  test("A2 rect resolution: search hits intersecting the block, then fallbacks") {
+    import graft.extract.{PdfExtract, PdfRedact}
+    val blocks = Seq(
+      PdfExtract.Block(0, 72, 700, "id A123456789 here"),
+      PdfExtract.Block(0, 72, 686, "other line"))
+    val br = PdfRedact.blockRect(blocks.head)
+    // direct hit: needle at char offset 3, width 10 chars
+    val direct = PdfRedact.resolveForEntity(blocks, "A123456789", br, 0)
+    assert(direct.length == 1 && direct.head.strategy == "search_for")
+    assert(math.abs(direct.head.x0 - (72 + 3 * PdfRedact.charW)) < 1e-9)
+    assert(math.abs(direct.head.x1 - (72 + 13 * PdfRedact.charW)) < 1e-9)
+    // whitespace-normalized fallback (pdf.py:110-117): doubled space inside
+    val fuzzy = PdfRedact.resolveForEntity(blocks, "id  A123456789", br, 0)
+    assert(fuzzy.nonEmpty && fuzzy.head.strategy == "search_for")
+    // block-bbox fallback when nothing matches (pdf.py:119-120)
+    val fb = PdfRedact.resolveForEntity(blocks, "absent needle", br, 0)
+    assert(fb == Seq(PdfRedact.Rect(0, br._1, br._2, br._3, br._4, "block_bbox")))
+  }
+
+  test("K3 black-box rebuild: redacted PDF no longer contains the PII text") {
+    import graft.extract.{PdfBuilder, PdfExtract, PdfRedact}
+    val pdf = PdfBuilder.singlePage("id A123456789 here\ncall 0912-345-678 now\nplain line")
+    val (out, rects) = PdfRedact.redact(pdf)
+    assert(rects.nonEmpty && rects.forall(_.strategy == "search_for"))
+    val text = PdfExtract.extractText(out)
+    assert(!text.contains("A123456789") && !text.contains("0912-345-678"), text)
+    assert(text.contains("plain line")) // untouched content survives
+    assert(text.contains("here") && text.contains("now")) // same-line words kept
+    // black fills present in the rebuilt content
+    assert(PdfExtract.extractBlocks(out).nonEmpty)
+  }
+
   test("S5 OCR trigger: page text under 50 chars flags needs_ocr") {
     val short = PdfBuilder.singlePage("tiny scanned page")
     val long = PdfBuilder.singlePage("x" * 60)

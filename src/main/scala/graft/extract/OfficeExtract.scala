@@ -23,16 +23,23 @@ import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
   * headers are out of scope like the rest of the binary-office surface.
   */
 object OfficeZip {
+  /** Corruption-tolerant: a truncated/garbage archive yields the entries
+    * parsed so far (possibly none) — at corpus scale a bad document must
+    * degrade to empty, not kill the stage.
+    */
   def entries(bytes: Array[Byte]): Map[String, String] = {
     val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, String]
-    var e: ZipEntry = zis.getNextEntry
-    while (e != null) {
-      if (!e.isDirectory)
-        out += e.getName -> new String(zis.readAllBytes(), StandardCharsets.UTF_8)
-      e = zis.getNextEntry
-    }
-    zis.close()
+    try {
+      var e: ZipEntry = zis.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory)
+          out += e.getName -> new String(zis.readAllBytes(), StandardCharsets.UTF_8)
+        e = zis.getNextEntry
+      }
+    } catch {
+      case _: java.io.IOException | _: IllegalArgumentException => // truncated/garbage
+    } finally zis.close()
     out.result()
   }
 

@@ -85,17 +85,8 @@ object XlsxExtract {
 
   // ---- zip + xml plumbing ---------------------------------------------
 
-  private def zipEntries(bytes: Array[Byte]): Map[String, String] = {
-    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
-    val out = Map.newBuilder[String, String]
-    var e: ZipEntry = zis.getNextEntry
-    while (e != null) {
-      if (!e.isDirectory) out += e.getName -> new String(zis.readAllBytes(), StandardCharsets.UTF_8)
-      e = zis.getNextEntry
-    }
-    zis.close()
-    out.result()
-  }
+  private def zipEntries(bytes: Array[Byte]): Map[String, String] =
+    OfficeZip.entries(bytes)
 
   /** workbook.xml sheet list (name + r:id) resolved through the rels file to
     * worksheet part names; falls back to xl/worksheets/sheetN.xml by order.

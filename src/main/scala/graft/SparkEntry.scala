@@ -301,6 +301,19 @@ object SparkEntry {
         .select(col("q_id"), col("rank"), col("n_id"))
         .orderBy("q_id", "rank")),
 
+    // IVF with nprobe = k probes every inverted list, so the result must
+    // EQUAL exact brute force — the oracle hash-verifies the whole IVF
+    // pipeline (train → assign → probe → candidate union → rank); the
+    // approximate regime (nprobe < k) is spec-gated (OpsSpec recall)
+    "knn_ivf" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val centroids = graft.ops.Ivf.train(emb, k = 16, iters = 2)
+      graft.ops.Ivf.topK(emb, emb.where(col("vec_id") < 20), centroids,
+        k = 5, nprobe = 16)
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .orderBy("q_id", "rank")
+    }),
+
     "knn_lsh" -> ((s, dir) => {
       // explicit size hint from parquet metadata — the LIBRARY runs no
       // hidden count job; the caller supplies scale knowledge
@@ -508,6 +521,13 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = {
     val cte = TurnsGen.duckdbCte
+    // shared by knn_bruteforce and knn_ivf (nprobe = k ⇒ exact)
+    val knnBruteforceOracle =
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim FROM q JOIN c ON q_id <> n_id),
+        |r AS (SELECT q_id, n_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank FROM s)
+        |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
     Map(
       "turns_gen" ->
         s"$cte SELECT conv_id, turn_idx, role, text, tool FROM turns ORDER BY conv_id, turn_idx",
@@ -616,12 +636,9 @@ object SparkEntry {
           |WHERE list_cosine_similarity(l.v, r.v) >= 0.9
           |ORDER BY a, b""".stripMargin.replace("\n", " ")),
 
-      "knn_bruteforce" ->
-        ("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
-          |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
-          |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim FROM q JOIN c ON q_id <> n_id),
-          |r AS (SELECT q_id, n_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank FROM s)
-          |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")),
+      "knn_ivf" -> knnBruteforceOracle,
+
+      "knn_bruteforce" -> knnBruteforceOracle,
 
       // heuristic language id: zh on CJK share > 0.2, else argmax stopword
       // hits with ties broken by lexicographically LARGEST lang (Spark's

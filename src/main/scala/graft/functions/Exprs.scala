@@ -606,6 +606,51 @@ case class LshBucketsExpr(child: Expression, planes: Seq[Seq[Double]], bits: Int
     copy(child = newChild)
 }
 
+/** Top-`nprobe` nearest centroids (by cosine, ties to the lower id) for an
+  * `array<double>` vector — the IVF coarse-quantizer leaf. Centroids are
+  * baked into the expression (k×dim literals, broadcast with the task
+  * closure); one primitive pass computes all k similarities.
+  */
+case class NearestCentroidsExpr(
+    child: Expression,
+    centroids: Seq[Seq[Double]],
+    nprobe: Int
+) extends UnaryExpression with CodegenFallback {
+  @transient private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    cs.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = vec.numElements()
+    val sims = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      val m = math.min(n, cv.length)
+      var dot = 0.0
+      var nv = 0.0
+      var i = 0
+      while (i < m) {
+        val x = vec.getDouble(i)
+        dot += x * cv(i)
+        nv += x * x
+        i += 1
+      }
+      sims(c) = if (norms(c) == 0 || nv == 0) -2.0 else dot / (math.sqrt(nv) * norms(c))
+      c += 1
+    }
+    val order = sims.indices.sortBy(i => (-sims(i), i)).take(math.min(nprobe, cs.length))
+    new GenericArrayData(order.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
 /** Layout-ordered PDF text extraction over a `binary` payload column (S4). */
 case class PdfTextExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {

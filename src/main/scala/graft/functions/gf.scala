@@ -67,6 +67,10 @@ object gf {
   def lshBuckets(vec: Column, planes: Seq[Seq[Double]], bits: Int): Column =
     column(LshBucketsExpr(expression(vec), planes, bits))
 
+  /** top-nprobe nearest centroid ids by cosine (IVF coarse quantizer). */
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    column(NearestCentroidsExpr(expression(vec), centroids, nprobe))
+
   /** layout-ordered PDF text extraction over a binary column. */
   def pdfText(pdf: Column): Column = column(PdfTextExpr(expression(pdf)))
 

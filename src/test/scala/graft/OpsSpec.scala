@@ -83,6 +83,23 @@ class OpsSpec extends AnyFunSuite {
       && r.head.getAs[Int]("ua") == 3 && r.head.getAs[Int]("ub") == 3)
   }
 
+  test("ngram jaccard maxDocFreq guard drops hot shingles, keeps rare signal") {
+    // "a b c" occurs in ALL 4 docs (the quadratic hot key); "x y z" in 2
+    val docs4 = Seq(
+      (1L, "a b c x y z"), (2L, "a b c x y z"),
+      (3L, "a b c q r s"), (4L, "a b c t u v")).toDF("doc_id", "text")
+    val guarded = Dedup.ngramJaccardCounts(docs4, maxDocFreq = 3)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("inter"))).toSet
+    // hot shingle "a b c" (df=4 > 3) is pruned: only the rare-shingle pair
+    // survives, with inter counting its 4 shared non-hot shingles
+    assert(guarded.map(t => (t._1, t._2)) == Set((1L, 2L)), guarded)
+    assert(guarded.head._3 == 3, guarded) // "b c x","c x y","x y z"
+    // exact mode still sees all 6 pairs through the shared hot shingle
+    val exact = Dedup.ngramJaccardCounts(docs4).collect()
+    assert(exact.length == 6)
+  }
+
   test("LSH ANN recall vs brute force >= 0.7 (multi-table)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     val queries = emb.where($"vec_id" < 20)

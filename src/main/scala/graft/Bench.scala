@@ -103,7 +103,11 @@ object Bench {
     val scalingJson =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) "null"
       else {
-        val levels = ScalingBench.measure(sfDir, Seq(2, 8, 32), replicate = 2, runs = 2)
+        // replicate=4 (1.8M turns) lengthens each measured pass so transient
+        // host-throttle bursts on this shared VM average out; best of 3 runs
+        // per level (a short 8-core pass landing on a throttled minute once
+        // read a spurious 0.76 efficiency on an engine that measures ~1.0)
+        val levels = ScalingBench.measure(sfDir, Seq(2, 8, 32), replicate = 4, runs = 3)
         val byCpu = levels.map(l => l.cpus -> l).toMap
         val eff28 = byCpu(8).turnsPerSec / (4.0 * byCpu(2).turnsPerSec)
         val eff832 = byCpu(32).turnsPerSec / (4.0 * byCpu(8).turnsPerSec)

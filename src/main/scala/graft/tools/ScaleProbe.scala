@@ -1,0 +1,56 @@
+// dev tool: near-linearity probe for the bucketed dedup/ANN paths —
+// sbt "runMain graft.tools.ScaleProbe <sfDir>"
+// Replicates documents/embeddings ×1/×4/×8 (fresh ids, near-dup structure
+// preserved) and times each operator; a quadratic candidate space would show
+// ~x² growth, the bucketed designs should stay ~linear.
+package graft.tools
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def best3(f: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); dt
+      }.min
+
+    def replicate(df: DataFrame, idCol: String, times: Int): DataFrame = {
+      val path = s"/tmp/graft_scaleprobe_${idCol}_$times"
+      df.crossJoin(spark.range(times).select(col("id").as("rep")))
+        .withColumn(idCol, col(idCol) + col("rep") * 10000000L)
+        .drop("rep")
+        .repartition(64)
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    Seq(1, 4, 8).foreach { x =>
+      val d = replicate(docs, "doc_id", x)
+      val e = replicate(embs, "vec_id", x)
+      val n = d.count()
+      val m = e.count()
+      val tMin = best3(force(Dedup.minhashNearDups(d, threshold = 0.5)))
+      val tSim = best3(force(Dedup.simhashNearDups(d, maxDist = 3)))
+      val tLsh = best3(force(Similarity.lshTopK(e, k = 5, nHint = m)))
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs")
+    }
+    spark.stop()
+  }
+}

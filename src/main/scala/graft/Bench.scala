@@ -76,11 +76,28 @@ object Bench {
         graft.functions.gf.htmlText(col("text")).as("stripped"))
       .orderBy("conv_id", "turn_idx")
 
+    // round-2 surfaces over the same materialized inputs
+    val modelQ = graft.detect.ModelDetector.detectTurns(turns,
+      graft.detect.ModelDetector.HeuristicScorer)(spark)
+      .select(col("conv_id"), size(col("model_entities")).as("n"))
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+    val csvQ = docsDf.select(col("doc_id"),
+      graft.functions.gf.csvDeid(
+        concat(lit("id,phone,note\r\nA123456789,0912-345-678,\"row "),
+          col("doc_id"), lit(" ok\"\r\n"))).getField("n_entities").as("n"))
+    val pdfQ = docsDf.select(col("doc_id"),
+      graft.functions.gf.pdfRedact(graft.functions.gf.pdfSynth(
+        substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 200)))
+        .getField("n_rects").as("n"))
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("deid_replace") = timed(force(Deid.redact(turns)))
     results("deid_blackbox") = timed(force(Deid.redact(turns, mode = "blackbox")))
     results("detect_entities") = timed(force(detectQ))
     results("html_text_strip") = timed(force(htmlQ))
+    results("model_detect") = timed(force(modelQ))
+    results("csv_rewrite") = timed(force(csvQ))
+    results("pdf_redact") = timed(force(pdfQ))
     results("dedup_minhash_pairs") = timed(force(SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)))
     results("dedup_simhash_pairs") = timed(force(SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)))
     results("knn_lsh") = timed(force(SparkEntry.queries("knn_lsh")(spark, sfDir)))

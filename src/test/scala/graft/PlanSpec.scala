@@ -74,5 +74,22 @@ class PlanSpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val p = plan(Similarity.lshTopK(emb, k = 3, bits = 4, tables = 4))
     assert(!p.contains("CartesianProduct"), p)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pm = plan(graft.ops.Dedup.minhashNearDups(docs, threshold = 0.5))
+    assert(!pm.contains("CartesianProduct"), pm)
+    // both sides of the banded self-join read the PERSISTED narrow frame —
+    // signatures compute once
+    assert(pm.contains("InMemoryTableScan"), pm)
+    val centroids = graft.ops.Ivf.train(emb, k = 8, iters = 1)
+    val pi = plan(graft.ops.Ivf.topK(emb, emb.limit(5), centroids, k = 3, nprobe = 2))
+    assert(!pi.contains("CartesianProduct"), pi)
+  }
+
+  test("format rewrite jobs are single narrow projections over the scan") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val q = docs.select(col("doc_id"),
+      graft.functions.gf.csvDeid(concat(lit("a,b\n"), col("text"))).as("r"))
+    val p = plan(q)
+    assert(!p.contains("Exchange"), p)
   }
 }

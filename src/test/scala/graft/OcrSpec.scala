@@ -54,6 +54,35 @@ class OcrSpec extends AnyFunSuite {
     assert(seg.exists(_.bbox.contains(Seq(120, 20, 200, 32))))
   }
 
+  test("K4 image rects: entity_bbox preferred, segment_overlap fallback, dedupe") {
+    import graft.extract.ImageRedact
+    val payload =
+      """hello|0|0|40|12|95
+        |A123456789|50|0|80|12|90
+        |world|140|0|40|12|92
+        |""".stripMargin.getBytes("UTF-8")
+    val doc = Ocr.extract(payload, Ocr.StubRecognizer("tesseract"))
+    // entity with its own bbox anchor wins, strategy entity_bbox
+    val withBbox = ImageRedact.resolveRects(
+      Seq(ImageRedact.Ent("ID", 0, 5, bbox = Some(Seq(1, 2, 3, 4)))), doc.segments)
+    assert(withBbox == Seq(ImageRedact.Rect(0, 1, 2, 3, 4, "ID", "entity_bbox")))
+    // span-only entity over "A123456789" (offsets 6..16 in "hello A... world")
+    val overlap = ImageRedact.resolveRects(
+      Seq(ImageRedact.Ent("ID", 6, 16)), doc.segments)
+    assert(overlap.map(_.strategy) == Seq("segment_overlap"))
+    assert(overlap.head.left == 50 && overlap.head.right == 130)
+    assert(overlap.head.segmentId.contains(1))
+    // duplicate rect across entities deduped (reference `seen` set)
+    val dup = ImageRedact.resolveRects(
+      Seq(ImageRedact.Ent("ID", 6, 16), ImageRedact.Ent("PHONE", 8, 12)),
+      doc.segments)
+    assert(dup.length == 1 && dup.head.entityType == "ID")
+    // span crossing two segments emits both rects
+    val two = ImageRedact.resolveRects(
+      Seq(ImageRedact.Ent("X", 3, 8)), doc.segments)
+    assert(two.map(_.segmentId.get) == Seq(0, 1))
+  }
+
   test("no blocks survive → one segment holding the (empty) full text") {
     val doc = Ocr.extract(Array.emptyByteArray, Ocr.StubRecognizer())
     assert(doc.segments.length == 1 && doc.text == "")

@@ -78,20 +78,54 @@ object ModelDetector {
     ds.toDF(textCol, "model_entities")
   }
 
+  /** Chunk + decode around ONE `scorer.score` call for a whole batch of
+    * texts — the reference feeds every chunk of the document to a single
+    * batched `session.run` (`bert_onnx_detector.py:77-81`); at table scale
+    * the batch is `batchSize` rows' chunks, amortizing session overhead.
+    * Identical results to per-text scoring (chunks are scored
+    * independently) — spec-pinned.
+    */
+  def detectBatch(
+      texts: Seq[String],
+      scorer: TokenScorer,
+      maxLen: Int = 512,
+      confidenceThreshold: Double = defaultConfidenceThreshold,
+      source: String = "bert"
+  ): Seq[List[SpanEnt]] = {
+    val perText = texts.map { t =>
+      val starts = BioDecode.chunkStarts(t.codePointCount(0, t.length), maxLen)
+      starts -> starts.map(s => graft.redact.Redactor.cpSlice(t, s, s + maxLen))
+    }
+    val scored = scorer.score(perText.flatMap(_._2))
+    var cursor = 0
+    perText.map { case (starts, chunks) =>
+      val mine = scored.slice(cursor, cursor + chunks.length)
+      cursor += chunks.length
+      BioDecode.mergeEntities(starts.zip(mine).flatMap { case (offset, toks) =>
+        BioDecode.decode(toks, offset, source, confidenceThreshold)
+      })
+    }
+  }
+
   /** Keyed distributed form over a turns table — carries (conv_id, turn_idx)
-    * through the partition-batched scorer so downstream queries can join /
-    * order (the driver-contract surface for the D3/D4 scaffold).
+    * through the batched scorer so downstream queries can join / order (the
+    * driver-contract surface for the D3/D4 scaffold).
     */
   def detectTurns(
       df: DataFrame,
       scorer: TokenScorer,
-      maxLen: Int = 512
+      maxLen: Int = 512,
+      batchSize: Int = 64
   )(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     df.select(col("conv_id"), col("turn_idx"), col("text"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
-        it.map { case (c, i, t) => (c, i, detect(t, scorer, maxLen)) }
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map(b => (b._1, b._2))
+            .zip(detectBatch(batch.map(_._3), scorer, maxLen))
+            .map { case ((c, i), ents) => (c, i, ents) }
+        }
       }
       .toDF("conv_id", "turn_idx", "model_entities")
   }

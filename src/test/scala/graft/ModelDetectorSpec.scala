@@ -65,6 +65,16 @@ class ModelDetectorSpec extends AnyFunSuite {
       == "Alice Chen")
   }
 
+  test("batched scoring (one score call per batch) equals per-text detection") {
+    val texts = Seq(
+      "hi Alice Chen and Bob",
+      "x " * 60 + "Alice Chen" + " y" * 20, // multi-chunk at maxLen=100
+      "", "weak signal only", "Bob")
+    val single = texts.map(t => ModelDetector.detect(t, FakeScorer, maxLen = 100))
+    val batched = ModelDetector.detectBatch(texts, FakeScorer, maxLen = 100)
+    assert(batched == single)
+  }
+
   test("distributed scoring via mapPartitions") {
     implicit val spark: org.apache.spark.sql.SparkSession = SparkTestBase.spark
     import spark.implicits._

@@ -68,10 +68,11 @@ object DocxExtract {
     val xml = OfficeZip.entries(docx).getOrElse("word/document.xml", "")
     val pRe = java.util.regex.Pattern.compile("<w:p[ >](.*?)</w:p>|<w:p/>",
       java.util.regex.Pattern.DOTALL)
-    // tab/br first, and `w:t` must be followed by space or '>' so the
-    // pattern cannot swallow `<w:tab/>`
+    // tab/br/cr first, and `w:t` must be followed by space or '>' so the
+    // pattern cannot swallow `<w:tab/>`; python-docx maps tab→"\t" and both
+    // br and cr→"\n"
     val runRe = java.util.regex.Pattern.compile(
-      "<w:tab/>|<w:br/>|<w:t(?:\\s[^>]*)?>(.*?)</w:t>", java.util.regex.Pattern.DOTALL)
+      "<w:tab/>|<w:br/>|<w:cr/>|<w:t(?:\\s[^>]*)?>(.*?)</w:t>", java.util.regex.Pattern.DOTALL)
     val out = Seq.newBuilder[String]
     val m = pRe.matcher(xml)
     while (m.find()) {
@@ -80,7 +81,7 @@ object DocxExtract {
       val sb = new java.lang.StringBuilder
       while (rm.find()) {
         if (rm.group(0) == "<w:tab/>") sb.append('\t')
-        else if (rm.group(0) == "<w:br/>") sb.append('\n')
+        else if (rm.group(0) == "<w:br/>" || rm.group(0) == "<w:cr/>") sb.append('\n')
         else sb.append(OfficeZip.unescape(rm.group(1)))
       }
       out += sb.toString

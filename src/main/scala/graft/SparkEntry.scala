@@ -27,6 +27,25 @@ object SparkEntry {
   private def turns(s: SparkSession, dir: String): DataFrame =
     TurnsGen.turns(s, dir)
 
+  /** Row count straight from the parquet footer(s) — the caller-side size
+    * hint for LSH bucket sizing. No Spark job, no scan: exactly what a
+    * production caller would get from catalog stats.
+    */
+  private def parquetRowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val statuses =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      else Seq(fs.getFileStatus(root))
+    statuses.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Flagship: full redaction pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     Deid.redact(turns(spark, "/root/testdata/sf0.001"))
@@ -220,9 +239,11 @@ object SparkEntry {
             .as("src"))
         .withColumn("pdf", gf.pdfSynth(col("src")))
         .withColumn("r", gf.pdfRedact(col("pdf")))
+        // r.text is the re-extracted redacted document computed inside
+        // PdfRedactExpr: ONE parse per row, two cheap string predicates
         .select(col("doc_id"), col("r.n_rects").as("n_rects"),
-          (!gf.pdfText(col("r.pdf")).contains("A123456789") &&
-            !gf.pdfText(col("r.pdf")).contains("0912-345-678")).as("pii_absent"))
+          (!col("r.text").contains("A123456789") &&
+            !col("r.text").contains("0912-345-678")).as("pii_absent"))
         .orderBy("doc_id")),
 
     // K2: per-document CSV rewrite — planted PII cells come back rewritten,
@@ -289,7 +310,9 @@ object SparkEntry {
     // approximate LSH result equals the oracle's exact brute-force result.
     "dedup_embedding_pairs" -> ((s, dir) => {
       val planted = plantedEmbeddings(s, dir)
-      Similarity.cosineNearDups(planted, threshold = 0.9, nHint = planted.count())
+      // footer count × 11/10 (planted adds every 10th id) — no scan job
+      val n = parquetRowCount(s, s"$dir/embeddings.parquet")
+      Similarity.cosineNearDups(planted, threshold = 0.9, nHint = n * 11 / 10)
         .select(col("a"), col("b"))
         .orderBy("a", "b")
     }),
@@ -315,10 +338,10 @@ object SparkEntry {
     }),
 
     "knn_lsh" -> ((s, dir) => {
-      // explicit size hint from parquet metadata — the LIBRARY runs no
-      // hidden count job; the caller supplies scale knowledge
+      // explicit size hint from the parquet FOOTER (no scan, no job) — the
+      // LIBRARY runs no hidden count; the caller supplies scale knowledge
       val emb = embeddings(s, dir)
-      Similarity.lshTopK(emb, k = 5, nHint = emb.count())
+      Similarity.lshTopK(emb, k = 5, nHint = parquetRowCount(s, s"$dir/embeddings.parquet"))
         .select(col("q_id"), col("rank"), col("n_id"))
         .orderBy("q_id", "rank")
     }),

@@ -25,7 +25,7 @@ object SpacyDetector {
     "PERSON" -> "NAME", "GPE" -> "ADDRESS", "LOC" -> "ADDRESS",
     "ORG" -> "ORGANIZATION", "PHONE" -> "PHONE", "ID" -> "ID",
     "PASSPORT" -> "PASSPORT", "UNIFIED_BUSINESS_NO" -> "UNIFIED_BUSINESS_NO",
-    "EMAIL" -> "EMAIL", "ADDRESS" -> "ADDRESS")
+    "EMAIL" -> "EMAIL", "ADDRESS" -> "ADDRESS", "MEDICAL_ID" -> "MEDICAL_ID")
 
   /** The model leaf: span-level NER (spaCy `doc.ents` analogue). */
   trait SpanNer extends Serializable {

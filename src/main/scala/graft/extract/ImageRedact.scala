@@ -41,6 +41,11 @@ object ImageRedact {
           if (seen.add(key))
             out += Rect(e.pageIndex.getOrElse(0), b(0), b(1), b(2), b(3),
               e.typ, "entity_bbox")
+        case Some(b) if b.nonEmpty =>
+          // malformed (truthy but not 4 values): reference `continue`s —
+          // the entity contributes NO rect, not a segment-overlap fallback
+          // (image.py:69-72)
+          ()
         case _ =>
           segments.foreach { seg =>
             val pageOk = (e.pageIndex, seg.page_index) match {

@@ -40,14 +40,20 @@ object PdfRedact {
     */
   def searchFor(pageBlocks: Seq[PdfExtract.Block], needle: String): Seq[Rect] =
     if (needle.isEmpty) Nil
-    else pageBlocks.flatMap { b =>
-      Iterator.unfold(b.text.indexOf(needle)) { idx =>
-        if (idx < 0) None
-        else Some(idx -> b.text.indexOf(needle, idx + 1))
-      }.map { idx =>
-        Rect(b.page, b.x + charW * idx, b.y,
-          b.x + charW * (idx + needle.length), b.y + lineH, "search_for")
-      }.toSeq
+    else {
+      // glyph cells are per CODE POINT (matching blockRect/cpSlice); convert
+      // the UTF-16 match offset so supplementary-plane chars don't shift rects
+      val needleCp = needle.codePointCount(0, needle.length)
+      pageBlocks.flatMap { b =>
+        Iterator.unfold(b.text.indexOf(needle)) { idx =>
+          if (idx < 0) None
+          else Some(idx -> b.text.indexOf(needle, idx + 1))
+        }.map { idx =>
+          val cpIdx = b.text.codePointCount(0, idx)
+          Rect(b.page, b.x + charW * cpIdx, b.y,
+            b.x + charW * (cpIdx + needleCp), b.y + lineH, "search_for")
+        }.toSeq
+      }
     }
 
   /** One entity's rects (`pdf.py:99-130`): search_for intersecting the block
@@ -109,12 +115,15 @@ object PdfRedact {
       val rs = byPage.getOrElse(page, Nil)
       val textOps = blocks.map { b =>
         val sb = new java.lang.StringBuilder
-        var i = 0
-        b.text.foreach { ch =>
+        var ci = 0 // UTF-16 offset
+        var i = 0  // code-point (glyph-cell) index
+        while (ci < b.text.length) {
+          val cp = b.text.codePointAt(ci)
           val cx0 = b.x + charW * i
           val covered = rs.exists(r =>
             intersects((cx0, b.y, cx0 + charW, b.y + lineH), (r.x0, r.y0, r.x1, r.y1)))
-          sb.append(if (covered) ' ' else ch)
+          if (covered) sb.append(' ') else sb.appendCodePoint(cp)
+          ci += Character.charCount(cp)
           i += 1
         }
         s"BT /F1 12 Tf ${fmt(b.x)} ${fmt(b.y)} Td (${PdfBuilder.escapeText(sb.toString)}) Tj ET"

@@ -665,19 +665,25 @@ case class PdfTextExpr(child: Expression)
 
 /** A2/K3 — whole-document PDF redaction: detect per block → resolve rects →
   * rebuild with covered glyphs removed + black fills.
-  * `struct<pdf:binary, n_rects:int>`.
+  * `struct<pdf:binary, n_rects:int, text:string>` — `text` is the rebuilt
+  * document re-extracted (the roundtrip "PII is really gone" evidence),
+  * computed HERE so consumers checking it don't re-parse the PDF per
+  * predicate (CodegenFallback exprs get no common-subexpression
+  * elimination guarantee).
   */
 case class PdfRedactExpr(child: Expression, lang: String = "zh")
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
     StructField("pdf", BinaryType, nullable = false),
-    StructField("n_rects", IntegerType, nullable = false)))
+    StructField("n_rects", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false)))
   override def prettyName: String = "graft_pdf_redact"
 
   override def nullSafeEval(input: Any): Any = {
     val (out, rects) = graft.extract.PdfRedact.redact(
       input.asInstanceOf[Array[Byte]], lang)
-    InternalRow(out, rects.length)
+    InternalRow(out, rects.length,
+      UTF8String.fromString(graft.extract.PdfExtract.extractText(out)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): PdfRedactExpr =

@@ -74,9 +74,15 @@ object EvalJob {
       maxExamples: Int = 0
   ): DataFrame = {
     val r = reports(spark, examplesPath, predictionsPath, bannedPhrases, maxExamples)
-    r.write.mode("overwrite").json(s"$outDir/reports")
-    val m = aggregate(r)
-    m.coalesce(1).write.mode("overwrite").json(s"$outDir/metrics")
-    m
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      r.write.mode("overwrite").json(s"$outDir/reports")
+      val m = aggregate(r)
+      m.coalesce(1).write.mode("overwrite").json(s"$outDir/metrics")
+      // materialize the single metrics row so the caller's actions on the
+      // returned frame don't re-run the whole join after unpersist
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(m.collect().toIndexedSeq, 1), m.schema)
+    } finally r.unpersist()
   }
 }

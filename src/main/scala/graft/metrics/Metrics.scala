@@ -14,15 +14,25 @@ object Metrics {
     * Exact-by-construction: collect_list + sort; promote to a sketch only
     * for report-grade numbers, never parity-checked ones.
     */
-  def summarizeNumbers(df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
+  def summarizeNumbers(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      maxExactGroupRows: Long = 50_000_000L): DataFrame = {
     val sorted = sort_array(collect_list(col(valueCol).cast("double")))
     val base = if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols.map(col): _*)
     // n=0 (global agg over an empty frame) mirrors summarize_numbers' empty
     // contract: all-zeros dict — and must not index sorted[0] (ANSI throws).
     def z(c: Column): Column = when(col("n") === 0, lit(0.0d)).otherwise(c)
+    // collect_list puts a whole group on one task's heap: refuse loudly past
+    // the bound instead of OOMing an executor — report-grade numbers at that
+    // scale belong to [[summarizeNumbersApprox]] (the sketch promotion path).
+    val guard = assert_true(col("n") <= lit(maxExactGroupRows),
+      lit(s"summarizeNumbers: group exceeds exact-percentile bound " +
+        s"$maxExactGroupRows rows; use summarizeNumbersApprox")).cast("double")
     base
       .agg(sorted.as("sorted"), count(col(valueCol)).as("n"))
-      .withColumn("min", z(element_at(col("sorted"), 1)))
+      .withColumn("min", coalesce(guard, z(element_at(col("sorted"), 1))))
       .withColumn("max", z(element_at(col("sorted"), -1)))
       .withColumn("mean", z(aggregate(col("sorted"), lit(0.0d), (a, x) => a + x) / col("n")))
       .withColumn("p50",
@@ -32,6 +42,30 @@ object Metrics {
       .withColumn("p95",
         z(element_at(col("sorted"), floor(lit(0.95) * (col("n") - 1)).cast("int") + 1)))
       .drop("sorted")
+  }
+
+  /** G1 at report scale — same output shape as [[summarizeNumbers]] but
+    * sketch-based (`percentile_approx`, partial-aggregated map-side): no
+    * per-group heap materialization, safe for billion-row groups. NOT
+    * parity-exact (p50 is nearest-rank, not midpoint; p95 is the sketch's
+    * answer) — never use where the reference's formula is being matched.
+    */
+  def summarizeNumbersApprox(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      accuracy: Int = 10000): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols.map(col): _*)
+    def z(c: Column): Column = when(col("n") === 0, lit(0.0d)).otherwise(coalesce(c, lit(0.0d)))
+    base
+      .agg(count(v).as("n"), min(v).as("min_"), max(v).as("max_"), avg(v).as("mean_"),
+        percentile_approx(v, lit(0.5), lit(accuracy)).as("p50_"),
+        percentile_approx(v, lit(0.95), lit(accuracy)).as("p95_"))
+      .withColumn("min", z(col("min_"))).withColumn("max", z(col("max_")))
+      .withColumn("mean", z(col("mean_")))
+      .withColumn("p50", z(col("p50_"))).withColumn("p95", z(col("p95_")))
+      .drop("min_", "max_", "mean_", "p50_", "p95_")
   }
 
   /** G5 — `TYPE_PATTERNS` (`training/deid_eval.py:99-112`), as Spark regex

@@ -101,12 +101,19 @@ object Dedup {
     val sh = docs.join(candidateIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingles(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates
+    val result = candidates
       .join(sh.withColumnRenamed(idCol, "a").withColumnRenamed("sh", "sh_a"), "a")
       .join(sh.withColumnRenamed(idCol, "b").withColumnRenamed("sh", "sh_b"), "b")
       .withColumn("jaccard", jaccardArrays(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize, then release the intermediates — repeated invocations in a
+    // long-lived session would otherwise accumulate cached band/shingle blocks.
+    // The (small) verified-pair result is the only frame the caller owns.
+    result.count()
+    b.unpersist(); candidates.unpersist(); sh.unpersist()
+    result
   }
 
   /** Exact Jaccard over two string arrays (distinct semantics). */

@@ -89,11 +89,15 @@ object Similarity {
   ): DataFrame = {
     val pairs = candidatePairs(corpus, resolveBits(nHint, bits), tables, dim,
       idCol, vecCol, ordered = false)
-    scorePairs(corpus, pairs, idCol, vecCol)
+    val result = scorePairs(corpus, pairs, idCol, vecCol)
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    pairs.unpersist()
+    result
   }
 
   /** bits ≈ log2(n / 128): keeps expected bucket size ~128 at any corpus
@@ -134,7 +138,10 @@ object Similarity {
 
   /** Deduped candidate id pairs from the multi-table bucket self-join. The
     * banded frame is persisted so bucket hashing runs once, and only narrow
-    * (id, table, bucket) rows shuffle.
+    * (id, table, bucket) rows shuffle. The returned pairs frame is itself
+    * persisted + materialized so the banded cache can be released here (no
+    * cached-block accumulation across invocations); callers unpersist it
+    * once their own result is materialized.
     */
   private def candidatePairs(
       corpus: DataFrame,
@@ -148,11 +155,15 @@ object Similarity {
     val b = lshTables(corpus, bits, tables, dim, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cond = if (ordered) col("l.id") < col("r.id") else col("l.id") =!= col("r.id")
-    b.as("l").join(b.as("r"),
+    val pairs = b.as("l").join(b.as("r"),
         col("l.table") === col("r.table") &&
           col("l.bucket") === col("r.bucket") && cond)
       .select(col("l.id").as("q_id"), col("r.id").as("n_id"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    b.unpersist()
+    pairs
   }
 
   /** Exact cosine for candidate pairs: vectors join back once per side —
@@ -187,8 +198,12 @@ object Similarity {
   ): DataFrame = {
     val pairs = candidatePairs(corpus, resolveBits(nHint, bits), tables, dim,
       idCol, vecCol, ordered = true)
-    scorePairs(corpus, pairs, idCol, vecCol)
+    val result = scorePairs(corpus, pairs, idCol, vecCol)
       .where(col("sim") >= threshold)
       .select(col("q_id").as("a"), col("n_id").as("b"), col("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    pairs.unpersist()
+    result
   }
 }

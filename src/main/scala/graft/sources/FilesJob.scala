@@ -79,7 +79,9 @@ object FilesJob {
 
   /** Run and write each rebuilt document to `outputDir/{stem}.deid{ext}`.
     * Returns (files, total entities). Writes happen on executors via the
-    * Hadoop FS API — no driver collect.
+    * Hadoop FS API — no driver collect; totals are tallied by accumulators
+    * during the same write pass, so the extract→deid→rebuild pipeline runs
+    * exactly once per document.
     */
   def run(
       spark: SparkSession,
@@ -91,6 +93,8 @@ object FilesJob {
     val processed = process(spark, inputDir, mode, lang)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    val nFiles = spark.sparkContext.longAccumulator("filesjob.files")
+    val nEnts = spark.sparkContext.longAccumulator("filesjob.entities")
     processed.select("out_name", "bytes", "n_entities").rdd
       .foreachPartition { it =>
         val dir = new org.apache.hadoop.fs.Path(outputDir)
@@ -101,9 +105,10 @@ object FilesJob {
             new org.apache.hadoop.fs.Path(dir, row.getString(0)), true)
           try out.write(row.getAs[Array[Byte]](1))
           finally out.close()
+          nFiles.add(1L)
+          nEnts.add(row.getInt(2).toLong)
         }
       }
-    val agg = processed.agg(count(lit(1)), sum("n_entities")).collect().head
-    (agg.getLong(0), Option(agg.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    (nFiles.value, nEnts.value)
   }
 }

@@ -142,6 +142,21 @@ class FormatJobsSpec extends AnyFunSuite {
     assert(fb == Seq(PdfRedact.Rect(0, br._1, br._2, br._3, br._4, "block_bbox")))
   }
 
+  test("A2 rects use code-point glyph cells with supplementary-plane prefix") {
+    import graft.extract.{PdfExtract, PdfRedact}
+    // "😀😀" = 2 code points but 4 UTF-16 chars before the needle
+    val blocks = Seq(PdfExtract.Block(0, 72, 700, "😀😀 A123456789"))
+    val hit = PdfRedact.searchFor(blocks, "A123456789")
+    assert(hit.length == 1)
+    // needle sits at code-point offset 3 (two emoji + space), width 10 cells
+    assert(math.abs(hit.head.x0 - (72 + 3 * PdfRedact.charW)) < 1e-9, hit)
+    assert(math.abs(hit.head.x1 - (72 + 13 * PdfRedact.charW)) < 1e-9, hit)
+    // rebuild drops exactly the covered glyph cells, not UTF-16-shifted ones
+    val rebuilt = PdfRedact.rebuild(Seq(0 -> blocks), hit)
+    val text = PdfExtract.extractText(rebuilt)
+    assert(!text.contains("A123456789"), text)
+  }
+
   test("K3 black-box rebuild: redacted PDF no longer contains the PII text") {
     import graft.extract.{PdfBuilder, PdfExtract, PdfRedact}
     val pdf = PdfBuilder.singlePage("id A123456789 here\ncall 0912-345-678 now\nplain line")

@@ -35,6 +35,33 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("G1 giant-group guard trips past maxExactGroupRows; parity path unchanged") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    // under the bound: identical result to the unguarded path
+    val ok = Metrics.summarizeNumbers(df, "x", Nil, maxExactGroupRows = 100).collect().head
+    assert(ok.getAs[Double]("p50") == 50.5 && ok.getAs[Double]("max") == 100.0)
+    // over the bound: refuses loudly instead of materializing the group
+    val e = intercept[Exception] {
+      Metrics.summarizeNumbers(df, "x", Nil, maxExactGroupRows = 99).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("summarizeNumbersApprox")), e.getMessage)
+  }
+
+  test("G1 approx variant: same shape, sketch values within tolerance") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val r = Metrics.summarizeNumbersApprox(df, "x", Nil).collect().head
+    assert(r.getAs[Long]("n") == 1000L)
+    assert(r.getAs[Double]("min") == 1.0 && r.getAs[Double]("max") == 1000.0)
+    assert(math.abs(r.getAs[Double]("mean") - 500.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p50") - 500.0) <= 1.0)
+    assert(math.abs(r.getAs[Double]("p95") - 950.0) <= 2.0)
+    // empty input keeps the all-zeros contract
+    val z = Metrics.summarizeNumbersApprox(df.where(lit(false)), "x", Nil).collect().head
+    assert(z.getAs[Long]("n") == 0L && z.getAs[Double]("p95") == 0.0)
+  }
+
   test("G7 repetition_3gram_rate parity") {
     root.get("rep3gram").elements().asScala.foreach { c =>
       val text = c.get("text").asText()

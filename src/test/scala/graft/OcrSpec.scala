@@ -81,6 +81,15 @@ class OcrSpec extends AnyFunSuite {
     val two = ImageRedact.resolveRects(
       Seq(ImageRedact.Ent("X", 3, 8)), doc.segments)
     assert(two.map(_.segmentId.get) == Seq(0, 1))
+    // malformed bbox (truthy, wrong arity): reference `continue`s — the
+    // entity is skipped ENTIRELY, no segment_overlap fallback (image.py:69-72)
+    val malformed = ImageRedact.resolveRects(
+      Seq(ImageRedact.Ent("ID", 6, 16, bbox = Some(Seq(1, 2, 3)))), doc.segments)
+    assert(malformed.isEmpty)
+    // empty bbox list is falsy → segment_overlap path, like bbox = None
+    val emptyBbox = ImageRedact.resolveRects(
+      Seq(ImageRedact.Ent("ID", 6, 16, bbox = Some(Nil))), doc.segments)
+    assert(emptyBbox.map(_.strategy) == Seq("segment_overlap"))
   }
 
   test("no blocks survive → one segment holding the (empty) full text") {

@@ -19,12 +19,17 @@ class SpacyDetectorSpec extends AnyFunSuite {
   test("NER spans map through SPACY_TO_PII_TYPE; unknown labels dropped") {
     val ner = new SpacyDetector.SpanNer {
       def ents(t: String): Seq[(Int, Int, String)] =
-        Seq((0, 2, "PERSON"), (4, 6, "DATE" /* unmapped */), (7, 9, "GPE"))
+        Seq((0, 2, "PERSON"), (4, 6, "DATE" /* unmapped */), (7, 9, "GPE"),
+          (10, 12, "MEDICAL_ID"))
     }
     val got = SpacyDetector.detect("xx yy zz aa bb", ner)
     assert(got == List(
       SpanEnt(0, 2, "NAME", 0.99, "spacy"),
-      SpanEnt(7, 9, "ADDRESS", 0.99, "spacy")))
+      SpanEnt(7, 9, "ADDRESS", 0.99, "spacy"),
+      SpanEnt(10, 12, "MEDICAL_ID", 0.99, "spacy")))
+    // all 11 reference labels present (spacy_detector.py:13-27)
+    assert(SpacyDetector.spacyToPiiType.size == 11)
+    assert(SpacyDetector.spacyToPiiType("MEDICAL_ID") == "MEDICAL_ID")
   }
 
   test("both passes merge sorted by start, NER-first on ties (python sorted)") {

@@ -215,18 +215,19 @@ object SparkEntry {
 
     "pdf_extract_roundtrip" -> ((s, dir) =>
       // synthesize a PDF payload per document (ascii projection), extract it
-      // back layout-ordered, and redact the extracted text — the embedded-
-      // PDF-payload path of the north rule, end to end. needs_ocr is the S5
-      // trigger flag (page text < 50 chars ⇒ the reference would OCR).
+      // back layout-ordered — the embedded-PDF-payload path of the north
+      // rule, end to end. roundtrip_ok is true by construction (builder →
+      // extractor inverse pair) and needs_ocr is the S5 trigger flag (page
+      // text < 50 code points ⇒ the reference would OCR) — BOTH derivable in
+      // SQL from the source text, so this row carries a real DuckDB oracle.
       docs(s, dir)
         .select(col("doc_id"),
-          substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 200).as("src"))
+          trim(substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 200)).as("src"))
         .withColumn("pdf", gf.pdfSynth(col("src")))
         .withColumn("extracted", gf.pdfText(col("pdf")))
-        .select(col("doc_id"), length(col("pdf")).as("pdf_bytes"),
+        .select(col("doc_id"), (length(col("pdf")) > 0).as("pdf_ok"),
           (col("extracted") === col("src")).as("roundtrip_ok"),
-          element_at(gf.pdfPages(col("pdf")), 1).getField("needs_ocr").as("needs_ocr"),
-          size(gf.regexDetect(col("extracted"))).as("n_entities"))
+          element_at(gf.pdfPages(col("pdf")), 1).getField("needs_ocr").as("needs_ocr"))
         .orderBy("doc_id")),
 
     // A2/K3: synth PDF with PII lines → black-box redaction → re-extract:
@@ -454,11 +455,16 @@ object SparkEntry {
 
     // ---- multimodal plumbing (stubbed decode; real schema/partitioning) ----
     "media_features" -> ((s, dir) =>
+      // the stub decode is deterministic, so the SHAPE invariants (feature
+      // dim, frame count, payload + total frame bytes) are SQL-derivable
+      // from the source text — oracle-checked; the hash-derived meta fields
+      // (kind/width) stay spec-covered in MultimodalSpec.
       Multimodal.featurize(
         Multimodal.withFakeMedia(docs(s, dir).select("doc_id", "text")))
-        .select(col("doc_id"), col("media.meta.kind").as("kind"),
-          col("media.meta.width").as("width"), size(col("features")).as("dim"),
-          size(col("frames")).as("n_frames"))
+        .select(col("doc_id"), size(col("features")).as("dim"),
+          size(col("frames")).as("n_frames"),
+          length(col("media.data")).as("data_len"),
+          aggregate(col("frames"), lit(0), (a, x) => a + length(x)).as("frames_len"))
         .orderBy("doc_id")),
 
     // ---- eval metrics over the pipeline's own output -----------------------
@@ -796,6 +802,23 @@ object SparkEntry {
           "FROM documents ORDER BY doc_id"),
       "pdf_redact" ->
         ("SELECT doc_id, 2 AS n_rects, true AS pii_absent " +
+          "FROM documents ORDER BY doc_id"),
+
+      // builder→extractor are an inverse pair on the ascii projection, so
+      // roundtrip_ok is true by construction; needs_ocr is the S5 rule
+      // (<50 chars) applied to the same SQL-derivable source slice
+      "pdf_extract_roundtrip" ->
+        ("SELECT doc_id, true AS pdf_ok, true AS roundtrip_ok, " +
+          "(length(trim(substr(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), 1, 200))) < 50) AS needs_ocr " +
+          "FROM documents ORDER BY doc_id"),
+
+      // stub decode is deterministic: dim/frame-count are constants, byte
+      // lengths derive from the utf8 payload (4 slices of len/4, min 1)
+      "media_features" ->
+        ("SELECT doc_id, 16 AS dim, 4 AS n_frames, " +
+          "CAST(octet_length(encode(text)) AS INTEGER) AS data_len, " +
+          "CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0 " +
+          "ELSE 4 * greatest(octet_length(encode(text)) // 4, 1) END AS INTEGER) AS frames_len " +
           "FROM documents ORDER BY doc_id"),
 
       // the turns HTML payload is one fixed template, so the bs4-parity

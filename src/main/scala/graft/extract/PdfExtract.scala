@@ -10,26 +10,40 @@ import scala.collection.mutable.ArrayBuffer
   * blocks with their bboxes, sorted top-down then left-right, text-typed
   * blocks only, block texts stripped and joined by "\n"
   * (`/root/reference/src/deid_pipeline/handlers/pdf.py:13-42`). This
-  * extractor replicates that *contract* on a deliberately small PDF subset:
+  * extractor replicates that *contract* over the PDF constructs that
+  * machine-generated documents (TeX, browsers, office exporters, report
+  * generators) actually emit:
   *
-  *  - cross-reference-free object scan (`N 0 obj … endobj`);
-  *  - page objects in file order; `/Contents N 0 R` single stream per page;
-  *  - content streams raw or `/FlateDecode`;
-  *  - text operators: BT/ET, Td, TD, T*, TL, Tm, Tj, TJ, ' (quote);
-  *  - literal `(…)` strings with escapes + octal, and hex `<…>` strings,
-  *    single-byte encodings only (no CID/Type0 font decoding).
+  *  - classic AND cross-reference-stream files: objects are found by a
+  *    full-file scan (`N G obj … endobj`, /Length-aware so binary streams
+  *    can't fake an `endobj`), then `/Type /ObjStm` object streams are
+  *    expanded — no xref table needed, which also makes the parser robust
+  *    to the truncated/append-updated files real corpora contain;
+  *  - page ORDER from the catalog's /Pages tree (/Kids, nested), falling
+  *    back to file order when no catalog resolves;
+  *  - `/Contents` as a single ref or an array of refs (streams concatenated
+  *    in order, as the spec requires);
+  *  - stream filters: /FlateDecode (with PNG predictors), /ASCIIHexDecode,
+  *    /ASCII85Decode, and chains thereof; LZW is out of scope (rare in
+  *    post-2000 producers);
+  *  - text operators: BT/ET, Td, TD, T*, TL, Tm, Tj, TJ, ', ", Tf;
+  *  - per-font decoding via /ToUnicode CMaps, /Encoding /Differences with
+  *    AGL glyph names, /WinAnsiEncoding//MacRomanEncoding, Type0 2-byte
+  *    codes ([[PdfFonts]]); glyph advances from /Widths or standard-14
+  *    metrics drive block bboxes and the TJ kerning-gap space heuristic
+  *    (TeX encodes inter-word spaces as negative TJ offsets, not space
+  *    glyphs).
   *
   * Block model: one block per BT…ET; within a block each Td/TD/T-star/Tm
-  * starts a new line; lines join with "\n". Blocks sort by (top DESC in PDF user
-  * space = top-down on the page, then x ASC), ties by emission order.
+  * starts a new line; lines join with "\n". Blocks sort by (top DESC in PDF
+  * user space = top-down on the page, then x ASC), ties by emission order.
   *
-  * Good enough for machine-generated single-column PDFs (the fixture class
-  * the reference tests with); scanned/CID PDFs are out of v1 scope
-  * (SURVEY §7.6).
+  * Scanned (image-only) and CID-without-ToUnicode PDFs degrade to the S5
+  * OCR-fallback flag rather than text (SURVEY §7.6).
   */
 object PdfExtract {
 
-  final case class Block(page: Int, x: Double, y: Double, text: String)
+  final case class Block(page: Int, x: Double, y: Double, text: String, x1: Double = 0.0)
 
   /** One extracted page: layout-ordered text plus the S5 OCR-fallback
     * trigger flag (`parser/text_extractor.py:155`): a page whose extracted
@@ -63,83 +77,406 @@ object PdfExtract {
   /** Layout-ordered blocks across pages. */
   def extractBlocks(pdf: Array[Byte]): Seq[Block] = pageBlocks(pdf).flatMap(_._2)
 
-  /** (pageIdx, layout-ordered blocks) for every page object, including pages
-    * that resolve to no text blocks.
+  // ---- object layer --------------------------------------------------------
+
+  private final case class PdfObj(dict: String, stream: Option[Array[Byte]])
+
+  /** (pageIdx, layout-ordered blocks) for every page, including pages that
+    * resolve to no text blocks.
     */
   def pageBlocks(pdf: Array[Byte]): Seq[(Int, Seq[Block])] = {
     val raw = new String(pdf, StandardCharsets.ISO_8859_1)
-    val objects = scanObjects(raw)
-    val pages = pageContentRefs(raw)
-    pages.zipWithIndex.map { case (contentObj, pageIdx) =>
-      pageIdx -> objects.get(contentObj).toSeq.flatMap { objBody =>
-        streamBytes(objBody).toSeq.flatMap { bytes =>
-          val content = new String(bytes, StandardCharsets.ISO_8859_1)
-          val blocks = interpret(content, pageIdx)
-          blocks.sortBy(b => (-b.y, b.x))
+    val objects = expandObjStms(scanObjects(raw))
+    val pages = pageObjects(objects)
+    pages.zipWithIndex.map { case (pageDict, pageIdx) =>
+      val fonts = pageFonts(pageDict, objects)
+      val content = contentStreams(pageDict, objects)
+        .map(b => new String(b, StandardCharsets.ISO_8859_1))
+        .mkString("\n")
+      pageIdx -> interpret(content, pageIdx, fonts).sortBy(b => (-b.y, b.x))
+    }
+  }
+
+  /** obj number → (dict text, raw stream bytes). /Length-aware: a literal
+    * /Length slices the stream exactly so binary payloads containing
+    * `endobj`/`endstream` bytes can't derail the scan; indirect /Length
+    * falls back to the `endstream` search.
+    */
+  private def scanObjects(raw: String): Map[Int, PdfObj] = {
+    val re = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj\\b")
+    val lenRe = java.util.regex.Pattern.compile("/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)")
+    val m = re.matcher(raw)
+    val out = Map.newBuilder[Int, PdfObj]
+    var searchFrom = 0
+    while (m.find(searchFrom)) {
+      val num = m.group(1).toInt
+      val bodyStart = m.end
+      val streamKw = raw.indexOf("stream", bodyStart)
+      val endobjKw = raw.indexOf("endobj", bodyStart)
+      if (endobjKw < 0) {
+        // truncated file: keep what we have
+        searchFrom = raw.length
+      } else if (streamKw >= 0 && streamKw < endobjKw) {
+        val dict = raw.substring(bodyStart, streamKw)
+        var s = streamKw + "stream".length
+        if (s < raw.length && raw.charAt(s) == '\r') s += 1
+        if (s < raw.length && raw.charAt(s) == '\n') s += 1
+        val lm = lenRe.matcher(dict)
+        val end =
+          if (lm.find()) math.min(s + lm.group(1).toLong, raw.length.toLong).toInt
+          else {
+            val e = raw.indexOf("endstream", s)
+            if (e < 0) raw.length else stripEol(raw, s, e)
+          }
+        val bytes = raw.substring(s, end).getBytes(StandardCharsets.ISO_8859_1)
+        out += num -> PdfObj(dict, Some(bytes))
+        val after = raw.indexOf("endobj", end)
+        searchFrom = if (after < 0) raw.length else after + 6
+      } else {
+        out += num -> PdfObj(raw.substring(bodyStart, endobjKw), None)
+        searchFrom = endobjKw + 6
+      }
+    }
+    out.result()
+  }
+
+  private def stripEol(raw: String, start: Int, end: Int): Int = {
+    var e = end
+    if (e > start && raw.charAt(e - 1) == '\n') e -= 1
+    if (e > start && raw.charAt(e - 1) == '\r') e -= 1
+    e
+  }
+
+  /** Expand `/Type /ObjStm` compressed object streams into the map (this is
+    * how PDF 1.5+ files store their page/font dictionaries; walking ObjStms
+    * directly sidesteps xref-stream parsing entirely).
+    */
+  private def expandObjStms(objects: Map[Int, PdfObj]): Map[Int, PdfObj] = {
+    val extra = Map.newBuilder[Int, PdfObj]
+    objects.valuesIterator.foreach { obj =>
+      if (obj.dict.contains("/ObjStm") && obj.stream.isDefined) {
+        decodeStream(obj).foreach { payload =>
+          val text = new String(payload, StandardCharsets.ISO_8859_1)
+          (intAfter(obj.dict, "/N"), intAfter(obj.dict, "/First")) match {
+            case (Some(n), Some(first)) =>
+              val header = text.substring(0, math.min(first, text.length))
+              val nums = "\\d+".r.findAllIn(header).map(_.toInt).toArray
+              var i = 0
+              while (i + 1 < nums.length && i / 2 < n) {
+                val objNum = nums(i)
+                val off = first + nums(i + 1)
+                val end =
+                  if (i + 3 < nums.length && (i + 2) / 2 < n) first + nums(i + 3)
+                  else text.length
+                if (off <= text.length)
+                  extra += objNum -> PdfObj(
+                    text.substring(off, math.min(end, text.length)), None)
+                i += 2
+              }
+            case _ => ()
+          }
         }
       }
     }
+    // in-file objects win over ObjStm copies (appended incremental updates)
+    extra.result() ++ objects
   }
 
-  /** obj number → body text (between `obj` and `endobj`). */
-  private def scanObjects(raw: String): Map[Int, String] = {
-    val re = java.util.regex.Pattern.compile("(\\d+)\\s+0\\s+obj", java.util.regex.Pattern.DOTALL)
-    val m = re.matcher(raw)
-    val out = Map.newBuilder[Int, String]
-    while (m.find()) {
-      val end = raw.indexOf("endobj", m.end)
-      if (end > 0) out += m.group(1).toInt -> raw.substring(m.end, end)
-    }
-    out.result()
+  private def intAfter(dict: String, key: String): Option[Int] = {
+    val m = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(key) + "\\s+(\\d+)").matcher(dict)
+    if (m.find()) Some(m.group(1).toInt) else None
   }
 
-  /** /Type /Page objects in file order → their /Contents object number. */
-  private def pageContentRefs(raw: String): Seq[Int] = {
-    val pageRe = java.util.regex.Pattern.compile(
-      "\\d+\\s+0\\s+obj(.*?)endobj", java.util.regex.Pattern.DOTALL)
-    val contentsRe = java.util.regex.Pattern.compile("/Contents\\s+(\\d+)\\s+0\\s+R")
-    val m = pageRe.matcher(raw)
-    val out = Seq.newBuilder[Int]
-    while (m.find()) {
-      val body = m.group(1)
-      if (body.contains("/Type /Page") && !body.contains("/Type /Pages")) {
-        val c = contentsRe.matcher(body)
-        if (c.find()) out += c.group(1).toInt
+  private def refAfter(dict: String, key: String): Option[Int] = {
+    val m = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(key) + "\\s+(\\d+)\\s+\\d+\\s+R").matcher(dict)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  // ---- filters -------------------------------------------------------------
+
+  /** Apply the object's filter chain to its raw stream. */
+  private def decodeStream(obj: PdfObj): Option[Array[Byte]] =
+    obj.stream.map { data =>
+      filterNames(obj.dict).foldLeft(data) { (d, f) =>
+        f match {
+          case "FlateDecode" => predictor(obj.dict, inflate(d))
+          case "ASCIIHexDecode" => asciiHex(d)
+          case "ASCII85Decode" => ascii85(d)
+          case _ => d // unknown (LZW, DCT…): pass through, caller sees garbage → no text
+        }
       }
     }
-    out.result()
-  }
 
-  /** Stream payload of an object body, inflated when /FlateDecode. */
-  private def streamBytes(objBody: String): Option[Array[Byte]] = {
-    val si = objBody.indexOf("stream")
-    if (si < 0) return None
-    var start = si + "stream".length
-    if (start < objBody.length && objBody.charAt(start) == '\r') start += 1
-    if (start < objBody.length && objBody.charAt(start) == '\n') start += 1
-    val end = objBody.indexOf("endstream", start)
-    if (end < 0) return None
-    val data = objBody.substring(start, end).stripSuffix("\n").stripSuffix("\r")
-      .getBytes(StandardCharsets.ISO_8859_1)
-    if (objBody.substring(0, si).contains("/FlateDecode")) Some(inflate(data))
-    else Some(data)
+  private def filterNames(dict: String): Seq[String] = {
+    val m = java.util.regex.Pattern
+      .compile("/Filter\\s*(\\[[^\\]]*\\]|/\\w+)").matcher(dict)
+    if (!m.find()) Nil
+    else "/(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
     val buf = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
-      val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n) else if (n == 0 && inf.needsDictionary()) return out.toByteArray
-    }
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && inf.needsDictionary()) return out.toByteArray
+      }
+    } catch { case _: java.util.zip.DataFormatException => () } // partial OK
     inf.end()
     out.toByteArray
   }
 
-  /** Tiny content-stream interpreter for the text operators. */
-  private def interpret(content: String, page: Int): Seq[Block] = {
+  /** PNG predictors (/DecodeParms /Predictor >= 10) — TeX/ghostscript apply
+    * them to ObjStm payloads occasionally; cheap to undo.
+    */
+  private def predictor(dict: String, data: Array[Byte]): Array[Byte] = {
+    val pred = intAfter(dict, "/Predictor").getOrElse(1)
+    if (pred < 10) return data
+    val columns = intAfter(dict, "/Columns").getOrElse(1)
+    val colors = intAfter(dict, "/Colors").getOrElse(1)
+    val bpc = intAfter(dict, "/BitsPerComponent").getOrElse(8)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = columns * bpp
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val rawB = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => rawB
+          case 1 => rawB + left
+          case 2 => rawB + up
+          case 3 => rawB + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            rawB + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => rawB
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  private def asciiHex(data: Array[Byte]): Array[Byte] = {
+    val s = new String(data, StandardCharsets.ISO_8859_1)
+      .takeWhile(_ != '>').filter(c => !c.isWhitespace)
+    val padded = if (s.length % 2 == 1) s + "0" else s
+    padded.grouped(2).map(p => Integer.parseInt(p, 16).toByte).toArray
+  }
+
+  private def ascii85(data: Array[Byte]): Array[Byte] = {
+    val s = new String(data, StandardCharsets.ISO_8859_1)
+    val end = s.indexOf("~>")
+    val src = (if (end >= 0) s.substring(0, end) else s).filter(c => !c.isWhitespace)
+    val out = new java.io.ByteArrayOutputStream(src.length * 4 / 5 + 4)
+    var i = 0
+    while (i < src.length) {
+      if (src.charAt(i) == 'z') {
+        out.write(0); out.write(0); out.write(0); out.write(0); i += 1
+      } else {
+        val group = src.substring(i, math.min(i + 5, src.length))
+        val pad = 5 - group.length
+        var v = 0L
+        (group + "u" * pad).foreach(c => v = v * 85 + (c - '!'))
+        val bytes = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        out.write(bytes, 0, 4 - pad)
+        i += 5
+      }
+    }
+    out.toByteArray
+  }
+
+  // ---- document structure --------------------------------------------------
+
+  /** Page dicts in document order: catalog → /Pages → /Kids walk; fallback
+    * to `/Type /Page` objects in object-number order when no tree resolves.
+    */
+  private def pageObjects(objects: Map[Int, PdfObj]): Seq[String] = {
+    val catalog = objects.valuesIterator
+      .find(o => o.dict.contains("/Catalog"))
+    val fromTree = catalog.flatMap(c => refAfter(c.dict, "/Pages")).map { rootRef =>
+      val out = Seq.newBuilder[String]
+      val seen = scala.collection.mutable.Set.empty[Int]
+      def walk(ref: Int): Unit =
+        if (seen.add(ref)) objects.get(ref).foreach { node =>
+          if (isPageDict(node.dict)) out += node.dict
+          else kidRefs(node.dict).foreach(walk)
+        }
+      walk(rootRef)
+      out.result()
+    }.filter(_.nonEmpty)
+    fromTree.getOrElse {
+      objects.toSeq.sortBy(_._1).map(_._2.dict).filter(isPageDict)
+    }
+  }
+
+  private def isPageDict(dict: String): Boolean =
+    ("/Type\\s*/Page\\b".r.findFirstIn(dict).isDefined) &&
+      !("/Type\\s*/Pages\\b".r.findFirstIn(dict).isDefined)
+
+  private def kidRefs(dict: String): Seq[Int] = {
+    val i = dict.indexOf("/Kids")
+    if (i < 0) return Nil
+    val open = dict.indexOf('[', i)
+    val close = dict.indexOf(']', open + 1)
+    if (open < 0 || close < 0) return Nil
+    "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(dict.substring(open, close))
+      .map(_.group(1).toInt).toSeq
+  }
+
+  /** A page's decoded content — /Contents single ref or array of refs. */
+  private def contentStreams(pageDict: String, objects: Map[Int, PdfObj]): Seq[Array[Byte]] = {
+    val i = pageDict.indexOf("/Contents")
+    if (i < 0) return Nil
+    val tail = pageDict.substring(i + 9)
+    val refs: Seq[Int] =
+      if (tail.dropWhile(_.isWhitespace).startsWith("[")) {
+        val open = tail.indexOf('[')
+        val close = tail.indexOf(']', open)
+        "(\\d+)\\s+\\d+\\s+R".r
+          .findAllMatchIn(tail.substring(open, if (close < 0) tail.length else close))
+          .map(_.group(1).toInt).toSeq
+      } else refAfter(pageDict, "/Contents").toSeq
+    refs.flatMap(r => objects.get(r).flatMap(decodeStream))
+  }
+
+  /** Resource-name → Font for a page (resources inline or by ref; /Parent
+    * inheritance handled by the tree walk passing dicts whose /Resources
+    * resolve here).
+    */
+  private def pageFonts(pageDict: String, objects: Map[Int, PdfObj]): Map[String, PdfFonts.Font] = {
+    val resDict: Option[String] =
+      refAfter(pageDict, "/Resources").flatMap(objects.get).map(_.dict)
+        .orElse {
+          val i = pageDict.indexOf("/Resources")
+          if (i < 0) None else Some(pageDict.substring(i))
+        }
+    resDict.toSeq.flatMap { res =>
+      val fi = res.indexOf("/Font")
+      if (fi < 0) Nil
+      else {
+        // /Font is either an inline << ... >> dict or a ref to one; bound
+        // the name→ref parse to that dict so /XObject etc. can't leak in
+        val tail = res.substring(fi + 5).dropWhile(_.isWhitespace)
+        val fontDict: String =
+          if (tail.startsWith("<<")) tail.substring(2, balancedDictEnd(tail))
+          else refAfter(res.substring(fi), "/Font")
+            .flatMap(objects.get).map(_.dict).getOrElse("")
+        "/([\\w\\.]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fontDict)
+          .map(m => m.group(1) -> loadFont(m.group(2).toInt, objects))
+          .toSeq
+      }
+    }.toMap
+  }
+
+  /** Index just past the `>>` closing the `<<` that `s` starts with. */
+  private def balancedDictEnd(s: String): Int = {
+    var depth = 0
+    var i = 0
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return i - 2
+      }
+      else i += 1
+    }
+    s.length
+  }
+
+  private def loadFont(ref: Int, objects: Map[Int, PdfObj]): PdfFonts.Font =
+    objects.get(ref).map { obj =>
+      val dict = obj.dict
+      val base = "/BaseFont\\s*/([#\\w+\\-\\.]+)".r
+        .findFirstMatchIn(dict).map(_.group(1)).getOrElse("")
+      val twoByte = dict.contains("/Type0")
+      val toUni = refAfter(dict, "/ToUnicode")
+        .flatMap(objects.get).flatMap(decodeStream)
+        .map(b => PdfFonts.parseToUnicode(new String(b, StandardCharsets.ISO_8859_1)))
+        .getOrElse(Map.empty)
+      // /Encoding: named directly, or a dict (inline or by ref) with
+      // /BaseEncoding + /Differences
+      val encText: Option[String] = {
+        val i = dict.indexOf("/Encoding")
+        if (i < 0) None
+        else {
+          val tail = dict.substring(i + 9).dropWhile(_.isWhitespace)
+          if (tail.startsWith("/")) Some(tail.takeWhile(c => c == '/' || c.isLetterOrDigit))
+          else refAfter(dict, "/Encoding").flatMap(objects.get).map(_.dict)
+            .orElse(Some(tail))
+        }
+      }
+      // CM text fonts (TeX) without explicit encoding run on the builtin
+      // OT1 layout; CMTT (typewriter) is ASCII-literal, CMMI/CMSY/CMEX are
+      // math fonts (no text mapping attempted)
+      val cmText = "^([A-Z]{6}\\+)?CM(?!TT|MI|SY|EX)".r.findFirstIn(base).isDefined
+      val baseEnc = encText.map { e =>
+        if (e.contains("WinAnsi")) "WinAnsi"
+        else if (e.contains("MacRoman")) "MacRoman"
+        else if (cmText) "OT1"
+        else ""
+      }.getOrElse(if (cmText) "OT1" else "")
+      val diffs: Map[Int, String] = encText.filter(_.contains("/Differences")).map { e =>
+        val open = e.indexOf('[', e.indexOf("/Differences"))
+        val close = if (open >= 0) e.indexOf(']', open) else -1
+        if (open < 0 || close < 0) Map.empty[Int, String]
+        else {
+          val toks = "(\\d+)|/([\\w\\.]+)".r.findAllMatchIn(e.substring(open + 1, close))
+          var code = 0
+          val out = Map.newBuilder[Int, String]
+          toks.foreach { m =>
+            if (m.group(1) != null) code = m.group(1).toInt
+            else { out += code -> m.group(2); code += 1 }
+          }
+          out.result()
+        }
+      }.getOrElse(Map.empty)
+      // widths: /Widths array + /FirstChar, else standard-14 family table
+      val (stdW, defaultW, spaceW) = PdfFonts.Std14.widths(base)
+      val widths: Map[Int, Int] = {
+        val wi = dict.indexOf("/Widths")
+        val fc = intAfter(dict, "/FirstChar").getOrElse(0)
+        if (wi < 0) stdW
+        else {
+          val open = dict.indexOf('[', wi)
+          val close = if (open >= 0) dict.indexOf(']', open) else -1
+          if (open < 0 || close < 0) stdW
+          else "[-\\d\\.]+".r.findAllIn(dict.substring(open + 1, close))
+            .zipWithIndex
+            .map { case (w, i) => (fc + i) -> math.round(w.toDouble).toInt }
+            .toMap
+        }
+      }
+      val sw = widths.getOrElse(' '.toInt, spaceW)
+      PdfFonts.Font(base, twoByte, toUni, diffs, baseEnc, widths, defaultW, sw)
+    }.getOrElse(PdfFonts.default)
+
+  // ---- content interpretation ----------------------------------------------
+
+  /** Tiny content-stream interpreter for the text operators, font-aware. */
+  private def interpret(
+      content: String,
+      page: Int,
+      fonts: Map[String, PdfFonts.Font]): Seq[Block] = {
     val toks = tokenize(content)
     val blocks = ArrayBuffer.empty[Block]
     var i = 0
@@ -147,25 +484,52 @@ object PdfExtract {
     var x = 0.0
     var y = 0.0
     var leading = 0.0
+    var fontSize = 12.0
+    var font = PdfFonts.default
     var blockX = 0.0
     var blockY = 0.0
+    var maxX = 0.0
     var lines = ArrayBuffer.empty[String]
     var line = new java.lang.StringBuilder
+    var cursorX = 0.0 // pen position within the current line (user units)
     val operands = ArrayBuffer.empty[Token]
 
     def newLine(): Unit = {
-      if (line.length > 0 || lines.nonEmpty) { lines += line.toString; line = new java.lang.StringBuilder }
+      if (line.length > 0 || lines.nonEmpty) {
+        lines += line.toString; line = new java.lang.StringBuilder
+      }
+      cursorX = x
     }
     def flushBlock(): Unit = {
       newLine()
       val text = lines.filter(_.nonEmpty).mkString("\n")
-      if (text.trim.nonEmpty) blocks += Block(page, blockX, blockY, text)
+      if (text.trim.nonEmpty) blocks += Block(page, blockX, blockY, text, maxX)
       lines = ArrayBuffer.empty[String]
       line = new java.lang.StringBuilder
+      maxX = 0.0
     }
     def num(t: Token): Double = t match {
       case NumTok(v) => v
       case _ => 0.0
+    }
+    def show(raw: String): Unit = {
+      line.append(font.decode(raw))
+      // advance pen by glyph widths for the block bbox
+      if (font.twoByte) {
+        var k = 0
+        while (k + 1 < raw.length) {
+          val code = ((raw.charAt(k) & 0xff) << 8) | (raw.charAt(k + 1) & 0xff)
+          cursorX += font.width(code) * fontSize / 1000.0
+          k += 2
+        }
+      } else {
+        var k = 0
+        while (k < raw.length) {
+          cursorX += font.width(raw.charAt(k) & 0xff) * fontSize / 1000.0
+          k += 1
+        }
+      }
+      if (cursorX > maxX) maxX = cursorX
     }
 
     while (i < toks.length) {
@@ -173,17 +537,23 @@ object PdfExtract {
         case OpTok(op) =>
           op match {
             case "BT" =>
-              inText = true; x = 0; y = 0; blockX = 0; blockY = 0
+              inText = true; x = 0; y = 0; blockX = 0; blockY = 0; cursorX = 0
             case "ET" =>
               if (inText) flushBlock(); inText = false
+            case "Tf" if operands.length >= 2 =>
+              fontSize = num(operands.last)
+              operands(operands.length - 2) match {
+                case NameTok(n) => font = fonts.getOrElse(n, PdfFonts.default)
+                case _ => ()
+              }
             case "Td" if operands.length >= 2 =>
               x += num(operands(operands.length - 2)); y += num(operands.last)
-              if (lines.isEmpty && line.length == 0) { blockX = x; blockY = y }
+              if (lines.isEmpty && line.length == 0) { blockX = x; blockY = y; cursorX = x }
               else newLine()
             case "TD" if operands.length >= 2 =>
               leading = -num(operands.last)
               x += num(operands(operands.length - 2)); y += num(operands.last)
-              if (lines.isEmpty && line.length == 0) { blockX = x; blockY = y }
+              if (lines.isEmpty && line.length == 0) { blockX = x; blockY = y; cursorX = x }
               else newLine()
             case "TL" if operands.nonEmpty =>
               leading = num(operands.last)
@@ -192,19 +562,28 @@ object PdfExtract {
               newLine()
             case "Tm" if operands.length >= 6 =>
               x = num(operands(operands.length - 2)); y = num(operands.last)
-              if (lines.isEmpty && line.length == 0) { blockX = x; blockY = y }
+              if (lines.isEmpty && line.length == 0) { blockX = x; blockY = y; cursorX = x }
               else newLine()
-            case "Tj" | "'" =>
-              if (op == "'") { y -= leading; newLine() }
+            case "Tj" | "'" | "\"" =>
+              if (op != "Tj") { y -= leading; newLine() }
               operands.lastOption.foreach {
-                case StrTok(s) => line.append(s)
+                case StrTok(s) => show(s)
                 case _ => ()
               }
             case "TJ" =>
               operands.foreach {
-                case StrTok(s) => line.append(s)
+                case StrTok(s) => show(s)
+                case NumTok(adj) =>
+                  cursorX -= adj * fontSize / 1000.0
+                  // TeX-style word gap: a negative adjustment bigger than
+                  // ~⅓ of the font's space width is an inter-word space
+                  // (PyMuPDF's extractor makes the same call via MuPDF)
+                  if (adj <= -math.max(120.0, font.spaceWidth * 0.55) &&
+                      line.length > 0 && line.charAt(line.length - 1) != ' ')
+                    line.append(' ')
                 case _ => ()
               }
+              if (cursorX > maxX) maxX = cursorX
             case _ => ()
           }
           operands.clear()
@@ -219,6 +598,7 @@ object PdfExtract {
   private sealed trait Token
   private final case class NumTok(v: Double) extends Token
   private final case class StrTok(s: String) extends Token
+  private final case class NameTok(n: String) extends Token
   private final case class OpTok(op: String) extends Token
   private case object OtherTok extends Token
 
@@ -229,7 +609,9 @@ object PdfExtract {
     while (i < n) {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
-      else if (c == '(') {
+      else if (c == '%') { // comment to EOL
+        while (i < n && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (c == '(') {
         val sb = new java.lang.StringBuilder
         var depth = 1
         i += 1
@@ -245,13 +627,16 @@ object PdfExtract {
               case '(' => sb.append('('); i += 2
               case ')' => sb.append(')'); i += 2
               case '\\' => sb.append('\\'); i += 2
+              case '\r' => // line continuation
+                i += 2; if (i < n && s.charAt(i) == '\n') i += 1
+              case '\n' => i += 2
               case d if d >= '0' && d <= '7' =>
                 var j = i + 1
                 var v = 0
                 while (j < n && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
                   v = v * 8 + (s.charAt(j) - '0'); j += 1
                 }
-                sb.append(v.toChar); i = j
+                sb.append((v & 0xff).toChar); i = j
               case other => sb.append(other); i += 2
             }
           } else {
@@ -267,7 +652,7 @@ object PdfExtract {
         val hex = s.substring(i + 1, if (end < 0) n else end).replaceAll("\\s", "")
         val sb = new java.lang.StringBuilder
         var j = 0
-        while (j + 1 < hex.length + 1 && j < hex.length) {
+        while (j < hex.length) {
           val pair = if (j + 1 < hex.length) hex.substring(j, j + 2) else hex.substring(j) + "0"
           sb.append(Integer.parseInt(pair, 16).toChar)
           j += 2
@@ -278,20 +663,21 @@ object PdfExtract {
         i += 2 // dict delimiters << >>
         out += OtherTok
       } else if (c == '[' || c == ']') {
-        i += 1 // TJ arrays: flatten — strings accumulate, numbers ignored
-      } else if (c == '/' ) {
+        i += 1 // TJ arrays: flatten — strings and kern numbers both reach TJ
+      } else if (c == '/') {
         var j = i + 1
-        while (j < n && !s.charAt(j).isWhitespace && !"()<>[]/".contains(s.charAt(j))) j += 1
-        out += OtherTok
+        while (j < n && !s.charAt(j).isWhitespace && !"()<>[]/%".contains(s.charAt(j))) j += 1
+        out += NameTok(s.substring(i + 1, j))
         i = j
       } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
         var j = i + 1
         while (j < n && (s.charAt(j).isDigit || s.charAt(j) == '.')) j += 1
-        out += NumTok(s.substring(i, j).toDouble)
+        val tok = s.substring(i, j)
+        out += (try NumTok(tok.toDouble) catch { case _: NumberFormatException => OtherTok })
         i = j
       } else {
         var j = i
-        while (j < n && !s.charAt(j).isWhitespace && !"()<>[]/".contains(s.charAt(j))) j += 1
+        while (j < n && !s.charAt(j).isWhitespace && !"()<>[]/%".contains(s.charAt(j))) j += 1
         val op = s.substring(i, j)
         out += OpTok(op)
         i = math.max(j, i + 1)

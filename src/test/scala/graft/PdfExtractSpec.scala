@@ -67,10 +67,11 @@ class PdfExtractSpec extends AnyFunSuite {
       """BT /F1 12 Tf 1 0 0 1 72 700 Tm [(Hel)(lo) -250 (wor)(ld)] TJ ET
         |BT /F1 12 Tf 72 600 Td <41404243> Tj ET
         |BT /F1 12 Tf 72 500 Td (par\(en\) \\ and \101) Tj ET""".stripMargin
-    // TJ strings concatenate; kerning numbers carry no glyphs (synthetic
-    // space insertion on large kerning is out of the v1 contract)
+    // TJ strings concatenate; a large negative kerning adjustment (-250 >
+    // half the space width) is an inter-word space, like MuPDF's extractor
+    // (TeX encodes word gaps this way instead of space glyphs)
     val text = PdfExtract.extractText(buildPdf(Seq(content)))
-    assert(text == "Helloworld\nA@BC\npar(en) \\ and A")
+    assert(text == "Hello world\nA@BC\npar(en) \\ and A")
   }
 
   test("FlateDecode streams and multiple pages") {

@@ -30,7 +30,14 @@ object ScalingBench {
   }
 
   /** Measure redaction throughput at several core counts on identical input.
-    * Creates (and stops) one SparkSession per level — callers must not hold
+    * Passes are INTERLEAVED round-robin across levels (one pass at each
+    * level, then the next round: 2,8,32, 2,8,32, …) rather than blocked per
+    * level — on a shared VM a transient host-throttle burst then degrades
+    * one ROUND (hitting all levels alike) instead of silently poisoning one
+    * level's entire block, which once produced a superlinear 2→8 artifact
+    * from an under-read 2-core baseline. Best-of-rounds per level.
+    *
+    * Creates (and stops) one SparkSession per pass — callers must not hold
     * an active session.
     */
   def measure(sfDir: String, levels: Seq[Int], replicate: Int, runs: Int): Seq[Level] = {
@@ -51,18 +58,21 @@ object ScalingBench {
       s.stop()
     }
 
-    levels.map { cpus =>
+    val times = levels.map(c => c -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+    var n = 0L
+    for (_ <- 1 to runs; cpus <- levels) {
       val s = session(cpus)
       val turns = s.read.parquet(turnsPath)
-      val n = turns.count()
-      Bench.force(Deid.redact(turns.limit(5000))) // warmup
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        Bench.force(Deid.redact(turns))
-        (System.nanoTime() - t0) / 1e9
-      }
+      n = turns.count()
+      Bench.force(Deid.redact(turns.limit(5000))) // warmup (JIT + codegen)
+      val t0 = System.nanoTime()
+      Bench.force(Deid.redact(turns))
+      times(cpus) += (System.nanoTime() - t0) / 1e9
       s.stop()
-      Level(cpus, n, times.min, n / times.min)
+    }
+    levels.map { cpus =>
+      val best = times(cpus).min
+      Level(cpus, n, best, n / best)
     }
   }
 

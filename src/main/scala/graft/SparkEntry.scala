@@ -247,6 +247,33 @@ object SparkEntry {
             !col("r.text").contains("0912-345-678")).as("pii_absent"))
         .orderBy("doc_id")),
 
+    // A1 end-to-end: CSV extract (cell-per-segment) -> detect over the
+    // concatenated text -> attach segment anchors (bisect; span fully inside
+    // one segment). The planted cells are constants, so (start, end, typ,
+    // segment_id, address) are variant-constant and DuckDB-derivable.
+    "anchored_extract" -> ((s, dir) => {
+      val anchor = udf((csv: String) => {
+        val doc = graft.sources.Sources.csvSegments(csv)
+        graft.pipeline.DeidCore.detect(doc.text, "zh", withStub = false).map { e =>
+          val seg = graft.extract.Segments.anchorOf(
+            graft.model.Entity(e.typ, e.score, e.score, e.source, "zh",
+              e.start, e.end, ""), doc.segments)
+          (e.start, e.end, e.typ,
+            seg.map(_.segment_id).getOrElse(-1),
+            seg.flatMap(_.cell).flatMap(_.get("address")).getOrElse(""))
+        }.toSeq
+      })
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(lit("id,phone,note\r\nA123456789,0912-345-678,\"row "),
+            col("doc_id"), lit(" ok\"\r\n")).as("csv"))
+        .select(col("doc_id"), explode(anchor(col("csv"))).as("a"))
+        .select(col("doc_id"), col("a._1").as("start"), col("a._2").as("end"),
+          col("a._3").as("typ"), col("a._4").as("segment_id"),
+          col("a._5").as("address"))
+        .orderBy("doc_id", "start")
+    }),
+
     // K2: per-document CSV rewrite — planted PII cells come back rewritten,
     // non-PII cells byte-identical (reference e2e: tests/test_csv_handler.py)
     "csv_rewrite" -> ((s, dir) =>
@@ -800,6 +827,14 @@ object SparkEntry {
       "pptx_roundtrip" ->
         ("SELECT doc_id, 1 AS n_entities, true AS pii_absent, true AS nonempty " +
           "FROM documents ORDER BY doc_id"),
+      // A1 anchors: the planted CSV is one fixed template, so both detected
+      // spans and their cell anchors are constants (ID cell R2C1 = segment 3,
+      // PHONE cell R2C2 = segment 4 in the flattened cell-per-segment doc)
+      "anchored_extract" ->
+        ("SELECT doc_id, start, \"end\", typ, segment_id, address FROM documents, " +
+          "(VALUES (14, 24, 'ID', 3, 'R2C1'), (25, 37, 'PHONE', 4, 'R2C2')) " +
+          "AS a(start, \"end\", typ, segment_id, address) ORDER BY doc_id, start"),
+
       "pdf_redact" ->
         ("SELECT doc_id, 2 AS n_rects, true AS pii_absent " +
           "FROM documents ORDER BY doc_id"),

@@ -106,6 +106,48 @@ final class PyRandom(seed: Long) {
 
   /** Python `choice(str)` — one character. */
   def choice(s: String): Char = s.charAt(randbelow(s.length))
+
+  /** Python `random()`: 53-bit double in [0, 1) — `random_random` in
+    * Modules/_randommodule.c: `(a*67108864.0+b)*(1.0/9007199254740992.0)`
+    * with a = next()>>5, b = next()>>6.
+    */
+  def random(): Double = {
+    val a = (genrand() >>> 5).toLong
+    val b = (genrand() >>> 6).toLong
+    (a * 67108864.0 + b) * (1.0 / 9007199254740992.0)
+  }
+
+  /** Python `uniform(a, b)` = `a + (b-a) * random()`. */
+  def uniform(a: Double, b: Double): Double = a + (b - a) * random()
+
+  /** `_randbelow` for spans past Int range (e.g. `randint(10**9, 10**10)`):
+    * getrandbits(k) assembled from 32-bit words exactly like CPython's
+    * `getrandbits` for k > 32 (little-endian words, top word truncated).
+    */
+  def randbelowLong(n: Long): Long = {
+    require(n > 0)
+    val k = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    var r = getrandbitsLong(k)
+    while (r >= n) r = getrandbitsLong(k)
+    r
+  }
+
+  /** Python `getrandbits(k)` for 1 <= k <= 63. */
+  def getrandbitsLong(k: Int): Long = {
+    require(k >= 1 && k <= 63)
+    if (k <= 32) getrandbits(k)
+    else {
+      // CPython emits ceil(k/32) words, low word first; the LAST word keeps
+      // its top (k % 32) bits
+      val lo = genrand().toLong & 0xffffffffL
+      val hiBits = k - 32
+      val hi = (genrand() >>> (32 - hiBits)).toLong & 0xffffffffL
+      lo | (hi << 32)
+    }
+  }
+
+  /** Python `randint(a, b)` over Long bounds. */
+  def randintLong(a: Long, b: Long): Long = a + randbelowLong(b - a + 1)
 }
 
 object PyRandom {

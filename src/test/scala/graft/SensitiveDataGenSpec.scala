@@ -1,0 +1,78 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.functions.PyRandom
+import graft.training.SensitiveDataGen
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.LocalDate
+import scala.jdk.CollectionConverters._
+
+/** Byte parity with the reference's `sensitive_data_generator` package
+  * (generators.py + formatters.py) under seeded MT19937 + frozen
+  * datetime.now() — 385 golden cases from `tools/gen_sensitive.py`,
+  * covering every generator, the three document formatters, and seeded
+  * multi-call streams (draw accounting across call boundaries).
+  */
+class SensitiveDataGenSpec extends AnyFunSuite {
+
+  private val root = {
+    val in = getClass.getResourceAsStream("/golden_sensitive.json")
+    require(in != null, "run tools/gen_sensitive.py")
+    try new ObjectMapper().readTree(in) finally in.close()
+  }
+
+  private val now = LocalDate.parse(root.get("now").asText())
+
+  private def run(kind: String, r: PyRandom): String = kind match {
+    case "tw_id" => SensitiveDataGen.twId(r)
+    case "tw_phone" => SensitiveDataGen.twPhone(r)
+    case "tw_address" => SensitiveDataGen.twAddress(r)
+    case "tw_name" => SensitiveDataGen.twName(r)
+    case "medical_record_id" => SensitiveDataGen.medicalRecordId(r)
+    case "credit_card" => SensitiveDataGen.creditCard(r)
+    case "date_of_birth" => SensitiveDataGen.dateOfBirth(r, now)
+    case "email" => SensitiveDataGen.email(r)
+    case "passport" => SensitiveDataGen.passport(r)
+    case "license_plate" => SensitiveDataGen.licensePlate(r)
+    case "health_insurance" => SensitiveDataGen.healthInsurance(r)
+    case "paragraph" => SensitiveDataGen.paragraph(r, now)
+    case "medical_record_doc" => SensitiveDataGen.medicalRecord(r, now)
+    case "financial_doc" => SensitiveDataGen.financialDocument(r, now)
+    case "random_doc" => SensitiveDataGen.randomDocument(r, now)
+    case "stream" =>
+      Seq(
+        SensitiveDataGen.twId(r),
+        SensitiveDataGen.twAddress(r),
+        SensitiveDataGen.paragraph(r, now, 2, 4, 0.5),
+        SensitiveDataGen.email(r),
+        SensitiveDataGen.financialDocument(r, now)
+      ).mkString("\u0000")
+  }
+
+  test("385-case golden battery: every case byte-exact") {
+    var n = 0
+    root.get("cases").elements().asScala.foreach { c =>
+      val kind = c.get("kind").asText()
+      val seed = c.get("seed").asLong()
+      val want = c.get("value").asText()
+      val got = run(kind, new PyRandom(seed))
+      assert(got == want, s"kind=$kind seed=$seed")
+      n += 1
+    }
+    assert(n == 385)
+  }
+
+  test("generated corpora feed the deid pipeline: PII detected in documents") {
+    // the generated documents carry format-valid zh PII — the engine's own
+    // detectors must fire on them (ties the factory to the pipeline)
+    val r = new PyRandom(7L)
+    val doc = SensitiveDataGen.medicalRecord(r, now)
+    val ents = graft.pipeline.DeidCore.detect(doc, "zh", withStub = false)
+    assert(ents.exists(_.typ == "ID"), s"no ID in:\n$doc")
+    val fin = SensitiveDataGen.financialDocument(new PyRandom(8L), now)
+    val fents = graft.pipeline.DeidCore.detect(fin, "zh", withStub = false)
+    assert(fents.nonEmpty)
+  }
+}

@@ -262,8 +262,20 @@ object SensitiveDataGen {
     new java.math.BigDecimal(x)
       .setScale(2, java.math.RoundingMode.HALF_EVEN).doubleValue()
 
-  private def fmtMoney(x: Double): String =
-    String.format(Locale.US, "%,.2f", Double.box(x))
+  /** Python `f"{x:,.2f}"`: correct (half-even) rounding of the binary
+    * double, then comma grouping — Java's `%,.2f` rounds half-UP, which
+    * diverges on exact-tie doubles, so round via BigDecimal first.
+    */
+  private def fmtMoney(x: Double): String = {
+    val bd = new java.math.BigDecimal(x)
+      .setScale(2, java.math.RoundingMode.HALF_EVEN)
+    val sym = new java.text.DecimalFormatSymbols(Locale.US)
+    new java.text.DecimalFormat("#,##0.00", sym).format(bd)
+  }
+
+  /** Python `f"{n:,}"` for ints. */
+  private def fmtGrouped(n: Long): String =
+    String.format(Locale.US, "%,d", Long.box(n))
 
   /** `generate_medical_record` (formatters.py:51-105) — the full document,
     * indentation and draw order exactly as the reference's f-string.
@@ -368,4 +380,181 @@ object SensitiveDataGen {
       case 1 => financialDocument(r, now)
       case _ => paragraph(r, now, 10, 20, 0.4)
     }
+
+  // ---- advanced_formatters.py ---------------------------------------------
+
+  private val ymdCjk = DateTimeFormatter.ofPattern("yyyy'年'MM'月'dd'日'")
+
+  /** `generate_contract_document` (advanced_formatters.py:12-70) — dict
+    * literal draw order, then the one inline randint in 第三條.
+    */
+  def contractDocument(r: PyRandom, now: LocalDate): String = {
+    val partyA = twName(r)
+    val partyB = twName(r)
+    val idA = twId(r)
+    val idB = twId(r)
+    val addrA = twAddress(r)
+    val addrB = twAddress(r)
+    val signDate = now.minusDays(r.randint(1, 365)).format(ymdCjk)
+    val fee = fmtGrouped(r.randint(100000, 500000))
+
+    s"""
+                        合 約 書
+
+        立合約書人：
+        甲方：${partyA}（身分證字號：${idA}）
+        住址：$addrA
+
+        乙方：${partyB}（身分證字號：${idB}）
+        住址：$addrB
+
+        茲因雙方同意訂立本合約，共同遵守下列條款：
+
+        第一條 合約目的
+        甲方同意委託乙方進行專案開發，乙方同意接受委託。
+
+        第二條 合約期間
+        本合約自簽訂之日起生效，有效期間為一年，至${signDate}止。
+
+        第三條 報酬及支付方式
+        甲方應支付乙方總報酬新台幣${fee}元整。
+        付款方式：簽約時支付30%，期中支付40%，驗收完成支付30%。
+
+        第四條 保密條款
+        雙方同意對本合約內容及執行過程中獲知之他方營業秘密負保密義務。
+
+        第五條 違約處理
+        任一方違反本合約條款時，應賠償他方因此所受之損害。
+
+        第六條 管轄法院
+        因本合約涉訟時，雙方同意以台灣台北地方法院為第一審管轄法院。
+
+        立合約書人：
+
+        甲方：___________________
+        （簽名或蓋章）
+
+        乙方：___________________
+        （簽名或蓋章）
+
+        中華民國 $signDate
+        """
+  }
+
+  /** `generate_medical_report` (advanced_formatters.py:72-139) — patient +
+    * test-result dict draws first, then the f-string's inline draws in
+    * textual order.
+    */
+  def medicalReport(r: PyRandom, now: LocalDate): String = {
+    val name = twName(r)
+    val id = twId(r)
+    val dob = dateOfBirth(r, now)
+    val phone = twPhone(r)
+    val address = twAddress(r)
+    val recordNum = medicalRecordId(r)
+
+    val bp = s"${r.randint(110, 140)}/${r.randint(70, 90)} mmHg"
+    val hr = s"${r.randint(60, 100)} bpm"
+    val glucose = s"${r.randint(70, 200)} mg/dL"
+    val chol = s"${r.randint(150, 250)} mg/dL"
+
+    val hospital = r.choice(hospitals)
+    val visitDate = now.minusDays(r.randint(1, 30)).format(ymd)
+    val doctor = twName(r)
+    val dx1 = r.choice(IndexedSeq("上呼吸道感染", "高血壓", "第二型糖尿病", "退化性關節炎"))
+    val dx2 = r.choice(IndexedSeq("輕度貧血", "高血脂症", "胃食道逆流"))
+    val imaging = r.choice(IndexedSeq("胸部X光: 無明顯異常", "腹部超音波: 輕度脂肪肝", "心電圖: 竇性心律"))
+    val rx1 = r.choice(IndexedSeq("Amoxicillin 500mg", "Lisinopril 10mg", "Metformin 500mg"))
+    val perDay = r.randint(1, 3)
+    val perDose = r.randint(1, 2)
+    val rx2 = r.choice(IndexedSeq("維生素D補充劑", "益生菌", "止痛藥"))
+    val advice = r.choice(IndexedSeq("建議定期追蹤血壓", "控制飲食與體重", "適度運動"))
+    val followUp = now.plusDays(r.randint(14, 60)).format(ymd)
+
+    // unused by the output but part of the reference's draw-free lookups
+    val _ = id
+
+    s"""
+        ==============================
+        $hospital 醫療報告
+        ==============================
+
+        病患資訊:
+        姓名: $name
+        病歷號: $recordNum
+        出生日期: $dob
+        聯絡電話: $phone
+        住址: $address
+
+        就診日期: $visitDate
+        主治醫師: $doctor 醫師
+
+        臨床診斷:
+        - $dx1
+        - $dx2
+
+        檢驗結果:
+        1. 血壓: $bp
+        2. 心率: $hr
+        3. 血糖: $glucose
+        4. 膽固醇: $chol
+
+        影像檢查:
+        - $imaging
+
+        處方:
+        1. $rx1
+           每日${perDay}次，每次${perDose}顆
+        2. $rx2
+           必要時服用
+
+        醫囑:
+        - $advice
+        - 下次回診日期: $followUp
+
+        [請參閱附件圖表分析]
+        ==============================
+        """
+  }
+
+  /** `generate_financial_statement` (advanced_formatters.py:141-181). */
+  def financialStatement(r: PyRandom, now: LocalDate): String = {
+    val name = twName(r)
+    val id = twId(r)
+    val account = (1 to 12).map(_ => r.randint(0, 9)).mkString
+    val card = creditCard(r)
+
+    val merchants = IndexedSeq("百貨公司", "超市", "餐廳", "加油站", "線上購物", "電信繳費")
+    val transactions = (1 to 10).map { _ =>
+      val date = now.minusDays(r.randint(1, 30)).format(ymd)
+      val merchant = r.choice(merchants)
+      val amount = round2(r.uniform(100, 10000))
+      (date, merchant, amount)
+    }
+
+    val head = s"""
+        客戶財務報表
+
+        客戶資訊:
+        姓名: $name
+        身分證字號: $id
+        帳戶號碼: $account
+        信用卡號: $card
+
+        交易記錄:
+        日期         | 描述         | 金額 (NT$$)
+        ------------|--------------|-----------
+        """
+    val rows = transactions
+      .map { case (d, m, a) => s"$d | $m | ${fmtMoney(a)}\n" }.mkString
+    val total = transactions.map(_._3).sum
+    val balance = r.uniform(10000, 500000)
+    head + rows + s"""
+        總支出: NT$$ ${fmtMoney(total)}
+        帳戶餘額: NT$$ ${fmtMoney(balance)}
+
+        圖表分析:
+        [請參閱附件支出分類圖]
+        """
+  }
 }

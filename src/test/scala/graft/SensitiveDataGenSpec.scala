@@ -11,7 +11,7 @@ import scala.jdk.CollectionConverters._
 
 /** Byte parity with the reference's `sensitive_data_generator` package
   * (generators.py + formatters.py) under seeded MT19937 + frozen
-  * datetime.now() — 385 golden cases from `tools/gen_sensitive.py`,
+  * datetime.now() — 460 golden cases from `tools/gen_sensitive.py`,
   * covering every generator, the three document formatters, and seeded
   * multi-call streams (draw accounting across call boundaries).
   */
@@ -41,6 +41,9 @@ class SensitiveDataGenSpec extends AnyFunSuite {
     case "medical_record_doc" => SensitiveDataGen.medicalRecord(r, now)
     case "financial_doc" => SensitiveDataGen.financialDocument(r, now)
     case "random_doc" => SensitiveDataGen.randomDocument(r, now)
+    case "contract_doc" => SensitiveDataGen.contractDocument(r, now)
+    case "medical_report" => SensitiveDataGen.medicalReport(r, now)
+    case "financial_statement" => SensitiveDataGen.financialStatement(r, now)
     case "stream" =>
       Seq(
         SensitiveDataGen.twId(r),
@@ -51,7 +54,7 @@ class SensitiveDataGenSpec extends AnyFunSuite {
       ).mkString("\u0000")
   }
 
-  test("385-case golden battery: every case byte-exact") {
+  test("460-case golden battery: every case byte-exact") {
     var n = 0
     root.get("cases").elements().asScala.foreach { c =>
       val kind = c.get("kind").asText()
@@ -61,7 +64,7 @@ class SensitiveDataGenSpec extends AnyFunSuite {
       assert(got == want, s"kind=$kind seed=$seed")
       n += 1
     }
-    assert(n == 385)
+    assert(n == 460)
   }
 
   test("generated corpora feed the deid pipeline: PII detected in documents") {

@@ -25,8 +25,10 @@ sys.modules["PIL"] = pil
 
 import sensitive_data_generator.generators as G  # noqa: E402
 import sensitive_data_generator.formatters as F  # noqa: E402
+import sensitive_data_generator.advanced_formatters as AF  # noqa: E402
 from sensitive_data_generator.generators import PIIGenerator  # noqa: E402
 from sensitive_data_generator.formatters import DataFormatter  # noqa: E402
+from sensitive_data_generator.advanced_formatters import AdvancedDataFormatter  # noqa: E402
 
 
 class FrozenDateTime(_dt.datetime):
@@ -37,6 +39,7 @@ class FrozenDateTime(_dt.datetime):
 
 G.datetime = FrozenDateTime
 F.datetime = FrozenDateTime
+AF.datetime = FrozenDateTime
 
 FUNCS = {
     "tw_id": PIIGenerator.generate_tw_id,
@@ -54,6 +57,9 @@ FUNCS = {
     "medical_record_doc": DataFormatter.generate_medical_record,
     "financial_doc": DataFormatter.generate_financial_document,
     "random_doc": DataFormatter.generate_random_document,
+    "contract_doc": AdvancedDataFormatter.generate_contract_document,
+    "medical_report": AdvancedDataFormatter.generate_medical_report,
+    "financial_statement": AdvancedDataFormatter.generate_financial_statement,
 }
 
 cases = []

@@ -47,6 +47,35 @@ for _ in range(380):
 for _ in range(40):
     texts.append("".join(rng.choice(PII) for _ in range(rng.randint(2, 6))))
 
+# documents from the reference's own synthetic-corpus factory
+# (sensitive_data_generator, ported as graft.training.SensitiveDataGen):
+# realistic medical/financial/paragraph documents with format-valid zh PII,
+# generated seeded + frozen-now so both engines see identical inputs
+import types
+import datetime as _dt
+sys.path.insert(0, "/root/reference")
+_pil = types.ModuleType("PIL")
+for _sub in ("Image", "ImageDraw", "ImageFont"):
+    _m = types.ModuleType(f"PIL.{_sub}")
+    setattr(_pil, _sub, _m)
+    sys.modules[f"PIL.{_sub}"] = _m
+sys.modules["PIL"] = _pil
+import sensitive_data_generator.generators as _G  # noqa: E402
+import sensitive_data_generator.formatters as _F  # noqa: E402
+
+
+class _FrozenDT(_dt.datetime):
+    @classmethod
+    def now(cls, tz=None):
+        return cls(2026, 1, 15, 12, 0, 0)
+
+
+_G.datetime = _FrozenDT
+_F.datetime = _FrozenDT
+for _seed in range(30):
+    random.seed(5000 + _seed)
+    texts.append(_F.DataFormatter.generate_random_document())
+
 out = []
 for lang in ("zh", "en"):
     det = get_detector(lang)

@@ -8,10 +8,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — queries over `/root/testdata/<sf>/` parquet with DuckDB
-  * oracles where the semantics are ANSI-SQL-expressible. Custom-operator
-  * queries (regex spans with offsets, MT19937 replacement, LSH) omit the
-  * oracle → driver records rows-only checks; their correctness gates are the
-  * reference-golden ScalaTest suites.
+  * oracles where the semantics are ANSI-SQL-expressible (45 of 54 rows).
+  *
+  * The 9 rows WITHOUT an oracle are rows-only by design, each for a stated
+  * reason, each gated instead by reference-golden ScalaTest batteries:
+  *  - `deid_replace`, `deid_replace_en`, `events_audit`: replacement VALUES
+  *    come from the MT19937 fake provider seeded by sha256 context — not
+  *    ANSI-SQL; gate = 1,800-case WideParitySpec byte parity + the
+  *    `deid_blackbox_len` / per-type count oracles covering the same scan.
+  *  - `deid_eval_report`: aggregates SequenceMatcher similarity (difflib
+  *    algorithm) — gate = DeidEvalSpec goldens.
+  *  - `overwrite_similarity`: SequenceMatcher ratio itself — gate =
+  *    SeqMatcherSpec (autojunk-exact goldens).
+  *  - `doc_fingerprint`: xxhash64/simhash bit outputs (no DuckDB
+  *    equivalent) — gate = OpsSpec determinism + normalization specs.
+  *  - `dedup_minhash_pairs`, `dedup_simhash_pairs`, `knn_lsh`: approximate
+  *    candidate sets (banded LSH) — approximate ≠ any exact SQL; their
+  *    EXACT siblings (`dedup_ngram_jaccard`, `dedup_embedding_pairs`,
+  *    `knn_bruteforce`, `knn_ivf` at nprobe=k) carry hash-exact oracles,
+  *    and recall-vs-brute-force is spec-gated (OpsSpec).
   */
 object SparkEntry {
 

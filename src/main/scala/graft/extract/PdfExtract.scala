@@ -79,7 +79,7 @@ object PdfExtract {
 
   // ---- object layer --------------------------------------------------------
 
-  private final case class PdfObj(dict: String, stream: Option[Array[Byte]])
+  private[extract] final case class PdfObj(dict: String, stream: Option[Array[Byte]])
 
   /** (pageIdx, layout-ordered blocks) for every page, including pages that
     * resolve to no text blocks.
@@ -88,7 +88,7 @@ object PdfExtract {
     val raw = new String(pdf, StandardCharsets.ISO_8859_1)
     val objects = expandObjStms(scanObjects(raw))
     val pages = pageObjects(objects)
-    pages.zipWithIndex.map { case (pageDict, pageIdx) =>
+    pages.zipWithIndex.map { case ((_, pageDict), pageIdx) =>
       val fonts = pageFonts(pageDict, objects)
       val content = contentStreams(pageDict, objects)
         .map(b => new String(b, StandardCharsets.ISO_8859_1))
@@ -102,7 +102,7 @@ object PdfExtract {
     * `endobj`/`endstream` bytes can't derail the scan; indirect /Length
     * falls back to the `endstream` search.
     */
-  private def scanObjects(raw: String): Map[Int, PdfObj] = {
+  private[extract] def scanObjects(raw: String): Map[Int, PdfObj] = {
     val re = java.util.regex.Pattern.compile("(\\d+)\\s+(\\d+)\\s+obj\\b")
     val lenRe = java.util.regex.Pattern.compile("/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)")
     val m = re.matcher(raw)
@@ -151,7 +151,7 @@ object PdfExtract {
     * how PDF 1.5+ files store their page/font dictionaries; walking ObjStms
     * directly sidesteps xref-stream parsing entirely).
     */
-  private def expandObjStms(objects: Map[Int, PdfObj]): Map[Int, PdfObj] = {
+  private[extract] def expandObjStms(objects: Map[Int, PdfObj]): Map[Int, PdfObj] = {
     val extra = Map.newBuilder[Int, PdfObj]
     objects.valuesIterator.foreach { obj =>
       if (obj.dict.contains("/ObjStm") && obj.stream.isDefined) {
@@ -188,7 +188,7 @@ object PdfExtract {
     if (m.find()) Some(m.group(1).toInt) else None
   }
 
-  private def refAfter(dict: String, key: String): Option[Int] = {
+  private[extract] def refAfter(dict: String, key: String): Option[Int] = {
     val m = java.util.regex.Pattern.compile(
       java.util.regex.Pattern.quote(key) + "\\s+(\\d+)\\s+\\d+\\s+R").matcher(dict)
     if (m.find()) Some(m.group(1).toInt) else None
@@ -197,7 +197,7 @@ object PdfExtract {
   // ---- filters -------------------------------------------------------------
 
   /** Apply the object's filter chain to its raw stream. */
-  private def decodeStream(obj: PdfObj): Option[Array[Byte]] =
+  private[extract] def decodeStream(obj: PdfObj): Option[Array[Byte]] =
     obj.stream.map { data =>
       filterNames(obj.dict).foldLeft(data) { (d, f) =>
         f match {
@@ -216,7 +216,7 @@ object PdfExtract {
     else "/(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  private[extract] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
@@ -310,22 +310,23 @@ object PdfExtract {
   /** Page dicts in document order: catalog → /Pages → /Kids walk; fallback
     * to `/Type /Page` objects in object-number order when no tree resolves.
     */
-  private def pageObjects(objects: Map[Int, PdfObj]): Seq[String] = {
+  private[extract] def pageObjects(objects: Map[Int, PdfObj]): Seq[(Int, String)] = {
     val catalog = objects.valuesIterator
       .find(o => o.dict.contains("/Catalog"))
     val fromTree = catalog.flatMap(c => refAfter(c.dict, "/Pages")).map { rootRef =>
-      val out = Seq.newBuilder[String]
+      val out = Seq.newBuilder[(Int, String)]
       val seen = scala.collection.mutable.Set.empty[Int]
       def walk(ref: Int): Unit =
         if (seen.add(ref)) objects.get(ref).foreach { node =>
-          if (isPageDict(node.dict)) out += node.dict
+          if (isPageDict(node.dict)) out += ref -> node.dict
           else kidRefs(node.dict).foreach(walk)
         }
       walk(rootRef)
       out.result()
     }.filter(_.nonEmpty)
     fromTree.getOrElse {
-      objects.toSeq.sortBy(_._1).map(_._2.dict).filter(isPageDict)
+      objects.toSeq.sortBy(_._1).filter(o => isPageDict(o._2.dict))
+        .map { case (n, o) => n -> o.dict }
     }
   }
 
@@ -344,7 +345,7 @@ object PdfExtract {
   }
 
   /** A page's decoded content — /Contents single ref or array of refs. */
-  private def contentStreams(pageDict: String, objects: Map[Int, PdfObj]): Seq[Array[Byte]] = {
+  private[extract] def contentStreams(pageDict: String, objects: Map[Int, PdfObj]): Seq[Array[Byte]] = {
     val i = pageDict.indexOf("/Contents")
     if (i < 0) return Nil
     val tail = pageDict.substring(i + 9)
@@ -363,7 +364,7 @@ object PdfExtract {
     * inheritance handled by the tree walk passing dicts whose /Resources
     * resolve here).
     */
-  private def pageFonts(pageDict: String, objects: Map[Int, PdfObj]): Map[String, PdfFonts.Font] = {
+  private[extract] def pageFonts(pageDict: String, objects: Map[Int, PdfObj]): Map[String, PdfFonts.Font] = {
     val resDict: Option[String] =
       refAfter(pageDict, "/Resources").flatMap(objects.get).map(_.dict)
         .orElse {
@@ -567,12 +568,12 @@ object PdfExtract {
             case "Tj" | "'" | "\"" =>
               if (op != "Tj") { y -= leading; newLine() }
               operands.lastOption.foreach {
-                case StrTok(s) => show(s)
+                case StrTok(s, _, _) => show(s)
                 case _ => ()
               }
             case "TJ" =>
               operands.foreach {
-                case StrTok(s) => show(s)
+                case StrTok(s, _, _) => show(s)
                 case NumTok(adj) =>
                   cursorX -= adj * fontSize / 1000.0
                   // TeX-style word gap: a negative adjustment bigger than
@@ -595,14 +596,18 @@ object PdfExtract {
     blocks.toSeq
   }
 
-  private sealed trait Token
-  private final case class NumTok(v: Double) extends Token
-  private final case class StrTok(s: String) extends Token
-  private final case class NameTok(n: String) extends Token
-  private final case class OpTok(op: String) extends Token
-  private case object OtherTok extends Token
+  private[extract] sealed trait Token
+  private[extract] final case class NumTok(v: Double) extends Token
+  /** `start`/`end`: source span of the whole string token (delimiters
+    * included) in the content string — lets [[PdfRewrite]] splice edited
+    * tokens back in place.
+    */
+  private[extract] final case class StrTok(s: String, start: Int = -1, end: Int = -1) extends Token
+  private[extract] final case class NameTok(n: String) extends Token
+  private[extract] final case class OpTok(op: String) extends Token
+  private[extract] case object OtherTok extends Token
 
-  private def tokenize(s: String): IndexedSeq[Token] = {
+  private[extract] def tokenize(s: String): IndexedSeq[Token] = {
     val out = ArrayBuffer.empty[Token]
     var i = 0
     val n = s.length
@@ -612,6 +617,7 @@ object PdfExtract {
       else if (c == '%') { // comment to EOL
         while (i < n && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
       } else if (c == '(') {
+        val tokStart = i
         val sb = new java.lang.StringBuilder
         var depth = 1
         i += 1
@@ -646,8 +652,9 @@ object PdfExtract {
             i += 1
           }
         }
-        out += StrTok(sb.toString)
+        out += StrTok(sb.toString, tokStart, i)
       } else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '<') {
+        val tokStart = i
         val end = s.indexOf('>', i + 1)
         val hex = s.substring(i + 1, if (end < 0) n else end).replaceAll("\\s", "")
         val sb = new java.lang.StringBuilder
@@ -657,8 +664,8 @@ object PdfExtract {
           sb.append(Integer.parseInt(pair, 16).toChar)
           j += 2
         }
-        out += StrTok(sb.toString)
         i = if (end < 0) n else end + 1
+        out += StrTok(sb.toString, tokStart, i)
       } else if (c == '<' || c == '>') {
         i += 2 // dict delimiters << >>
         out += OtherTok

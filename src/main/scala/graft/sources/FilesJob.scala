@@ -42,7 +42,9 @@ object FilesJob {
     case "docx" => FormatJobs.rewriteDocx(content, mode, lang)
     case "pptx" => FormatJobs.rewritePptx(content, mode, lang)
     case "pdf" =>
-      val (out, rects) = PdfRedact.redact(content, lang)
+      // general rewriter: handles real-world PDFs (object streams, fonts,
+      // filter chains) as well as the synthetic-builder subset
+      val (out, rects) = graft.extract.PdfRewrite.redact(content, lang)
       (out, rects.length)
     case "html" | "htm" =>
       val raw = new String(content, java.nio.charset.StandardCharsets.UTF_8)

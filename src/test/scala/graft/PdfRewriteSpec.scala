@@ -1,0 +1,70 @@
+package graft
+
+import graft.extract.{PdfExtract, PdfRewrite}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** K3 generalized: black-box redaction of real-world-construct PDFs —
+  * covered glyphs removed from the rewritten content streams (verified by
+  * re-extracting with the production extractor), fills recorded, untouched
+  * text intact.
+  */
+class PdfRewriteSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/pdf_real/$name")
+    require(in != null)
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("classic fixture: phone removed, fills painted, rest intact") {
+    val (out, rects) = PdfRewrite.redact(fixture("classic.pdf"))
+    assert(rects.nonEmpty && rects.exists(_.typ == "PHONE"))
+    val text = PdfExtract.extractText(out)
+    assert(!text.contains("0912-345-678"), text)
+    assert(text.contains("Call") && text.contains("now"), text)
+    assert(text.contains("second stream")) // other content stream untouched
+  }
+
+  test("objstm fixture (PDF 1.5): ID + email removed across pages, order kept") {
+    val (out, rects) = PdfRewrite.redact(fixture("objstm.pdf"))
+    assert(rects.map(_.typ).toSet.intersect(Set("ID", "EMAIL")).nonEmpty, rects)
+    val pages = PdfExtract.extractPages(out)
+    assert(pages.length == 2)
+    assert(pages(0).text.contains("page ONE") && !pages(0).text.contains("A123456789"))
+    assert(pages(1).text.contains("page TWO") && !pages(1).text.contains("a@b.com"))
+  }
+
+  test("kern fixture: kern-spaced TeX-style PII removed from TJ arrays") {
+    val (out, rects) = PdfRewrite.redact(fixture("kern.pdf"))
+    assert(rects.exists(_.typ == "ID"), rects)
+    val text = PdfExtract.extractText(out)
+    assert(!text.contains("A123456789"), text)
+    assert(text.contains("tightkern")) // untouched line survives
+  }
+
+  test("no-PII fixture: output byte content unchanged in text terms, no rects") {
+    val (out, rects) = PdfRewrite.redact(fixture("filters.pdf"))
+    assert(rects.isEmpty)
+    // nothing covered => content untouched; re-serialization preserves text
+    assert(PdfExtract.extractText(out) == PdfExtract.extractText(fixture("filters.pdf")))
+  }
+
+  test("real TeX PDF: the maintainer email is removed, document survives") {
+    val p = java.nio.file.Paths.get("/usr/share/doc/libtasn1-doc/libtasn1.pdf")
+    if (!java.nio.file.Files.isReadable(p)) cancel("host PDF not present")
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    assert(PdfExtract.extractText(bytes).contains("help-libtasn1@gnu.org"))
+    // zh ruleset: format-typed patterns only (email/phone/id) — the en
+    // bank's capitalized-word NAME rule would faithfully redact half the
+    // prose of an English manual
+    val (out, rects) = PdfRewrite.redact(bytes, lang = "zh")
+    assert(rects.nonEmpty)
+    val pages = PdfExtract.extractPages(out)
+    assert(pages.length == 36, s"rebuilt page count ${pages.length}")
+    val text = pages.map(_.text).mkString("\n")
+    assert(!text.contains("help-libtasn1@gnu.org"), "email still present")
+    // unaffected content still extracts
+    assert(text.contains("Abstract Syntax Notation One"))
+    assert(text.contains("2001–2022 Free Software Foundation"))
+  }
+}

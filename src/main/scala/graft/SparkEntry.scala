@@ -289,6 +289,23 @@ object SparkEntry {
         .orderBy("doc_id", "start")
     }),
 
+    // K3-general: the SAME planted document, but through the real-world
+    // rewriter (object scan -> trace -> splice -> reserialize) instead of
+    // the synthetic-subset path - rect count and pii-absence are the same
+    // constants, so the whole general pipeline is oracle-gated too
+    "pdf_rewrite_redact" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(lit("id A123456789 here\ncall 0912-345-678 now\n"),
+            substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 80))
+            .as("src"))
+        .withColumn("pdf", gf.pdfSynth(col("src")))
+        .withColumn("r", gf.pdfRewrite(col("pdf")))
+        .select(col("doc_id"), col("r.n_rects").as("n_rects"),
+          (!col("r.text").contains("A123456789") &&
+            !col("r.text").contains("0912-345-678")).as("pii_absent"))
+        .orderBy("doc_id")),
+
     // K2: per-document CSV rewrite — planted PII cells come back rewritten,
     // non-PII cells byte-identical (reference e2e: tests/test_csv_handler.py)
     "csv_rewrite" -> ((s, dir) =>
@@ -851,6 +868,9 @@ object SparkEntry {
           "AS a(start, \"end\", typ, segment_id, address) ORDER BY doc_id, start"),
 
       "pdf_redact" ->
+        ("SELECT doc_id, 2 AS n_rects, true AS pii_absent " +
+          "FROM documents ORDER BY doc_id"),
+      "pdf_rewrite_redact" ->
         ("SELECT doc_id, 2 AS n_rects, true AS pii_absent " +
           "FROM documents ORDER BY doc_id"),
 

@@ -690,6 +690,30 @@ case class PdfRedactExpr(child: Expression, lang: String = "zh")
     copy(child = newChild)
 }
 
+/** K3-general — whole-document redaction via [[graft.extract.PdfRewrite]]
+  * (real-world PDF constructs: object streams, filter chains, font-encoded
+  * text). `struct<n_rects:int, text:string>`; `text` is the rebuilt file
+  * re-extracted — the "PII is really gone" roundtrip, computed here so
+  * consumers don't re-parse per predicate.
+  */
+case class PdfRewriteExpr(child: Expression, lang: String = "zh")
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_rects", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+  override def prettyName: String = "graft_pdf_rewrite"
+
+  override def nullSafeEval(input: Any): Any = {
+    val (out, rects) = graft.extract.PdfRewrite.redact(
+      input.asInstanceOf[Array[Byte]], lang)
+    InternalRow(rects.length,
+      UTF8String.fromString(graft.extract.PdfExtract.extractText(out)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PdfRewriteExpr =
+    copy(child = newChild)
+}
+
 /** Deterministic synthetic PDF payload from text (fixture/bench generator —
   * see [[graft.extract.PdfBuilder]]).
   */

@@ -110,4 +110,7 @@ object gf {
 
   /** deterministic synthetic PDF payload from text (fixtures/bench). */
   def pdfSynth(text: Column): Column = column(PdfSynthExpr(expression(text)))
+
+  def pdfRewrite(pdf: Column, lang: String = "zh"): Column =
+    column(PdfRewriteExpr(expression(pdf), lang))
 }

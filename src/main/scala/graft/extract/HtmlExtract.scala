@@ -63,8 +63,14 @@ object HtmlExtract {
     nodes.iterator.map(_.text).mkString("\n")
   }
 
-  /** Density-scored main content: kept blocks joined by "\n". */
-  def mainContent(html: String, minWords: Int = 2, maxLinkDensity: Double = 0.5): String = {
+  /** Density-scored main content: kept blocks joined by "\n".
+    *
+    * `maxLinkDensity` default 1/3 = Boilerpipe's NumWordsRules boundary
+    * (Kohlschütter et al., WSDM 2010): real nav rows ("Next: <a>…</a>,
+    * Previous: <a>…</a>") carry enough comma/label filler to sit in the
+    * 0.35–0.5 band, so a 0.5 cutoff keeps them.
+    */
+  def mainContent(html: String, minWords: Int = 2, maxLinkDensity: Double = 1.0 / 3): String = {
     val nodes = lex(html)
     if (nodes.isEmpty) return ""
     // group nodes into blocks

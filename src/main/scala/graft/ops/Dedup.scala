@@ -164,6 +164,61 @@ object Dedup {
         first(size(col("l.sh"))).as("ua"), first(size(col("r.sh"))).as("ub"))
   }
 
+  /** Connected components over a near-dup pair graph → per-doc cluster id
+    * (the min doc id reachable) — the operator that turns pairwise
+    * near-dup evidence into the keep/drop decision a dedup pipeline
+    * actually executes at corpus scale.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every node
+    * takes the min label among itself and its neighbors (2 edge joins +
+    * 1 groupBy per round, all shuffles on the id key). Rounds needed =
+    * graph diameter; near-dup clusters are shallow (template families,
+    * mirror chains), so convergence is 2–4 rounds in practice and the
+    * `maxIter` cap is a guard, not a bound that truncates (convergence is
+    * checked with a changed-count and the loop exits early). For
+    * adversarial long-chain graphs at extreme scale, the documented
+    * promotion path is the large-star/small-star alternation (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014),
+    * which contracts chains in O(log n) rounds with the same join shapes.
+    *
+    * `edges` = (a, b) pairs (any near-dup query's output); `nodes` = the
+    * full id set (isolated docs keep their own id as cluster).
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      nodes: DataFrame,
+      idCol: String = "doc_id",
+      maxIter: Int = 10
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{col, least, min}
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+        .groupBy("id").agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), org.apache.spark.sql.functions
+            .coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "component")
+  }
+
   /** SimHash near-dup candidates: Hamming(sig_a, sig_b) <= maxDist via
     * pigeonhole — split the 64-bit signature into (maxDist+1) chunks; equal
     * pairs must share at least one chunk ⇒ join per chunk, verify distance.

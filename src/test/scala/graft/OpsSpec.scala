@@ -230,4 +230,15 @@ class OpsSpec extends AnyFunSuite {
     assert(byId(1)._2 == 5) // hello , world ! 123
     assert(byId(2)._1 == 0)
   }
+  test("connected components: chains collapse to min label, isolated keep own id") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, isolated 20; plus a 4-node star 30-(31,32,33)
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (30L, 31L), (32L, 30L), (33L, 30L))
+      .toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L, 31L, 32L, 33L).toDF("doc_id")
+    val got = graft.ops.Dedup.connectedComponents(edges, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L), got)
+  }
 }

@@ -54,4 +54,17 @@ object DeidStream {
       .outputMode("append")
     if (availableNow) w.trigger(Trigger.AvailableNow()) else w
   }
+
+  /** Streaming exact dedup: first-seen doc per content hash survives,
+    * late re-arrivals of the same text are dropped. State = Spark's own
+    * `dropDuplicatesWithinWatermark` store keyed by the sha-256 of the
+    * text — state is bounded by the watermark horizon (the batch twin,
+    * [[graft.ops.Dedup.exact]], keeps min-id per hash; on a stream
+    * "first-seen" is the arrival-order analogue of min-id).
+    */
+  def dedupExact(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_hash", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
 }

@@ -92,4 +92,26 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(q)
     assert(!p.contains("Exchange"), p)
   }
+  test("pdf rewrite + anchored extract are narrow per-row projections") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pdfQ = docs.select(col("doc_id"),
+      graft.functions.gf.pdfRewrite(graft.functions.gf.pdfSynth(
+        substring(col("text"), 1, 100))).getField("n_rects").as("n"))
+    val p1 = plan(pdfQ)
+    assert(!p1.contains("Exchange"), p1) // no shuffle: embarrassingly parallel
+    val anchored = SparkEntry.queries("anchored_extract")(spark, sfDir)
+    val p2 = plan(anchored)
+    // exactly the contract orderBy's range exchange; detection+anchoring add none
+    assert("Exchange".r.findAllIn(p2).size <= 2, p2)
+  }
+
+  test("connected components shuffles on the id key only (no cartesian)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val out = graft.ops.Dedup.connectedComponents(edges, nodes)
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

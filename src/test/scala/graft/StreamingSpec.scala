@@ -45,4 +45,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count() > 0)
     assert(rows.columns.toSet == Set("window", "typ", "count"))
   }
+  test("streaming exact dedup: duplicate texts collapse to one survivor") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toString
+    // 40 docs where ids sharing id % 10 share TEXT => 10 distinct texts
+    val docs = spark.range(40).select(
+      col("id").as("doc_id"),
+      concat(lit("document body "), (col("id") % 10).cast("string")).as("text"),
+      timestamp_seconds(lit(1767225600L) + col("id")).as("ts"))
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+
+    val in = spark.readStream
+      .schema("doc_id bigint, text string, ts timestamp")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.DeidStream.dedupExact(in)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() == 10, s"got ${got.count()} survivors")
+    assert(got.select("text").distinct().count() == 10)
+    // agreement with the batch twin's survivor SET (one doc per text)
+    val batch = graft.ops.Dedup.exact(docs).where(!col("is_dup"))
+    assert(batch.count() == 10)
+  }
 }

@@ -467,9 +467,76 @@ object PdfExtract {
             .toMap
         }
       }
-      val sw = widths.getOrElse(' '.toInt, spaceW)
-      PdfFonts.Font(base, twoByte, toUni, diffs, baseEnc, widths, defaultW, sw)
+      // Type0: real CID metrics from the descendant CIDFont's /W + /DW
+      // (ISO 32000-1 §9.7.4.3) — CJK producers emit these, and the family
+      // fallback would otherwise misplace every rect in a zh document
+      val (cidW, cidDW) =
+        if (!twoByte) (Map.empty[Int, Int], 1000)
+        else {
+          val desc = "/DescendantFonts\\s*\\[?\\s*(\\d+)\\s+\\d+\\s+R".r
+            .findFirstMatchIn(dict).map(_.group(1).toInt)
+            .flatMap(objects.get).map(_.dict)
+          desc.map(d => (parseCidWidths(d), intAfter(d, "/DW").getOrElse(1000)))
+            .getOrElse((Map.empty[Int, Int], 1000))
+        }
+      val effWidths = if (twoByte) cidW else widths
+      val effDefault = if (twoByte) cidDW else defaultW
+      val sw = effWidths.getOrElse(' '.toInt, spaceW)
+      PdfFonts.Font(base, twoByte, toUni, diffs, baseEnc, effWidths, effDefault, sw)
     }.getOrElse(PdfFonts.default)
+
+  /** CIDFont `/W` array: `[ c [w1 w2 …]  cFirst cLast w  … ]` → cid → width.
+    * Identity-H encoding (the overwhelmingly common case) makes cid = code.
+    */
+  private[extract] def parseCidWidths(cidFontDict: String): Map[Int, Int] = {
+    val wi = cidFontDict.indexOf("/W")
+    if (wi < 0) return Map.empty
+    val open = cidFontDict.indexOf('[', wi)
+    if (open < 0) return Map.empty
+    // find the matching close bracket (nested arrays inside)
+    var depth = 0
+    var i = open
+    var close = -1
+    while (i < cidFontDict.length && close < 0) {
+      cidFontDict.charAt(i) match {
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return Map.empty
+    val body = cidFontDict.substring(open + 1, close)
+    val out = Map.newBuilder[Int, Int]
+    // tokenize: numbers and bracketed number lists
+    val tok = java.util.regex.Pattern.compile("""\[([^\]]*)\]|(-?[\d\.]+)""")
+    val m = tok.matcher(body)
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (m.find()) {
+      if (m.group(1) != null) {
+        // c [w1 w2 ...]
+        if (pending.nonEmpty) {
+          val c = math.round(pending.remove(pending.length - 1)).toInt
+          pending.clear()
+          var cid = c
+          """-?[\d\.]+""".r.findAllIn(m.group(1)).foreach { w =>
+            out += cid -> math.round(w.toDouble).toInt
+            cid += 1
+          }
+        }
+      } else {
+        pending += m.group(2).toDouble
+        if (pending.length == 3) {
+          // cFirst cLast w
+          val w = math.round(pending(2)).toInt
+          (math.round(pending(0)).toInt to math.round(pending(1)).toInt)
+            .foreach(c => out += c -> w)
+          pending.clear()
+        }
+      }
+    }
+    out.result()
+  }
 
   // ---- content interpretation ----------------------------------------------
 

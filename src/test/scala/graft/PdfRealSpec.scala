@@ -49,6 +49,17 @@ class PdfRealSpec extends AnyFunSuite {
     assert(ents.exists(e => e.typ == "ID"), ents)
   }
 
+  test("Type0 CID widths: /W list + range forms and /DW drive the block bbox") {
+    val blocks = PdfExtract.extractBlocks(fixture("type0.pdf"))
+    assert(blocks.length == 1)
+    val b = blocks.head
+    assert(b.text == "Hi 中文 ok")
+    // widths: H=600 i=500 (list), sp=250 (range), 中文=1000,1000 (range),
+    // sp=250, o=k=800 (DW); at 12pt from x=72:
+    val want = 72 + (600 + 500 + 250 + 1000 + 1000 + 250 + 800 + 800) / 1000.0 * 12
+    assert(math.abs(b.x1 - want) < 1e-6, s"x1=${b.x1} want=$want")
+  }
+
   test("ToUnicode CMap parser: bfchar, bfrange increment + array dst") {
     val cmap =
       """2 beginbfchar

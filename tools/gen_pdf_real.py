@@ -175,8 +175,12 @@ end"""
             b"/Resources << /Font << /F1 6 0 R >> >> >>"),
         4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
         6: (b"<< /Type /Font /Subtype /Type0 /BaseFont /NOTO+Fake "
-            b"/Encoding /Identity-H /ToUnicode 7 0 R >>"),
+            b"/Encoding /Identity-H /DescendantFonts [8 0 R] /ToUnicode 7 0 R >>"),
         7: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+        # CID metrics: /W list form for 1-2, range form for 3 and 16-17,
+        # /DW default for everything else (codes 0x20,0x21)
+        8: (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /NOTO+Fake "
+            b"/DW 800 /W [1 [600 500] 3 3 250 16 17 1000] >>"),
     }
     write_classic_pdf("type0.pdf", objs)
     expected["type0.pdf"] = "Hi 中文 ok"

@@ -30,7 +30,7 @@ class PdfRealSpec extends AnyFunSuite {
   }
 
   for (name <- Seq("classic.pdf", "objstm.pdf", "filters.pdf",
-      "type0.pdf", "diffs.pdf", "kern.pdf")) {
+      "type0.pdf", "type0_pii.pdf", "diffs.pdf", "kern.pdf")) {
     test(s"fixture $name extracts its authored text exactly") {
       assert(PdfExtract.extractText(fixture(name)) == expected(name))
     }

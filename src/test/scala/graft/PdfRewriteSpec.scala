@@ -42,6 +42,14 @@ class PdfRewriteSpec extends AnyFunSuite {
     assert(text.contains("tightkern")) // untouched line survives
   }
 
+  test("type0 fixture: 2-byte glyph pairs spliced out of hex strings") {
+    val (out, rects) = PdfRewrite.redact(fixture("type0_pii.pdf"))
+    assert(rects.exists(_.typ == "ID"), rects)
+    val text = PdfExtract.extractText(out)
+    assert(!text.contains("A123456789"), text)
+    assert(text.contains("plain words only"), text) // other line intact
+  }
+
   test("no-PII fixture: output byte content unchanged in text terms, no rects") {
     val (out, rects) = PdfRewrite.redact(fixture("filters.pdf"))
     assert(rects.isEmpty)

@@ -203,6 +203,41 @@ def build_diffs():
     expected["diffs.pdf"] = "café ﬁnish"
 
 
+def build_type0_pii():
+    # the 2-byte REDACTION path: ASCII text carried in a Type0 font
+    # (identity-ascii ToUnicode bfranges) - the shape subset-embedded fonts
+    # produce; PdfRewrite must splice 2-byte glyph pairs out of hex strings
+    cmap = b"""begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+3 beginbfrange
+<0020> <007E> <0020>
+<0100> <0100> <4E2D>
+<0101> <0101> <6587>
+endbfrange
+endcmap"""
+    line1 = "id A123456789 here"
+    line2 = "plain words only"
+    def codes(t):
+        return "".join(f"{ord(c):04X}" for c in t).encode()
+    content = (b"BT /F1 12 Tf 72 700 Td <" + codes(line1) + b"> Tj ET\n"
+               b"BT /F1 12 Tf 72 680 Td <" + codes(line2) + b"> Tj ET")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 6 0 R >> >> >>"),
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        6: (b"<< /Type /Font /Subtype /Type0 /BaseFont /SUBSET+CJK "
+            b"/Encoding /Identity-H /DescendantFonts [8 0 R] /ToUnicode 7 0 R >>"),
+        7: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+        8: (b"<< /Type /Font /Subtype /CIDFontType2 /DW 500 >>"),
+    }
+    write_classic_pdf("type0_pii.pdf", objs)
+    expected["type0_pii.pdf"] = f"{line1}\n{line2}"
+
+
 def build_kern():
     # TeX-style: words separated only by kern adjustments; /Widths present
     content = (b"BT /F1 10 Tf 72 700 Td "
@@ -251,6 +286,7 @@ build_objstm()
 build_filters()
 build_type0()
 build_diffs()
+build_type0_pii()
 build_kern()
 
 with open(os.path.join(OUT, "expected.json"), "w") as f:

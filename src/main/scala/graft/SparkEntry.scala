@@ -439,6 +439,21 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // the composed LLM-corpus pipeline: quality gate AND language id AND
+    // exact-dedup keep-rule in one pass - the decision query a training-data
+    // pipeline actually runs before tokenization
+    "corpus_filter" -> ((s, dir) => {
+      // planted corpus: the exact-dup twins (+200000) must be dropped by
+      // the keeper rule, so the filter predicate visibly bites
+      val d = plantedDocs(s, dir)
+      val scored = TextStats.qualityScore(d)
+        .withColumn("lang_pred", TextStats.langId(col("text")))
+      scored.join(Dedup.exact(d).select("doc_id", "is_dup"), "doc_id")
+        .where(col("quality_score") >= 0.75 && !col("is_dup"))
+        .select("doc_id", "lang_pred", "quality_score")
+        .orderBy("doc_id")
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextStats.fingerprint64(col("text")).as("fp"),
@@ -812,6 +827,47 @@ object SparkEntry {
           "CASE WHEN n_tokens > 0 AND CAST(n_distinct_tokens AS DOUBLE) / n_tokens > 0.3 THEN 0.25 ELSE 0.0 END + " +
           "CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2 THEN 0.25 ELSE 0.0 END) AS quality_score " +
           "FROM f ORDER BY doc_id"),
+
+      // quality CTE + lang CTE + first-per-text keeper window, composed
+      "corpus_filter" ->
+        ("""WITH f AS (
+          |  SELECT doc_id, text, length(text) AS n_chars,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+          |      x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stopwords,
+          |    len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct,
+          |    len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS n_distinct_tokens,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / length(text) END AS cjk,
+          |    min(doc_id) OVER (PARTITION BY text) AS keeper
+          |  FROM (SELECT doc_id, text FROM documents
+          |        UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0
+          |        UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0)),
+          |q AS (
+          |  SELECT *,
+          |    (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 0.25 ELSE 0.0 END +
+          |     CASE WHEN n_stopwords > 0 THEN 0.25 ELSE 0.0 END +
+          |     CASE WHEN n_tokens > 0 AND CAST(n_distinct_tokens AS DOUBLE) / n_tokens > 0.3 THEN 0.25 ELSE 0.0 END +
+          |     CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2 THEN 0.25 ELSE 0.0 END) AS quality_score,
+          |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+          |      x -> x IN ('the','a','of','and','to','in','is','it','that','for')) AS _en,
+          |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+          |      x -> x IN ('el','la','de','que','y','en','un','una','los','por')) AS _es,
+          |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+          |      x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf')) AS _de,
+          |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+          |      x -> x IN ('le','la','de','et','est','un','une','les','pour','dans')) AS _fr
+          |  FROM f)
+          |SELECT doc_id,
+          |  CASE WHEN cjk > 0.2 THEN 'zh'
+          |       WHEN greatest(len(_en), len(_es), len(_de), len(_fr)) = 0 THEN 'unknown'
+          |       WHEN len(_fr) = greatest(len(_en), len(_es), len(_de), len(_fr)) THEN 'fr'
+          |       WHEN len(_es) = greatest(len(_en), len(_es), len(_de), len(_fr)) THEN 'es'
+          |       WHEN len(_en) = greatest(len(_en), len(_es), len(_de), len(_fr)) THEN 'en'
+          |       ELSE 'de' END AS lang_pred,
+          |  quality_score
+          |FROM q WHERE quality_score >= 0.75 AND doc_id = keeper
+          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       "word_freq_top50" ->
         ("SELECT word, count(*) AS cnt FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +

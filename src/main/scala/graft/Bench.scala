@@ -190,6 +190,10 @@ object Bench {
     results("model_detect") = timed(force(modelQ))
     results("csv_rewrite") = timed(force(csvQ))
     results("pdf_redact") = timed(force(pdfQ))
+    results("pdf_rewrite") = timed(force(docsDf.select(col("doc_id"),
+      graft.functions.gf.pdfRewrite(graft.functions.gf.pdfSynth(
+        substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 200)))
+        .getField("n_rects").as("n"))))
     results("dedup_minhash_pairs") = timed(force(SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)))
     results("dedup_simhash_pairs") = timed(force(SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)))
     results("knn_lsh") = timed(force(SparkEntry.queries("knn_lsh")(spark, sfDir)))

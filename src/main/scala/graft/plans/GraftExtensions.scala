@@ -132,6 +132,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"graft_pdf_redact expects 1-2 args, got ${args.length}")
     }
 
+    inject("graft_pdf_synth",
+      "graft_pdf_synth(text) - deterministic synthetic PDF payload (fixtures/bench)") {
+      case Seq(t) => PdfSynthExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_pdf_synth expects 1 arg, got ${args.length}")
+    }
+
+    inject("graft_pdf_rewrite",
+      "graft_pdf_rewrite(pdf_binary[, lang]) - general-PDF redaction: struct<n_rects,text>") {
+      case Seq(t) => PdfRewriteExpr(t)
+      case Seq(t, l) => PdfRewriteExpr(t, litStr(l, "lang"))
+      case args => throw new IllegalArgumentException(
+        s"graft_pdf_rewrite expects 1-2 args, got ${args.length}")
+    }
+
     inject("graft_csv_deid",
       "graft_csv_deid(csv[, mode]) - rewritten CSV document: struct<csv,n_entities>") {
       case Seq(t) => CsvDeidExpr(t)

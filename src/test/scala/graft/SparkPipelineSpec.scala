@@ -80,6 +80,11 @@ class SparkPipelineSpec extends AnyFunSuite {
         |FROM turns_v LIMIT 5""".stripMargin)
     assert(df.count() == 5)
     assert(df.select("ht").first().getString(0) == "a\nb")
+    // the general PDF rewriter is SQL-reachable too
+    val pdf = spark.sql(
+      "SELECT graft_pdf_rewrite(graft_pdf_synth('id A123456789 here')) AS r")
+      .select("r.n_rects", "r.text").first()
+    assert(pdf.getInt(0) >= 1 && !pdf.getString(1).contains("A123456789"))
   }
 
   test("same original + same conv text => identical replacement; different turn text => different") {

@@ -11,7 +11,7 @@ import scala.jdk.CollectionConverters._
 
 /** Byte parity with the reference's `sensitive_data_generator` package
   * (generators.py + formatters.py) under seeded MT19937 + frozen
-  * datetime.now() — 460 golden cases from `tools/gen_sensitive.py`,
+  * datetime.now() — 480 golden cases from `tools/gen_sensitive.py`,
   * covering every generator, the three document formatters, and seeded
   * multi-call streams (draw accounting across call boundaries).
   */
@@ -26,6 +26,13 @@ class SensitiveDataGenSpec extends AnyFunSuite {
   private val now = LocalDate.parse(root.get("now").asText())
 
   private def run(kind: String, r: PyRandom): String = kind match {
+    case "dataset_item" =>
+      // r is pre-seeded with the case seed; replicate item()'s draw block
+      val (typ, gen) = SensitiveDataGen.randomPii(r, now)
+      val value = gen()
+      val ctx = SensitiveDataGen.paragraph(r, now, 1, 3, 0.1)
+      val doc = SensitiveDataGen.randomDocument(r, now)
+      Seq(typ, value, ctx, doc).mkString("\u0000")
     case "tw_id" => SensitiveDataGen.twId(r)
     case "tw_phone" => SensitiveDataGen.twPhone(r)
     case "tw_address" => SensitiveDataGen.twAddress(r)
@@ -54,7 +61,7 @@ class SensitiveDataGenSpec extends AnyFunSuite {
       ).mkString("\u0000")
   }
 
-  test("460-case golden battery: every case byte-exact") {
+  test("480-case golden battery: every case byte-exact") {
     var n = 0
     root.get("cases").elements().asScala.foreach { c =>
       val kind = c.get("kind").asText()
@@ -64,7 +71,7 @@ class SensitiveDataGenSpec extends AnyFunSuite {
       assert(got == want, s"kind=$kind seed=$seed")
       n += 1
     }
-    assert(n == 460)
+    assert(n == 480)
   }
 
   test("generated corpora feed the deid pipeline: PII detected in documents") {
@@ -77,5 +84,29 @@ class SensitiveDataGenSpec extends AnyFunSuite {
     val fin = SensitiveDataGen.financialDocument(new PyRandom(8L), now)
     val fents = graft.pipeline.DeidCore.detect(fin, "zh", withStub = false)
     assert(fents.nonEmpty)
+  }
+  test("distributed dataset factory: files + structured outputs + manifest") {
+    val spark = SparkTestBase.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_synth_corpus").toString
+    val manifest = graft.training.SyntheticCorpusJob.run(spark, dir, n = 12)
+    assert(manifest.count() == 12)
+    // per-document text + pdf files exist and carry the document text
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/text/generated_document_3.txt")), "UTF-8")
+    assert(txt.nonEmpty)
+    val pdf = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/pdf/generated_document_3.pdf"))
+    assert(graft.extract.PdfExtract.extractText(pdf).nonEmpty)
+    // structured outputs load back with the reference's column contract
+    val csv = spark.read.option("header", "true").csv(s"$dir/structured/csv")
+    assert(csv.columns.toSeq == Seq("type", "value", "context") && csv.count() == 12)
+    // determinism: same seedBase => same items
+    val again = graft.training.SyntheticCorpusJob.items(spark, 12).collect()
+    val first = graft.training.SyntheticCorpusJob.items(spark, 12).collect()
+    assert(again.map(_.toString).toSeq == first.map(_.toString).toSeq)
+    // and the factory's output feeds the deid pipeline end to end
+    val outDir = java.nio.file.Files.createTempDirectory("graft_synth_deid").toString
+    val (files, ents) = graft.sources.FilesJob.run(spark, s"$dir/text", outDir)
+    assert(files == 12L && ents >= 0L)
   }
 }

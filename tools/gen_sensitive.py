@@ -68,6 +68,17 @@ for kind, fn in FUNCS.items():
         random.seed(seed)
         cases.append({"kind": kind, "seed": seed, "value": fn()})
 
+# dataset-factory item case: the per-iteration draw block of
+# file_writers.generate_dataset (random_pii -> value -> context -> document)
+for seed in range(2000, 2020):
+    random.seed(seed)
+    pii_type, gen = PIIGenerator.generate_random_pii()
+    value = gen()
+    ctx = DataFormatter.generate_paragraph(1, 3, 0.1)
+    doc = DataFormatter.generate_random_document()
+    cases.append({"kind": "dataset_item", "seed": seed,
+                  "value": "\x00".join([pii_type, value, ctx, doc])})
+
 # consecutive-draw case: several values off ONE seeded stream, proving the
 # port's draw accounting matches across call boundaries
 for seed in range(10):

@@ -69,33 +69,49 @@ object SyntheticCorpusJob {
       outputDir: String,
       n: Long,
       seedBase: Long = 0L,
-      formats: Set[String] = Set("txt", "pdf", "csv", "json")): DataFrame = {
+      formats: Set[String] = Set("txt", "pdf", "docx", "xlsx", "pptx", "csv", "json")): DataFrame = {
     val df = items(spark, n, seedBase)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
 
-    if (formats.contains("txt") || formats.contains("pdf")) {
-      val writeTxt = formats.contains("txt")
-      val writePdf = formats.contains("pdf")
+    val fileFormats = formats.intersect(Set("txt", "pdf", "docx", "xlsx", "pptx"))
+    if (fileFormats.nonEmpty) {
       df.select("id", "document").foreachPartition {
         (it: Iterator[org.apache.spark.sql.Row]) =>
           val root = new org.apache.hadoop.fs.Path(outputDir)
           val fs = root.getFileSystem(conf.value)
+          def put(sub: String, id: Long, ext: String, bytes: Array[Byte]): Unit = {
+            val p = new org.apache.hadoop.fs.Path(root, s"$sub/generated_document_$id.$ext")
+            val o = fs.create(p, true)
+            try o.write(bytes) finally o.close()
+          }
           it.foreach { row =>
             val id = row.getLong(0)
             val doc = row.getString(1)
-            if (writeTxt) {
-              val p = new org.apache.hadoop.fs.Path(root, s"text/generated_document_$id.txt")
-              val o = fs.create(p, true)
-              try o.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              finally o.close()
-            }
-            if (writePdf) {
-              val p = new org.apache.hadoop.fs.Path(root, s"pdf/generated_document_$id.pdf")
-              val o = fs.create(p, true)
-              try o.write(graft.extract.PdfBuilder.singlePage(doc))
-              finally o.close()
+            // txt/pdf mirror the reference's writers; docx/xlsx/pptx realize
+            // its dependency-gated "advanced" writers with the engine's own
+            // from-scratch builders (advanced_file_writers.py needs
+            // python-docx/openpyxl/pptx — absent there, real here)
+            if (fileFormats("txt"))
+              put("text", id, "txt", doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            if (fileFormats("pdf"))
+              put("pdf", id, "pdf", graft.extract.PdfBuilder.singlePage(doc))
+            val lines = doc.split("\n", -1).toSeq
+            if (fileFormats("docx"))
+              put("word", id, "docx", graft.extract.DocxBuilder.build(lines))
+            if (fileFormats("pptx"))
+              put("ppt", id, "pptx",
+                graft.extract.PptxBuilder.build(lines.zipWithIndex.map(_.swap)))
+            if (fileFormats("xlsx")) {
+              val cells = lines.zipWithIndex.flatMap { case (line, r) =>
+                line.split(" ", -1).filter(_.nonEmpty).zipWithIndex.map { case (tok, c) =>
+                  graft.extract.XlsxExtract.Cell("Sheet1", r + 1, c + 1,
+                    s"${graft.extract.XlsxExtract.colLetters(c + 1)}${r + 1}", tok)
+                }
+              }
+              put("excel", id, "xlsx",
+                graft.extract.XlsxBuilder.build(Seq("Sheet1" -> cells)))
             }
           }
       }

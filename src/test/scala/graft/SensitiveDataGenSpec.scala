@@ -97,6 +97,14 @@ class SensitiveDataGenSpec extends AnyFunSuite {
     val pdf = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/pdf/generated_document_3.pdf"))
     assert(graft.extract.PdfExtract.extractText(pdf).nonEmpty)
+    // office outputs (the reference's dependency-gated "advanced" writers,
+    // realized here): round-trip through the engine's own extractors
+    val docx = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/word/generated_document_3.docx"))
+    assert(graft.extract.DocxExtract.extract(docx).text.nonEmpty)
+    val xlsx = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/excel/generated_document_3.xlsx"))
+    assert(graft.extract.XlsxExtract.extract(xlsx).text.nonEmpty)
     // structured outputs load back with the reference's column contract
     val csv = spark.read.option("header", "true").csv(s"$dir/structured/csv")
     assert(csv.columns.toSeq == Seq("type", "value", "context") && csv.count() == 12)

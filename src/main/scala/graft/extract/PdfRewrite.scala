@@ -88,9 +88,12 @@ object PdfRewrite {
           }
         }
         if (covered.nonEmpty) {
+          // explicit Locale.US: the f-interpolator uses the default locale,
+          // and a comma decimal separator would corrupt the content stream
+          def n2(d: Double) = String.format(java.util.Locale.US, "%.2f", Double.box(d))
           val rewritten = spliceOut(content, covered.toSeq) +
             rects.map(r =>
-              f"\nq 0 g ${r.x0}%.2f ${r.y0}%.2f ${r.x1 - r.x0}%.2f ${r.y1 - r.y0}%.2f re f Q")
+              s"\nq 0 g ${n2(r.x0)} ${n2(r.y0)} ${n2(r.x1 - r.x0)} ${n2(r.y1 - r.y0)} re f Q")
               .mkString
           // new single content object; repoint the page dict
           val z = deflate(rewritten.getBytes(StandardCharsets.ISO_8859_1))

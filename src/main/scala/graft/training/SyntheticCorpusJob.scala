@@ -124,11 +124,13 @@ object SyntheticCorpusJob {
       df.select(col("pii_type").as("type"), col("pii_value").as("value"), col("context"))
         .coalesce(1).write.mode("overwrite").json(s"$outputDir/structured/json")
 
+    val subdir = Map("txt" -> "text", "pdf" -> "pdf", "docx" -> "word",
+      "xlsx" -> "excel", "pptx" -> "ppt")
     val manifest = df.withColumn("files", array(
-      (Seq("txt", "pdf").filter(formats.contains)).map(ext =>
+      subdir.keys.toSeq.sorted.filter(formats.contains).map(ext =>
         struct(lit(ext).as("format"),
-          concat(lit(s"$outputDir/$ext".replace("/txt", "/text")),
-            lit("/generated_document_"), col("id"), lit(s".$ext")).as("path"))): _*))
+          concat(lit(s"$outputDir/${subdir(ext)}/generated_document_"),
+            col("id"), lit(s".$ext")).as("path"))): _*))
     manifest.write.mode("overwrite").json(s"$outputDir/metadata_full")
     df.unpersist()
     spark.read.json(s"$outputDir/metadata_full")

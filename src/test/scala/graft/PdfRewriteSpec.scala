@@ -57,6 +57,30 @@ class PdfRewriteSpec extends AnyFunSuite {
     assert(PdfExtract.extractText(out) == PdfExtract.extractText(fixture("filters.pdf")))
   }
 
+  test("property: 15 factory documents round-trip the rewriter with PII gone") {
+    val now = java.time.LocalDate.of(2026, 1, 15)
+    var totalValues = 0
+    (1 to 15).foreach { seed =>
+      val doc = graft.training.SensitiveDataGen
+        .randomDocument(new graft.functions.PyRandom(seed.toLong), now)
+      // the builder projects non-Latin-1 to '?'; mirror it so the expected
+      // detections match what the PDF actually carries
+      val ascii = doc.map(c => if (c < 256) c else '?')
+      val values = ascii.split("\n", -1).toSeq.flatMap { line =>
+        graft.pipeline.DeidCore.detect(line, "zh", withStub = false)
+          .map(e => graft.redact.Redactor.cpSlice(line, e.start, e.end))
+      }.filter(_.length >= 4).distinct
+      val pdf = graft.extract.PdfBuilder.singlePage(ascii)
+      val (out, _) = PdfRewrite.redact(pdf)
+      val text = PdfExtract.extractText(out)
+      values.foreach { v =>
+        assert(!text.contains(v), s"seed=$seed leaked '$v'")
+      }
+      totalValues += values.length
+    }
+    assert(totalValues > 10, s"property vacuous: only $totalValues planted values")
+  }
+
   test("real TeX PDF: the maintainer email is removed, document survives") {
     val p = java.nio.file.Paths.get("/usr/share/doc/libtasn1-doc/libtasn1.pdf")
     if (!java.nio.file.Files.isReadable(p)) cancel("host PDF not present")

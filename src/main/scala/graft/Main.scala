@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *            [--buckets N] [--resume]
   * graft.Main --files <dir of txt/html/csv/xlsx/docx/pptx/pdf> --output <dir>
   *            [--mode ...] [--lang ...]   // per-file {stem}.deid{ext} outputs
+  * graft.Main --gen-corpus N --output <dir> [--seed S]
+  *            // distributed synthetic-dataset factory (sensitive_data_generator)
   * }}}
   *
   * With `--resume` the job uses the checkpointed bucketed writer and skips
@@ -26,6 +28,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     if (opts.contains("files")) return filesMain(opts)
+    if (opts.contains("gen-corpus")) return genCorpusMain(opts)
     val input = opts.getOrElse("input",
       sys.error("--input <turns parquet dir | testdata sf dir> required"))
     val output = opts.getOrElse("output", sys.error("--output <dir> required"))
@@ -74,6 +77,27 @@ object Main {
           Deid.clusterForWrite(redacted).write.mode("overwrite").parquet(output)
         }
     }
+    spark.stop()
+  }
+
+  /** `--gen-corpus N` mode: the reference's `sensitive_data_generator`
+    * dataset factory as a distributed job (text/pdf/docx/xlsx/pptx trees +
+    * structured csv/json + manifest under --output).
+    */
+  private def genCorpusMain(opts: Map[String, String]): Unit = {
+    val n = opts("gen-corpus").toLong
+    val output = opts.getOrElse("output", sys.error("--output <dir> required"))
+    val seed = opts.get("seed").map(_.toLong).getOrElse(0L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-gen-corpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val manifest = graft.training.SyntheticCorpusJob.run(spark, output, n, seed)
+    println(s"[graft] generated ${manifest.count()} items → $output")
     spark.stop()
   }
 

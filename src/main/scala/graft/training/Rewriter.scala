@@ -114,4 +114,27 @@ object Rewriter {
     val noisy = makeNoisy(clean, rng, punctProb, spaceProb, dupProb)
     Some(buildPrompt(noisy, clean, language))
   }
+
+  /** The corpus-prep script as a distributed job: one narrow mapPartitions,
+    * per-row noise seeding (`seedBase + id` — the script threads ONE RNG
+    * through a sequential loop, which cannot parallelize; per-row seeding is
+    * the distributed equivalent, each row's internal draw order unchanged).
+    * Input: (id: long, text: string). Output: (id, prompt) minus filtered
+    * rows.
+    */
+  def prepareCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      language: String,
+      seedBase: Long = 0L,
+      minChars: Int = 0,
+      filterCjk: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    df.select("id", "text").as[(Long, String)].mapPartitions { rows =>
+      rows.flatMap { case (id, text) =>
+        val rng = graft.functions.PyRandom.threadLocal(seedBase + id)
+        preparePair(text, rng, language, minChars, filterCjk).map(p => (id, p))
+      }
+    }.toDF("id", "prompt")
+  }
 }

@@ -753,8 +753,22 @@ object PdfExtract {
         var j = i
         while (j < n && !s.charAt(j).isWhitespace && !"()<>[]/%".contains(s.charAt(j))) j += 1
         val op = s.substring(i, j)
-        out += OpTok(op)
-        i = math.max(j, i + 1)
+        if (op == "BI") {
+          // inline image: BI <dict> ID <raw binary> EI — the binary payload
+          // would garble token lexing (scanned PDFs embed these); skip to
+          // the EI delimiter (whitespace-bounded, best effort without the
+          // image length)
+          var k = s.indexOf("EI", j)
+          while (k > 0 && !(k + 2 >= n || s.charAt(k + 2).isWhitespace ||
+              s.charAt(k + 2) == '/') ||
+              (k > 0 && !s.charAt(k - 1).isWhitespace))
+            k = s.indexOf("EI", k + 1)
+          out += OtherTok
+          i = if (k < 0) n else k + 2
+        } else {
+          out += OpTok(op)
+          i = math.max(j, i + 1)
+        }
       }
     }
     out.toIndexedSeq

@@ -60,6 +60,26 @@ class PdfRealSpec extends AnyFunSuite {
     assert(math.abs(b.x1 - want) < 1e-6, s"x1=${b.x1} want=$want")
   }
 
+  test("inline images (BI..ID binary EI) are skipped, surrounding text kept") {
+    // binary payload contains bytes that would derail the lexer: parens,
+    // brackets, a fake 'Tj', stray backslashes
+    val content = "BT /F1 12 Tf 72 700 Td (before) Tj ET\n" +
+      "BI /W 4 /H 2 /BPC 8 /CS /RGB ID \u0001(\u0002)[\u0003]\\ (fake) Tj \u00ff EI\n" +
+      "BT /F1 12 Tf 72 680 Td (after) Tj ET"
+    val pdf = buildRaw(content)
+    assert(PdfExtract.extractText(pdf) == "before\nafter")
+  }
+
+  private def buildRaw(content: String): Array[Byte] = {
+    val objs = Seq(
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+      s"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj",
+      s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj")
+    ("%PDF-1.4\n" + objs.mkString("\n") + "\ntrailer << /Root 1 0 R >>")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
   test("ToUnicode CMap parser: bfchar, bfrange increment + array dst") {
     val cmap =
       """2 beginbfchar

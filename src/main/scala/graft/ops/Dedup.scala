@@ -194,9 +194,12 @@ object Dedup {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per round: iterative plans otherwise nest one join
+    // tree per iteration (persist caches data but NOT the logical plan),
+    // which blows up planning/plan-printing at depth — lineage truncation
+    // is the standard move for iterative DataFrame algorithms
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -207,10 +210,9 @@ object Dedup {
         .select(col("id"),
           least(col("label"), org.apache.spark.sql.functions
             .coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

@@ -49,7 +49,13 @@ object ScaleProbe {
       val tMin = best3(force(Dedup.minhashNearDups(d, threshold = 0.5)))
       val tSim = best3(force(Dedup.simhashNearDups(d, maxDist = 3)))
       val tLsh = best3(force(Similarity.lshTopK(e, k = 5, nHint = m)))
-      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs")
+      // cluster assignment over the simhash pair graph: per-round shuffles
+      // are keyed on ids, so time should track the (linear) pair volume
+      val tCc = best3 {
+        val pairs = Dedup.simhashNearDups(d, maxDist = 3).select("a", "b")
+        force(Dedup.connectedComponents(pairs, d.select("doc_id")))
+      }
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs")
     }
     spark.stop()
   }

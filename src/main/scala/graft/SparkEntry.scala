@@ -8,13 +8,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — queries over `/root/testdata/<sf>/` parquet with DuckDB
-  * oracles where the semantics are ANSI-SQL-expressible (45 of 54 rows).
+  * oracles where the semantics are ANSI-SQL-expressible (51 of 58 rows).
   *
-  * The 9 rows WITHOUT an oracle are rows-only by design, each for a stated
+  * The `deid_replace` family is SPLIT (round 4): the hash-checked queries
+  * (`deid_replace`, `deid_replace_en`, `events_audit`) emit the
+  * SQL-expressible projection — per-variant entity/event counts, sorted
+  * `TYPE:original` replacement keys, event originals and span starts, all
+  * template constants — while the MT19937 replacement VALUES live in the
+  * golden-gated `deid_replace_text` sibling.
+  *
+  * The 7 rows WITHOUT an oracle are rows-only by design, each for a stated
   * reason, each gated instead by reference-golden ScalaTest batteries:
-  *  - `deid_replace`, `deid_replace_en`, `events_audit`: replacement VALUES
-  *    come from the MT19937 fake provider seeded by sha256 context — not
-  *    ANSI-SQL; gate = 1,800-case WideParitySpec byte parity + the
+  *  - `deid_replace_text`: replacement VALUES come from the MT19937 fake
+  *    provider seeded by sha256 context — not ANSI-SQL; gate = 1,800-case
+  *    WideParitySpec byte parity + the `deid_replace` / `events_audit` /
   *    `deid_blackbox_len` / per-type count oracles covering the same scan.
   *  - `deid_eval_report`: aggregates SequenceMatcher similarity (difflib
   *    algorithm) — gate = DeidEvalSpec goldens.
@@ -72,7 +79,22 @@ object SparkEntry {
       turns(s, dir).select("conv_id", "turn_idx", "role", "text", "tool")
         .orderBy("conv_id", "turn_idx")),
 
+    // the SQL-expressible projection of the replace pipeline: entity/event
+    // counts and the sorted "TYPE:original" replacement keys are variant-
+    // constants of the turn templates (replacement VALUES are MT19937 —
+    // golden-gated via deid_replace_text + WideParitySpec)
     "deid_replace" -> ((s, dir) =>
+      Deid.redact(turns(s, dir))
+        .select(col("conv_id"), col("turn_idx"),
+          size(col("entities")).as("n_entities"), size(col("events")).as("n_events"),
+          array_join(array_sort(transform(col("events"),
+            e => concat(e.getField("entity_type"), lit(":"), e.getField("original")))),
+            "|").as("repl_keys"))
+        .orderBy("conv_id", "turn_idx")),
+
+    // full redacted text + MT19937 replacement values — not ANSI-SQL;
+    // rows-only driver check, byte parity gated by the golden batteries
+    "deid_replace_text" -> ((s, dir) =>
       Deid.redact(turns(s, dir))
         .select(col("conv_id"), col("turn_idx"), col("text"),
           size(col("entities")).as("n_entities"), size(col("events")).as("n_events"))
@@ -147,11 +169,15 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // per-event audit projection: entity_type/original/start are variant-
+    // constants (event `end` = start + len(replacement) varies with the
+    // MT19937 choice for PASSPORT/ADDRESS, and `replacement` is the MT
+    // value itself — both golden-gated by WideParitySpec instead)
     "events_audit" -> ((s, dir) =>
       Deid.redact(turns(s, dir))
         .select(col("conv_id"), col("turn_idx"), explode(col("events")).as("ev"))
         .select(col("conv_id"), col("turn_idx"), col("ev.entity_type"),
-          col("ev.original"), col("ev.replacement"), col("ev.start"), col("ev.end"))
+          col("ev.original"), col("ev.start"))
         .orderBy("conv_id", "turn_idx", "start", "entity_type")),
 
     "entity_histogram" -> ((s, dir) =>
@@ -165,10 +191,16 @@ object SparkEntry {
           col("e.typ"))
         .orderBy("conv_id", "turn_idx", "start")),
 
+    // en-ruleset twin of deid_replace's SQL-expressible projection (the en
+    // bank's NAME/MEDICAL_ID rules fire on ordinary prose — faithful to the
+    // reference; the keys pin exactly which spans were replaced)
     "deid_replace_en" -> ((s, dir) =>
       Deid.redact(turns(s, dir), lang = "en")
-        .select(col("conv_id"), col("turn_idx"), col("text"),
-          size(col("entities")).as("n_entities"))
+        .select(col("conv_id"), col("turn_idx"),
+          size(col("entities")).as("n_entities"), size(col("events")).as("n_events"),
+          array_join(array_sort(transform(col("events"),
+            e => concat(e.getField("entity_type"), lit(":"), e.getField("original")))),
+            "|").as("repl_keys"))
         .orderBy("conv_id", "turn_idx")),
 
     // ---- training-side dataflow (D10/D11/P6 as queries) ---------------------
@@ -361,7 +393,7 @@ object SparkEntry {
     // edges so the DuckDB recursive-CTE oracle reproduces the whole graph.
     "dedup_clusters" -> ((s, dir) => {
       val subset = plantedDocs(s, dir).where(col("doc_id") % 100000 < 50)
-      val pairs = Dedup.ngramJaccardCounts(subset, k = 3)
+      val pairs = Dedup.ngramJaccardCountsExact(subset, k = 3)
         .where(col("inter") >= 1 && col("inter") * 2 >= col("ua"))
         .select("a", "b")
       Dedup.connectedComponents(pairs, subset.select("doc_id"))
@@ -371,7 +403,7 @@ object SparkEntry {
     // planted copies (base<50 plus their near/exact twins) so the result is
     // non-empty and exactly reproducible by the DuckDB brute-force oracle
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardCounts(
+      Dedup.ngramJaccardCountsExact(
         plantedDocs(s, dir).where(col("doc_id") % 100000 < 50), k = 3)
         .where(col("inter") >= 1 && col("inter") * 2 >= col("ua"))
         .orderBy("a", "b")),
@@ -892,6 +924,56 @@ object SparkEntry {
           "length('turn ' || CAST(turn_idx AS VARCHAR) || ' of order ' || conv_id || ': ') AS plen " +
           "FROM turns) t JOIN spans s USING (variant) " +
           "ORDER BY conv_id, turn_idx, start, typ"),
+
+      // replace-pipeline projections: per-variant entity/event counts and
+      // sorted TYPE:original keys are template constants (VariantProbe-
+      // derived; values themselves are MT19937 and stay golden-gated)
+      "deid_replace" ->
+        (s"$cte, v(variant, n_entities, n_events, repl_keys) AS (VALUES " +
+          "(0,2,2,'ID:A123456789|PHONE:0912-345-678')," +
+          "(1,2,2,'EMAIL:test@example.com|PHONE:0912345678')," +
+          "(2,2,2,'ADDRESS:台北市信義路1號|PASSPORT:M1234567')," +
+          "(3,1,1,'EMAIL:alice@example.com')," +
+          "(4,2,2,'PASSPORT:PA1234567|UNIFIED_BUSINESS_NO:12345678')," +
+          "(5,0,0,''),(6,0,0,''),(7,0,0,'')) " +
+          "SELECT t.conv_id, t.turn_idx, CAST(v.n_entities AS INTEGER) AS n_entities, " +
+          "CAST(v.n_events AS INTEGER) AS n_events, v.repl_keys " +
+          "FROM (SELECT conv_id, turn_idx, " +
+          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant " +
+          "FROM turns) t JOIN v USING (variant) ORDER BY conv_id, turn_idx"),
+
+      "deid_replace_en" ->
+        (s"$cte, v(variant, n_entities, n_events, repl_keys) AS (VALUES " +
+          "(0,1,1,'PASSPORT:A1234567')," +
+          "(1,2,2,'EMAIL:test@example.com|PHONE:0912345678')," +
+          "(2,2,2,'MEDICAL_ID:record|PASSPORT:M1234567')," +
+          "(3,5,5,'EMAIL:alice@example.com|MEDICAL_ID:Contact|MEDICAL_ID:details|MEDICAL_ID:script|MEDICAL_ID:script')," +
+          "(4,5,5,'MEDICAL_ID:000123|MEDICAL_ID:12345678|MEDICAL_ID:Passport|MEDICAL_ID:contract|PASSPORT:A1234567')," +
+          "(5,4,4,'MEDICAL_ID:Nothing|MEDICAL_ID:confirmation|MEDICAL_ID:routine|MEDICAL_ID:sensitive')," +
+          "(6,3,3,'ADDRESS:123 Main Street|ID:123-45-6789|PHONE:1-555-123-4567')," +
+          "(7,2,2,'MEDICAL_ID:output|MEDICAL_ID:status')) " +
+          "SELECT t.conv_id, t.turn_idx, CAST(v.n_entities AS INTEGER) AS n_entities, " +
+          "CAST(v.n_events AS INTEGER) AS n_events, v.repl_keys " +
+          "FROM (SELECT conv_id, turn_idx, " +
+          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant " +
+          "FROM turns) t JOIN v USING (variant) ORDER BY conv_id, turn_idx"),
+
+      // per-event audit: entity_type/original/event-start per variant are
+      // constants relative to the prefix (event start = original span start)
+      "events_audit" ->
+        (s"$cte, ev(variant, entity_type, original, rs) AS (VALUES " +
+          "(0,'ID','A123456789',13),(0,'PHONE','0912-345-678',34)," +
+          "(1,'EMAIL','test@example.com',12),(1,'PHONE','0912345678',37)," +
+          "(2,'PASSPORT','M1234567',11),(2,'ADDRESS','台北市信義路1號',23)," +
+          "(3,'EMAIL','alice@example.com',133)," +
+          "(4,'PASSPORT','PA1234567',9),(4,'UNIFIED_BUSINESS_NO','12345678',23)) " +
+          "SELECT t.conv_id, t.turn_idx, e.entity_type, e.original, " +
+          "CAST(e.rs + t.plen AS INTEGER) AS start " +
+          "FROM (SELECT conv_id, turn_idx, " +
+          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant, " +
+          "length('turn ' || CAST(turn_idx AS VARCHAR) || ' of order ' || conv_id || ': ') AS plen " +
+          "FROM turns) t JOIN ev e USING (variant) " +
+          "ORDER BY conv_id, turn_idx, start, entity_type"),
 
       "masked_pair_recovery" ->
         (s"$cte, spans(variant, rs, re, typ) AS (VALUES " +

@@ -38,13 +38,13 @@ object PdfRewrite {
       page: Int, x0: Double, y0: Double, x1: Double, y1: Double, typ: String)
 
   /** One shown glyph: cell rect + exact source location. */
-  private final case class Glyph(
+  private[graft] final case class Glyph(
       tokStart: Int, tokEnd: Int, // span of the string token in the content
       byteStart: Int, byteEnd: Int, // glyph's byte range inside the RAW token string
       x0: Double, y0: Double, x1: Double, y1: Double)
 
   /** One block: text + per-code-point glyph source (None = line separator). */
-  private final case class TBlock(text: String, cps: IndexedSeq[Option[Glyph]])
+  private[graft] final case class TBlock(text: String, cps: IndexedSeq[Option[Glyph]])
 
   /** Redact a whole PDF: returns (rebuilt bytes, fill rects). */
   def redact(pdf: Array[Byte], lang: String = "zh"): (Array[Byte], Seq[Rect]) = {
@@ -112,8 +112,12 @@ object PdfRewrite {
     (serialize(objects), allRects.result())
   }
 
-  /** Extraction-identical state machine, but records glyph provenance. */
-  private def trace(
+  /** Extraction-identical state machine, but records glyph provenance.
+    * Visible to the spec: PdfRewriteSpec pins `trace`'s text byte-equal to
+    * the extraction contract's output (detection during redaction must run
+    * on exactly the text extraction produces).
+    */
+  private[graft] def trace(
       content: String,
       fonts: Map[String, PdfFonts.Font]): Seq[TBlock] = {
     val toks = PdfExtract.tokenize(content)
@@ -130,7 +134,13 @@ object PdfRewrite {
     val operands = ArrayBuffer.empty[PdfExtract.Token]
 
     def newLine(): Unit = {
-      if (text.length() > 0) { text.append('\n'); cps += None }
+      // suppress consecutive newlines: PdfExtract.interpret drops empty
+      // lines, so back-to-back line ops (Td Td, Tm T*) must not produce
+      // "a\n\nb" here — detection during redaction has to see the exact
+      // text the extraction contract produces
+      if (text.length() > 0 && text.charAt(text.length - 1) != '\n') {
+        text.append('\n'); cps += None
+      }
       cursorX = x
     }
     def flushBlock(): Unit = {
@@ -261,9 +271,15 @@ object PdfRewrite {
         s"/Contents $contentNum 0 R")
   }
 
+  /** `N G R` with G > 0 — references into incrementally-updated files. */
+  private val genRefPat =
+    java.util.regex.Pattern.compile("(\\d+)\\s+[1-9]\\d*\\s+R\\b")
+
   /** Classic serialization of the (expanded) object map: ObjStm and XRef
     * stream objects dropped (their payloads are top-level now / stale),
-    * everything else byte-preserved; fresh xref + trailer.
+    * everything else byte-preserved except that non-zero-generation
+    * indirect references are rewritten to generation 0 (every object is
+    * re-emitted as `N 0 obj`); fresh xref + trailer.
     */
   private def serialize(objects: Map[Int, PdfExtract.PdfObj]): Array[Byte] = {
     val keep = objects.filterNot { case (_, o) =>
@@ -280,7 +296,14 @@ object PdfRewrite {
     keep.toSeq.sortBy(_._1).foreach { case (n, o) =>
       offsets(n) = out.size()
       w(s"$n 0 obj\n")
-      val dict = if (o.dict.endsWith("\n") || o.dict.endsWith(" ")) o.dict else o.dict + "\n"
+      val body = if (o.dict.endsWith("\n") || o.dict.endsWith(" ")) o.dict else o.dict + "\n"
+      // every object is re-emitted at generation 0, so indirect references
+      // carrying a non-zero generation (incrementally-updated sources)
+      // must be rewritten to gen 0 or they dangle in the rebuilt file
+      val dict =
+        if (genRefPat.matcher(body).find())
+          genRefPat.matcher(body).replaceAll("$1 0 R")
+        else body
       w(dict)
       o.stream.foreach { bytes =>
         w("stream\n")

@@ -42,7 +42,14 @@ final class BpeTokenizer(
       val cached = cache.get(piece)
       if (cached != null) out ++= cached
       else {
-        val ids = bpe(BpeTokenizer.toByteUnicode(piece)).flatMap(vocab.get).toArray
+        // fail fast on a vocab/merges mismatch: count() is advertised as
+        // exact, so silently dropping an unmapped merged piece would make
+        // token budgets wrong with no signal
+        val ids = bpe(BpeTokenizer.toByteUnicode(piece)).map { p =>
+          vocab.getOrElse(p, throw new IllegalStateException(
+            s"BPE piece '$p' is absent from the vocab — vocab.json and " +
+              "merges.txt are mismatched artifacts"))
+        }.toArray
         if (cache.size() < 50000) cache.put(piece, ids)
         out ++= ids
       }
@@ -53,7 +60,10 @@ final class BpeTokenizer(
   def count(text: String): Int = encode(text).length
 
   def decode(ids: Seq[Int]): String =
-    BpeTokenizer.fromByteUnicode(ids.flatMap(inverseVocab.get).mkString)
+    BpeTokenizer.fromByteUnicode(ids.map { id =>
+      inverseVocab.getOrElse(id, throw new IllegalStateException(
+        s"token id $id is not in the vocab (size ${vocab.size})"))
+    }.mkString)
 
   /** Greedy BPE: repeatedly merge the lowest-rank adjacent pair. */
   private def bpe(word: String): Seq[String] = {

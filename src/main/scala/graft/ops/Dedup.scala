@@ -76,6 +76,13 @@ object Dedup {
     * only. Verification re-reads shingles only for docs that appear in a
     * candidate pair (left-semi prune) — at production scale candidates ≪
     * corpus, so the second text scan touches a small fraction of the data.
+    *
+    * Eager-materialization contract: this call is an ACTION, not lazy plan
+    * construction — the verified-pair result is persisted (MEMORY_AND_DISK)
+    * and materialized before returning so the band/candidate/shingle caches
+    * can be released here instead of accumulating across invocations. The
+    * caller owns the returned frame's cache: `unpersist()` it when done.
+    * To compose lazily, build from [[minhashBands]] + your own join.
     */
   def minhashNearDups(
       docs: DataFrame,
@@ -123,27 +130,55 @@ object Dedup {
     when(union === 0, lit(1.0)).otherwise(inter / union)
   }
 
-  /** Brute-force n-gram Jaccard pairs (test scale / verification oracle):
-    * all pairs with at least one shared shingle — computed by exploding
-    * shingles and joining on the shingle, so it still avoids a full cross
-    * join. Returns (a, b, inter, ua, ub) integer counts (exact; no float).
-    *
-    * Scale guard: a shingle occurring in d docs contributes O(d²) join rows
-    * — one ubiquitous trigram ("of the and") is a quadratic hot key at
-    * corpus scale. `maxDocFreq > 0` drops shingles with document frequency
-    * above the cap before the self-join (the standard move in dedup
-    * pipelines: ubiquitous shingles carry no near-dup signal). With the
-    * guard on, `inter` is a lower bound and `ua`/`ub` still count ALL
-    * distinct shingles, so `inter/ (ua+ub-inter)` under-estimates — callers
-    * verify candidates with [[jaccardArrays]] when exactness matters.
-    * Default 0 = exact (used by the oracle-checked driver query).
+  /** n-gram Jaccard pairs via shingle self-join, with the hot-shingle scale
+    * guard REQUIRED: a shingle occurring in d docs contributes O(d²) join
+    * rows — one ubiquitous trigram ("of the and") is a quadratic hot key at
+    * corpus scale, so this entry point refuses to run unguarded.
+    * `maxDocFreq` drops shingles with document frequency above the cap
+    * before the self-join (the standard move in dedup pipelines: ubiquitous
+    * shingles carry no near-dup signal). With the guard on, `inter` is a
+    * lower bound and `ua`/`ub` still count ALL distinct shingles, so
+    * `inter / (ua+ub-inter)` under-estimates — verify candidates with
+    * [[jaccardArrays]] when exactness matters. For exact counts at
+    * test/oracle scale use [[ngramJaccardCountsExact]], which states its
+    * quadratic risk in its own contract.
     */
   def ngramJaccardCounts(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3,
-      maxDocFreq: Int = 0
+      maxDocFreq: Int
+  ): DataFrame = {
+    require(maxDocFreq > 0,
+      "ngramJaccardCounts requires a positive maxDocFreq (hot-shingle guard); " +
+        "use ngramJaccardCountsExact for unguarded exact counts at test scale")
+    ngramJaccardImpl(docs, idCol, textCol, k, maxDocFreq)
+  }
+
+  /** Exact brute-force n-gram Jaccard counts — NO hot-shingle guard. All
+    * pairs with at least one shared shingle, computed by exploding shingles
+    * and joining on the shingle (still avoids a full cross join). Returns
+    * (a, b, inter, ua, ub) integer counts (exact; no float).
+    *
+    * DANGER at corpus scale: join rows grow quadratically in each shingle's
+    * document frequency. Intended for oracle/test-scale inputs or candidate
+    * subsets already pruned by an LSH pass; the guarded
+    * [[ngramJaccardCounts]] is the at-scale entry point.
+    */
+  def ngramJaccardCountsExact(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3
+  ): DataFrame = ngramJaccardImpl(docs, idCol, textCol, k, maxDocFreq = 0)
+
+  private def ngramJaccardImpl(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDocFreq: Int
   ): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), k)).as("sh"))
@@ -173,13 +208,20 @@ object Dedup {
     * takes the min label among itself and its neighbors (2 edge joins +
     * 1 groupBy per round, all shuffles on the id key). Rounds needed =
     * graph diameter; near-dup clusters are shallow (template families,
-    * mirror chains), so convergence is 2–4 rounds in practice and the
-    * `maxIter` cap is a guard, not a bound that truncates (convergence is
-    * checked with a changed-count and the loop exits early). For
-    * adversarial long-chain graphs at extreme scale, the documented
-    * promotion path is the large-star/small-star alternation (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond", SoCC 2014),
-    * which contracts chains in O(log n) rounds with the same join shapes.
+    * mirror chains), so convergence is 2–4 rounds in practice. The loop
+    * exits early on convergence; if `maxIter` is reached while labels are
+    * still changing (graph diameter > maxIter, e.g. a chain-shaped dup
+    * family) the labels would NOT be a valid component assignment, so the
+    * call FAILS with an IllegalStateException telling the caller to raise
+    * `maxIter` or switch to the promotion path: large-star/small-star
+    * alternation (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014), which contracts chains in O(log n) rounds with
+    * the same join shapes.
+    *
+    * One Spark action per round: the new labels carry their previous value
+    * (`prev`) through a lazily-marked `localCheckpoint`, and the
+    * changed-count over (label ≠ prev) is the action that materializes it
+    * — no separate convergence job re-joining old against new labels.
     *
     * `edges` = (a, b) pairs (any near-dup query's output); `nodes` = the
     * full id set (isolated docs keep their own id as cluster).
@@ -197,9 +239,11 @@ object Dedup {
     // localCheckpoint per round: iterative plans otherwise nest one join
     // tree per iteration (persist caches data but NOT the logical plan),
     // which blows up planning/plan-printing at depth — lineage truncation
-    // is the standard move for iterative DataFrame algorithms
+    // is the standard move for iterative DataFrame algorithms. eager=false:
+    // the changed-count below is the action that materializes each round,
+    // so every round runs exactly one job.
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -209,15 +253,20 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), org.apache.spark.sql.functions
-            .coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+            .coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("prev"))
+        .localCheckpoint(false)
+      val changed = next.where(col("label") =!= col("prev")).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
     }
     sym.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter rounds " +
+        "(graph diameter exceeds the cap); labels would be truncated mid-" +
+        "propagation. Raise maxIter (rounds needed = graph diameter) or use " +
+        "large-star/small-star alternation for adversarial chain graphs.")
     labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "component")
   }
 

@@ -53,12 +53,28 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
 
-  /** Deterministic random hyperplanes (seeded MT19937 — no wall-clock). */
+  /** Deterministic random hyperplanes (seeded MT19937 — no wall-clock).
+    *
+    * Components are standard-Gaussian via Box–Muller over the same PyRandom
+    * 32-bit draw stream: Gaussian component vectors are uniform on the
+    * sphere, the correct distribution for sign-bit LSH directions. (The
+    * earlier uniform-in-cube draw biased directions toward cube corners,
+    * which costs collision-probability fidelity — and hence recall — as
+    * `dim` grows.)
+    */
   def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new PyRandom(seed)
-    // uniform in [-1, 1) from 32-bit draws; direction-only use, so uniform
-    // cube (not gaussian) is fine for sign-bit LSH at these dims.
-    Seq.fill(bits)(Seq.fill(dim)(rng.getrandbits(32).toDouble / 2147483648.0 - 1.0))
+    var spare = Double.NaN
+    def gaussian(): Double = {
+      if (!spare.isNaN) { val g = spare; spare = Double.NaN; return g }
+      // u1 in (0,1] so log is finite; u2 in [0,1)
+      val u1 = (rng.getrandbits(32).toDouble + 1.0) / 4294967296.0
+      val u2 = rng.getrandbits(32).toDouble / 4294967296.0
+      val r = math.sqrt(-2.0 * math.log(u1))
+      spare = r * math.sin(2.0 * math.Pi * u2)
+      r * math.cos(2.0 * math.Pi * u2)
+    }
+    Seq.fill(bits)(Seq.fill(dim)(gaussian()))
   }
 
   /** Sign-bit bucket id for a vector. */
@@ -76,6 +92,15 @@ object Similarity {
     * ranked by exact cosine. Buckets are the shuffle key ⇒ linear in corpus
     * size; recall is tuned by (tables, bits) — tested against
     * [[bruteForceTopK]] in the spec.
+    *
+    * ==Eager-materialization contract==
+    * This call is an ACTION, not lazy plan construction: the top-k result
+    * is persisted (MEMORY_AND_DISK) and materialized before returning so
+    * the intermediate bucket/candidate caches can be released here rather
+    * than accumulating across invocations in a long-lived session. The
+    * caller owns the returned frame's cache — `unpersist()` it when done.
+    * Compose-without-running callers should build from [[lshTables]] +
+    * their own join instead.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -185,6 +210,11 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (sim >= threshold), via LSH
     * buckets — the embedding flavor of the dedup suite.
+    *
+    * Eager-materialization contract: same as [[lshTopK]] — this call runs
+    * the job, returns a persisted + materialized pair frame (caller owns
+    * its `unpersist()`), and releases all intermediate caches before
+    * returning.
     */
   def cosineNearDups(
       corpus: DataFrame,

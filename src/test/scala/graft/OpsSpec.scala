@@ -76,7 +76,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("ngram jaccard counts are exact for a known pair") {
     val two = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("doc_id", "text")
-    val r = Dedup.ngramJaccardCounts(two).collect()
+    val r = Dedup.ngramJaccardCountsExact(two).collect()
     // shingles(k=3): {abc,bcd,cde} vs {abc,bcd,cdx} → inter 2, sizes 3,3
     assert(r.length == 1)
     assert(r.head.getAs[Long]("inter") == 2
@@ -96,8 +96,96 @@ class OpsSpec extends AnyFunSuite {
     assert(guarded.map(t => (t._1, t._2)) == Set((1L, 2L)), guarded)
     assert(guarded.head._3 == 3, guarded) // "b c x","c x y","x y z"
     // exact mode still sees all 6 pairs through the shared hot shingle
-    val exact = Dedup.ngramJaccardCounts(docs4).collect()
+    val exact = Dedup.ngramJaccardCountsExact(docs4).collect()
     assert(exact.length == 6)
+  }
+
+  test("ngram jaccard at-scale entry point refuses to run without the hot-shingle guard") {
+    val docs4 = Seq((1L, "a b c x"), (2L, "a b c y")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardCounts(docs4, maxDocFreq = 0)
+    }
+    // the guarded call with a positive cap plans fine
+    assert(Dedup.ngramJaccardCounts(docs4, maxDocFreq = 5).columns.contains("inter"))
+  }
+
+  test("connectedComponents fails loudly when maxIter < graph diameter") {
+    // chain 1-2-3-4-5-6: min-label needs 5 rounds to reach the far end
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val nodes = (1L to 6L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, nodes, maxIter = 2)
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // with enough rounds the same chain collapses to one component
+    val ok = Dedup.connectedComponents(chain, nodes, maxIter = 8)
+      .collect().map(r => r.getAs[Long]("component")).toSet
+    assert(ok == Set(1L))
+  }
+
+  test("connectedComponents runs ONE action per propagation round") {
+    // chain 1..6 needs 5 propagation rounds + 1 no-change round = 6 rounds;
+    // the changed-count action materializes each round's labels (lazy
+    // localCheckpoint), so actions == rounds — the old shape ran a separate
+    // convergence join-action per round (2 actions/round). Counted via a
+    // QueryExecutionListener (job counts would include broadcast-build and
+    // AQE stage jobs).
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val nodes = (1L to 6L).toDF("doc_id")
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        // lazy localCheckpoint also fires a callback without running a job;
+        // the job-running actions in this loop are exactly the count()s
+        if (funcName == "count") actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.connectedComponents(chain, nodes, maxIter = 8)
+      // the listener bus is async: wait for the count to stabilize
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val now = actions.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      assert(last <= 7, s"$last actions for 6 rounds — extra convergence actions")
+      assert(last >= 6, s"$last actions: expected one per round")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("dedup/ANN library calls honor the documented eager-materialization contract") {
+    // documented: the returned frame is persisted + already materialized;
+    // the caller owns its unpersist. Assert the storage level is set.
+    val pairs = Dedup.minhashNearDups(planted, threshold = 0.5)
+    assert(pairs.storageLevel.useMemory || pairs.storageLevel.useDisk,
+      "minhashNearDups result must come back persisted per its contract")
+    pairs.unpersist()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val knn = Similarity.lshTopK(emb, k = 3, bits = 4, tables = 4)
+    assert(knn.storageLevel.useMemory || knn.storageLevel.useDisk,
+      "lshTopK result must come back persisted per its contract")
+    knn.unpersist()
+  }
+
+  test("hyperplane components are Gaussian (moments), deterministic by seed") {
+    val planes = Similarity.hyperplanes(64, 32)
+    val flat = planes.flatten
+    assert(flat.length == 64 * 32)
+    val mean = flat.sum / flat.length
+    val variance = flat.map(x => (x - mean) * (x - mean)).sum / flat.length
+    val kurtosis = flat.map(x => math.pow((x - mean), 4)).sum / flat.length /
+      (variance * variance)
+    assert(math.abs(mean) < 0.05, s"mean $mean")
+    assert(math.abs(variance - 1.0) < 0.1, s"variance $variance")
+    // uniform-in-cube has kurtosis 1.8; Gaussian has 3.0 — this pins the fix
+    assert(math.abs(kurtosis - 3.0) < 0.4, s"kurtosis $kurtosis")
+    assert(Similarity.hyperplanes(64, 32) == planes, "seeded determinism")
   }
 
   test("LSH ANN recall vs brute force >= 0.7 (multi-table)") {

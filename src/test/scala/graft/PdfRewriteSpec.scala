@@ -81,6 +81,59 @@ class PdfRewriteSpec extends AnyFunSuite {
     assert(totalValues > 10, s"property vacuous: only $totalValues planted values")
   }
 
+  /** Minimal classic one-page PDF around the given content stream (no xref
+    * needed — the extractor is scan-based).
+    */
+  private def onePagePdf(content: String, contentRef: String = "4 0 R",
+      contentObjHead: String = "4 0 obj", fontRef: String = "5 0 R",
+      fontObjHead: String = "5 0 obj"): Array[Byte] = {
+    val s = new StringBuilder
+    s ++= "%PDF-1.4\n"
+    s ++= "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    s ++= "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    s ++= s"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents $contentRef " +
+      s"/Resources << /Font << /F1 $fontRef >> >> /MediaBox [0 0 612 792] >>\nendobj\n"
+    s ++= s"$contentObjHead\n<< /Length ${content.length} >>\nstream\n"
+    s ++= content
+    s ++= "\nendstream\nendobj\n"
+    s ++= s"$fontObjHead\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    s ++= "%%EOF\n"
+    s.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  test("trace text is byte-equal to extraction text across consecutive line ops") {
+    // Td Td back-to-back: extraction filters the empty line; the redaction-
+    // side trace must produce the identical text, not "…now\n\nsecond…"
+    val content = "BT /F1 12 Tf 72 720 Td (Call 0912-345-678 now) Tj " +
+      "0 -20 Td 0 -20 Td (second line) Tj ET"
+    val pdf = onePagePdf(content)
+    val extracted = PdfExtract.extractText(pdf)
+    val traced = PdfRewrite.trace(content, Map.empty).map(_.text).mkString("\n")
+    assert(traced == extracted, s"trace='$traced' vs extract='$extracted'")
+    assert(!traced.contains("\n\n"))
+    // and the rewrite path still removes the phone through that text
+    val (out, rects) = PdfRewrite.redact(pdf)
+    assert(rects.exists(_.typ == "PHONE"), rects)
+    assert(!PdfExtract.extractText(out).contains("0912-345-678"))
+  }
+
+  test("non-zero-generation indirect refs are rewritten to gen 0 on serialize") {
+    // incrementally-updated source: content AND font objects at generation
+    // 1, page dict referencing "4 1 R"/"5 1 R" — the rebuilt file re-emits
+    // everything as "N 0 obj", so the kept refs must be rewritten to gen 0
+    // (the font ref is the real exercise: the content ref gets repointed at
+    // the new stream object anyway)
+    val content = "BT /F1 12 Tf 72 720 Td (id A123456789 here) Tj ET"
+    val pdf = onePagePdf(content, contentRef = "4 1 R", contentObjHead = "4 1 obj",
+      fontRef = "5 1 R", fontObjHead = "5 1 obj")
+    val (out, rects) = PdfRewrite.redact(pdf)
+    assert(rects.exists(_.typ == "ID"), rects)
+    val outStr = new String(out, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!outStr.contains("5 1 R"), "font ref still at generation 1")
+    assert(outStr.contains("/F1 5 0 R"), "font ref not rewritten to gen 0")
+    assert(!PdfExtract.extractText(out).contains("A123456789"))
+  }
+
   test("real TeX PDF: the maintainer email is removed, document survives") {
     val p = java.nio.file.Paths.get("/usr/share/doc/libtasn1-doc/libtasn1.pdf")
     if (!java.nio.file.Files.isReadable(p)) cancel("host PDF not present")

@@ -203,51 +203,38 @@ object SparkEntry {
             "|").as("repl_keys"))
         .orderBy("conv_id", "turn_idx")),
 
-    // ---- training-side dataflow (D10/D11/P6 as queries) ---------------------
-    "pii_markup_extract" -> ((s, dir) => {
-      val extract = udf((text: String) =>
-        graft.training.PiiMarkup.extractPiiBlocks(text)
-          .map(b => (b.piiType, b.value, b.valueStart, b.valueEnd)))
+    // ---- training-side dataflow (D10/D11/P6 as queries, UDF-free: each
+    // per-row op is a Catalyst expression like the rest of the engine) ------
+    "pii_markup_extract" -> ((s, dir) =>
       turns(s, dir)
         .select(col("conv_id"), col("turn_idx"),
-          // wrap each turn's detected emails/phones in XML markup, then
-          // recover them with the D10 extractor
-          concat(lit("<PII type='NOTE'>"), col("text"), lit("</PII>")).as("marked"))
-        .select(col("conv_id"), col("turn_idx"), explode(extract(col("marked"))).as("b"))
-        .select(col("conv_id"), col("turn_idx"), col("b._1").as("pii_type"),
-          col("b._3").as("value_start"), col("b._4").as("value_end"))
-        .orderBy("conv_id", "turn_idx", "value_start")
-    }),
+          // wrap each turn's text in XML markup, then recover it with the
+          // D10 extractor expression
+          explode(gf.piiMarkup(
+            concat(lit("<PII type='NOTE'>"), col("text"), lit("</PII>")))).as("b"))
+        .select(col("conv_id"), col("turn_idx"), col("b.pii_type"),
+          col("b.value_start"), col("b.value_end"))
+        .orderBy("conv_id", "turn_idx", "value_start")),
 
-    "masked_pair_recovery" -> ((s, dir) => {
-      val recover = udf((orig: String, masked: String) =>
-        graft.training.MaskedPairs.extractEntitiesFromMaskedPair(orig, masked)
-          .map(e => (e.typ, e.start, e.end, e.text)))
-      val t = turns(s, dir)
-      // placeholderized variant: replace each detected span with <TYPE>
-      val ph = t.select(col("conv_id"), col("turn_idx"), col("text"),
-        udf((text: String) => {
-          val ents = graft.pipeline.DeidCore.detect(text, "zh", withStub = false)
-            .map(e => (e.start, e.end, e.typ)).toSeq
-          graft.training.Placeholders.replaceSpansWithPlaceholders(text, ents)
-        }).apply(col("text")).as("masked"))
-      ph.select(col("conv_id"), col("turn_idx"),
-          explode(recover(col("text"), col("masked"))).as("e"))
-        .select(col("conv_id"), col("turn_idx"), col("e._1").as("typ"),
-          col("e._2").as("start"), col("e._3").as("end"))
-        .orderBy("conv_id", "turn_idx", "start", "typ")
-    }),
+    "masked_pair_recovery" -> ((s, dir) =>
+      // placeholderized variant (R6 expression) diffed against the original
+      // by the D11 recovery expression
+      turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          explode(gf.maskedPairRecover(col("text"),
+            gf.placeholderize(col("text")))).as("e"))
+        .select(col("conv_id"), col("turn_idx"), col("e.typ"),
+          col("e.start"), col("e.end"))
+        .orderBy("conv_id", "turn_idx", "start", "typ")),
 
-    "canonical_types" -> ((s, dir) => {
-      val canon = udf((raw: String) =>
-        graft.training.Canonical.canonicalizeEntityType(raw).orNull)
+    "canonical_types" -> ((s, dir) =>
       turns(s, dir)
         .select(explode(gf.regexDetect(col("text"))).as("e"))
         .select(col("e.typ").as("raw_type"))
         .distinct()
-        .withColumn("canonical", canon(concat(col("raw_type"), lit("_1"))))
-        .orderBy("raw_type")
-    }),
+        .withColumn("canonical",
+          gf.canonicalType(concat(col("raw_type"), lit("_1"))))
+        .orderBy("raw_type")),
 
     // ---- extraction --------------------------------------------------------
     "html_text_strip" -> ((s, dir) =>
@@ -298,28 +285,15 @@ object SparkEntry {
     // concatenated text -> attach segment anchors (bisect; span fully inside
     // one segment). The planted cells are constants, so (start, end, typ,
     // segment_id, address) are variant-constant and DuckDB-derivable.
-    "anchored_extract" -> ((s, dir) => {
-      val anchor = udf((csv: String) => {
-        val doc = graft.sources.Sources.csvSegments(csv)
-        graft.pipeline.DeidCore.detect(doc.text, "zh", withStub = false).map { e =>
-          val seg = graft.extract.Segments.anchorOf(
-            graft.model.Entity(e.typ, e.score, e.score, e.source, "zh",
-              e.start, e.end, ""), doc.segments)
-          (e.start, e.end, e.typ,
-            seg.map(_.segment_id).getOrElse(-1),
-            seg.flatMap(_.cell).flatMap(_.get("address")).getOrElse(""))
-        }.toSeq
-      })
+    "anchored_extract" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
           concat(lit("id,phone,note\r\nA123456789,0912-345-678,\"row "),
             col("doc_id"), lit(" ok\"\r\n")).as("csv"))
-        .select(col("doc_id"), explode(anchor(col("csv"))).as("a"))
-        .select(col("doc_id"), col("a._1").as("start"), col("a._2").as("end"),
-          col("a._3").as("typ"), col("a._4").as("segment_id"),
-          col("a._5").as("address"))
-        .orderBy("doc_id", "start")
-    }),
+        .select(col("doc_id"), explode(gf.csvAnchoredDetect(col("csv"))).as("a"))
+        .select(col("doc_id"), col("a.start"), col("a.end"),
+          col("a.typ"), col("a.segment_id"), col("a.address"))
+        .orderBy("doc_id", "start")),
 
     // K3-general: the SAME planted document, but through the real-world
     // rewriter (object scan -> trace -> splice -> reserialize) instead of

@@ -726,3 +726,139 @@ case class PdfSynthExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PdfSynthExpr =
     copy(child = newChild)
 }
+
+/** D10 — PII-markup block extraction (`training/pii_markup.py:42-65`):
+  * `<PII type='X'>v</PII>` / `[X]v[/X]` blocks with value and block spans
+  * (code points). Promoted from a driver `udf` to match the engine's
+  * expression convention (no Row↔case-class codec, SQL-surface parity).
+  */
+case class PiiMarkupExtractExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pii_type", StringType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("value_start", IntegerType, nullable = false),
+    StructField("value_end", IntegerType, nullable = false),
+    StructField("block_start", IntegerType, nullable = false),
+    StructField("block_end", IntegerType, nullable = false)
+  )), containsNull = false)
+  override def prettyName: String = "graft_pii_markup"
+
+  override def nullSafeEval(input: Any): Any = {
+    val blocks = graft.training.PiiMarkup
+      .extractPiiBlocks(input.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(blocks.map(b => InternalRow(
+      UTF8String.fromString(b.piiType), UTF8String.fromString(b.value),
+      b.valueStart, b.valueEnd, b.blockStart, b.blockEnd)).toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PiiMarkupExtractExpr =
+    copy(child = newChild)
+}
+
+/** D11 — masked-pair gold-span recovery (`training/masked_pairs.py:66-138`):
+  * SequenceMatcher opcodes over whitespace tokens of (original, masked);
+  * replace-blocks with placeholder tokens become entities.
+  */
+case class MaskedPairRecoverExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("typ", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false)
+  )), containsNull = false)
+  override def prettyName: String = "graft_masked_pair"
+
+  override def nullSafeEval(orig: Any, masked: Any): Any = {
+    val ents = graft.training.MaskedPairs.extractEntitiesFromMaskedPair(
+      orig.asInstanceOf[UTF8String].toString,
+      masked.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(ents.map(e => InternalRow(
+      UTF8String.fromString(e.typ), e.start, e.end,
+      UTF8String.fromString(e.text))).toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MaskedPairRecoverExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** R6 — span placeholderization (`training/placeholders.py:34-70`): detect
+  * (resolved) spans, replace each right-to-left with `<TYPE>`.
+  */
+case class PlaceholderizeExpr(child: Expression, lang: String = "zh")
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_placeholderize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val ents = DeidCore.detect(text, lang, withStub = false)
+      .map(e => (e.start, e.end, e.typ)).toSeq
+    UTF8String.fromString(
+      graft.training.Placeholders.replaceSpansWithPlaceholders(text, ents))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaceholderizeExpr =
+    copy(child = newChild)
+}
+
+/** A1 end-to-end over a CSV document: cell-per-segment extraction
+  * (`handlers/csv.py:14-39`) → detect on the concatenated text → bisect
+  * segment-anchor attach (`core/anchors.py:10-48`). Emits one row per
+  * resolved entity with its segment id and A1-style cell address (or
+  * segment_id -1 / empty address when the span crosses segments).
+  */
+case class CsvAnchoredDetectExpr(child: Expression, lang: String = "zh")
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("typ", StringType, nullable = false),
+    StructField("segment_id", IntegerType, nullable = false),
+    StructField("address", StringType, nullable = false)
+  )), containsNull = false)
+  override def prettyName: String = "graft_csv_anchored_detect"
+
+  override def nullSafeEval(input: Any): Any = {
+    val doc = graft.sources.Sources.csvSegments(input.asInstanceOf[UTF8String].toString)
+    val out = DeidCore.detect(doc.text, lang, withStub = false).map { e =>
+      val seg = graft.extract.Segments.anchorOf(
+        Entity(e.typ, e.score, e.score, e.source, lang, e.start, e.end, ""),
+        doc.segments)
+      InternalRow(e.start, e.end, UTF8String.fromString(e.typ),
+        seg.map(_.segment_id).getOrElse(-1),
+        UTF8String.fromString(
+          seg.flatMap(_.cell).flatMap(_.get("address")).getOrElse("")))
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CsvAnchoredDetectExpr =
+    copy(child = newChild)
+}
+
+/** P6 — canonical entity-type mapping (`training/canonical.py:111-178`):
+  * exact 73-entry map + 16 ordered heuristic fallbacks; null when the raw
+  * token normalizes to nothing.
+  */
+case class CanonicalTypeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_canonical_type"
+
+  override def nullSafeEval(input: Any): Any =
+    graft.training.Canonical
+      .canonicalizeEntityType(input.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString).orNull
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalTypeExpr =
+    copy(child = newChild)
+}

@@ -113,4 +113,24 @@ object gf {
 
   def pdfRewrite(pdf: Column, lang: String = "zh"): Column =
     column(PdfRewriteExpr(expression(pdf), lang))
+
+  /** D10 — PII-markup block extraction with value/block spans. */
+  def piiMarkup(text: Column): Column =
+    column(PiiMarkupExtractExpr(expression(text)))
+
+  /** D11 — gold spans recovered from an (original, masked) pair. */
+  def maskedPairRecover(orig: Column, masked: Column): Column =
+    column(MaskedPairRecoverExpr(expression(orig), expression(masked)))
+
+  /** R6 — detected spans replaced with `<TYPE>` placeholders. */
+  def placeholderize(text: Column, lang: String = "zh"): Column =
+    column(PlaceholderizeExpr(expression(text), lang))
+
+  /** A1 end-to-end on a CSV document: extract → detect → anchor attach. */
+  def csvAnchoredDetect(csv: Column, lang: String = "zh"): Column =
+    column(CsvAnchoredDetectExpr(expression(csv), lang))
+
+  /** P6 — canonical entity-type mapping (null when unmappable). */
+  def canonicalType(raw: Column): Column =
+    column(CanonicalTypeExpr(expression(raw)))
 }

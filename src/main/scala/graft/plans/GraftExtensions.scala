@@ -183,5 +183,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"graft_office_deid expects 2-3 args, got ${args.length}")
     }
+
+    inject("graft_pii_markup",
+      "graft_pii_markup(text) - <PII type='X'>v</PII> / [X]v[/X] blocks with spans") {
+      case Seq(t) => PiiMarkupExtractExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_pii_markup expects 1 arg, got ${args.length}")
+    }
+
+    inject("graft_masked_pair",
+      "graft_masked_pair(original, masked) - gold spans recovered from a masked pair") {
+      case Seq(o, m) => MaskedPairRecoverExpr(o, m)
+      case args => throw new IllegalArgumentException(
+        s"graft_masked_pair expects 2 args, got ${args.length}")
+    }
+
+    inject("graft_placeholderize",
+      "graft_placeholderize(text[, lang]) - detected spans replaced with <TYPE>") {
+      case Seq(t) => PlaceholderizeExpr(t)
+      case Seq(t, l) => PlaceholderizeExpr(t, litStr(l, "lang"))
+      case args => throw new IllegalArgumentException(
+        s"graft_placeholderize expects 1-2 args, got ${args.length}")
+    }
+
+    inject("graft_csv_anchored_detect",
+      "graft_csv_anchored_detect(csv[, lang]) - cell segments -> detect -> anchor attach") {
+      case Seq(t) => CsvAnchoredDetectExpr(t)
+      case Seq(t, l) => CsvAnchoredDetectExpr(t, litStr(l, "lang"))
+      case args => throw new IllegalArgumentException(
+        s"graft_csv_anchored_detect expects 1-2 args, got ${args.length}")
+    }
+
+    inject("graft_canonical_type",
+      "graft_canonical_type(raw) - canonical entity type (null when unmappable)") {
+      case Seq(t) => CanonicalTypeExpr(t)
+      case args => throw new IllegalArgumentException(
+        s"graft_canonical_type expects 1 arg, got ${args.length}")
+    }
   }
 }

@@ -105,6 +105,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p2).size <= 2, p2)
   }
 
+  test("training-dataflow queries run UDF-free (Catalyst expressions only)") {
+    // D10/D11/A1/P6 promoted from driver udf()s to expressions: no ScalaUDF
+    // (Row<->case-class codec) may appear in their physical plans
+    Seq("pii_markup_extract", "masked_pair_recovery", "anchored_extract",
+        "canonical_types").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sfDir))
+      assert(!p.contains("UDF"), s"$name plan still contains a UDF:\n$p")
+    }
+  }
+
   test("connected components shuffles on the id key only (no cartesian)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")

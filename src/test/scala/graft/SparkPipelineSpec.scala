@@ -85,6 +85,21 @@ class SparkPipelineSpec extends AnyFunSuite {
       "SELECT graft_pdf_rewrite(graft_pdf_synth('id A123456789 here')) AS r")
       .select("r.n_rects", "r.text").first()
     assert(pdf.getInt(0) >= 1 && !pdf.getString(1).contains("A123456789"))
+    // round-4 promotions: training dataflow + anchors on the SQL surface
+    val mk = spark.sql(
+      "SELECT graft_pii_markup(\"<PII type='ID'>A123456789</PII>\")[0] AS b")
+      .select("b.pii_type", "b.value").first()
+    assert(mk.getString(0) == "ID" && mk.getString(1) == "A123456789")
+    val mp = spark.sql(
+      "SELECT graft_masked_pair('id A123456789 x', graft_placeholderize('id A123456789 x'))[0] AS e")
+      .select("e.typ", "e.text").first()
+    assert(mp.getString(0) == "ID" && mp.getString(1) == "A123456789")
+    val an = spark.sql(
+      "SELECT graft_csv_anchored_detect(concat('id,phone', chr(10), 'A123456789,0912-345-678'))[0] AS a")
+      .select("a.typ", "a.address").first()
+    assert(an.getString(0) == "ID" && an.getString(1).startsWith("R2C"))
+    assert(spark.sql("SELECT graft_canonical_type('EMAIL_1') AS c")
+      .first().getString(0) == "EMAIL")
   }
 
   test("same original + same conv text => identical replacement; different turn text => different") {

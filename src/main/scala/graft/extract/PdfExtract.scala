@@ -24,8 +24,8 @@ import scala.collection.mutable.ArrayBuffer
   *  - `/Contents` as a single ref or an array of refs (streams concatenated
   *    in order, as the spec requires);
   *  - stream filters: /FlateDecode (with PNG predictors), /ASCIIHexDecode,
-  *    /ASCII85Decode, and chains thereof; LZW is out of scope (rare in
-  *    post-2000 producers);
+  *    /ASCII85Decode, /LZWDecode (ISO 32000-1 §7.4.4: variable 9–12-bit
+  *    codes, clear-table resets, EarlyChange), and chains thereof;
   *  - text operators: BT/ET, Td, TD, T*, TL, Tm, Tj, TJ, ', ", Tf;
   *  - per-font decoding via /ToUnicode CMaps, /Encoding /Differences with
   *    AGL glyph names, /WinAnsiEncoding//MacRomanEncoding, Type0 2-byte
@@ -204,7 +204,9 @@ object PdfExtract {
           case "FlateDecode" => predictor(obj.dict, inflate(d))
           case "ASCIIHexDecode" => asciiHex(d)
           case "ASCII85Decode" => ascii85(d)
-          case _ => d // unknown (LZW, DCT…): pass through, caller sees garbage → no text
+          case "LZWDecode" =>
+            predictor(obj.dict, lzw(d, intAfter(obj.dict, "/EarlyChange").getOrElse(1)))
+          case _ => d // unknown (DCT, JBIG2…): pass through, caller sees garbage → no text
         }
       }
     }
@@ -300,6 +302,59 @@ object PdfExtract {
           ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
         out.write(bytes, 0, 4 - pad)
         i += 5
+      }
+    }
+    out.toByteArray
+  }
+
+  /** LZWDecode (ISO 32000-1 §7.4.4): MSB-first variable-width codes
+    * (9 → 12 bits), table entries 0–255 = single bytes, 256 = clear-table,
+    * 257 = EOD; `earlyChange` (default 1 per the spec) widens the code one
+    * table entry early. Corrupt input yields the bytes decoded so far —
+    * consistent with the parser's tolerate-and-continue contract.
+    */
+  private[graft] def lzw(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetTable(): Unit = {
+      table.clear()
+      var b = 0
+      while (b < 256) { table += Array(b.toByte); b += 1 }
+      table += null // 256: clear marker
+      table += null // 257: EOD marker
+    }
+    resetTable()
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var nBits = 0
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      bitBuf = (bitBuf << 8) | (data(i) & 0xff)
+      nBits += 8
+      i += 1
+      while (nBits >= width && !done) {
+        val code = ((bitBuf >>> (nBits - width)) & ((1L << width) - 1)).toInt
+        nBits -= width
+        if (code == 256) { resetTable(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < table.length && table(code) != null) table(code)
+            else if (prev != null && code == table.length) prev :+ prev(0) // KwKwK
+            else { done = true; null } // corrupt: keep what we have
+          if (entry != null) {
+            out.write(entry, 0, entry.length)
+            if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+            prev = entry
+            // encoder widens when the NEXT code would not fit; EarlyChange
+            // shifts that boundary one entry earlier (table.length is the
+            // next code to be assigned)
+            if (width < 12 && table.length + earlyChange >= (1 << width))
+              width += 1
+          }
+        }
       }
     }
     out.toByteArray

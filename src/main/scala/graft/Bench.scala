@@ -97,6 +97,7 @@ object Bench {
     }
 
     val skewJson = skewEvidence(spark, sfDir)
+    val ckptJson = checkpointResumeEvidence(spark, sfDir)
     spark.stop()
 
     // North-rule scaling evidence (BASELINE.md): identical job + input at
@@ -120,7 +121,27 @@ object Bench {
       }
 
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"skew":$skewJson,"sf_scale":$sfScaleJson,"scaling":$scalingJson}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"skew":$skewJson,"sf_scale":$sfScaleJson,"checkpoint_resume":$ckptJson,"scaling":$scalingJson}""")
+  }
+
+  /** Resume evidence: a full CheckpointedRun over the benched turns, then
+    * the same invocation again — the resume must skip every bucket (lineage
+    * no-op) and cost ~nothing relative to the first run.
+    */
+  private def checkpointResumeEvidence(spark: SparkSession, sfDir: String): String = {
+    val turnsPath = s"/tmp/graft_bench_turns_${sfDir.replaceAll("[^0-9.]", "")}"
+    val out = s"/tmp/graft_bench_ckpt_${sfDir.replaceAll("[^0-9.]", "")}"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val redacted = Deid.redact(spark.read.parquet(turnsPath))
+    val t0 = System.nanoTime()
+    val s1 = graft.plans.CheckpointedRun.run(spark, redacted, out, sfDir, "bench-rules", 64)
+    val firstSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val s2 = graft.plans.CheckpointedRun.run(spark, redacted, out, sfDir, "bench-rules", 64)
+    val resumeSec = (System.nanoTime() - t1) / 1e9
+    f"""{"buckets":64,"first_sec":$firstSec%.3f,"first_processed":${s1.processed},"resume_sec":$resumeSec%.3f,"resume_skipped":${s2.skipped}}"""
   }
 
   /** Best-of-3 per query over materialized parquet inputs for one sf dir. */

@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   * `run_id`. Each bucket directory is replaced atomically via dynamic
   * partition overwrite, so a task/driver retry cannot half-write a bucket
   * that is marked done: the lineage row is appended only after the write
-  * commits. At 10^12-turn scale the unit of resume is the bucket (set
-  * `nBuckets` ≈ cluster cores × 4); re-running a completed job is a no-op.
+  * commits. Pending buckets are processed in GROUPS of `groupSize`, with
+  * lineage committed after each group — a driver crash mid-run loses at
+  * most the in-flight group, and the next invocation (same fingerprints)
+  * skips every group already marked done. At 10^12-turn scale the unit of
+  * resume is the bucket (set `nBuckets` ≈ cluster cores × 4, `groupSize`
+  * to taste: smaller = finer resume, more write jobs); re-running a
+  * completed job is a no-op.
   *
   * This is the parquet-native analogue of Iceberg snapshot+manifest
   * semantics; swapping the writer for an Iceberg table keeps the interface.
@@ -45,8 +50,10 @@ object CheckpointedRun {
       outPath: String,
       inputFingerprint: String,
       ruleFingerprint: String,
-      nBuckets: Int = 64
+      nBuckets: Int = 64,
+      groupSize: Int = 16
   ): RunStatus = {
+    require(groupSize > 0)
     val id = runId(inputFingerprint, ruleFingerprint, nBuckets)
     val lineagePath = s"$outPath/_lineage"
     val dataPath = s"$outPath/data"
@@ -63,38 +70,44 @@ object CheckpointedRun {
     if (pending.isEmpty) return RunStatus(id, nBuckets, 0, nBuckets)
 
     val bucketed = df.withColumn("bucket", pmod(hash(col("conv_id")), lit(nBuckets)))
-      .where(col("bucket").isin(pending: _*))
-      // salted clustering + stable in-partition order (north rule O7)
-      .repartition(col("bucket"))
-      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
 
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      bucketed.write
-        .mode(SaveMode.Overwrite)
-        .partitionBy("bucket")
-        .parquet(dataPath)
+      pending.grouped(groupSize).foreach { group =>
+        bucketed
+          .where(col("bucket").isin(group: _*))
+          // salted clustering + stable in-partition order (north rule O7)
+          .repartition(col("bucket"))
+          .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+          .write
+          .mode(SaveMode.Overwrite)
+          .partitionBy("bucket")
+          .parquet(dataPath)
+
+        // lineage rows appended AFTER this group's data commit — a crash
+        // before this point loses only the in-flight group; already-
+        // committed groups are skipped by the next invocation. Rows are
+        // built driver-side (≤ groupSize) so EMPTY buckets also get their
+        // done row and are not retried forever.
+        val counts: Map[Int, Long] = spark.read.parquet(dataPath)
+          .where(col("bucket").isin(group: _*))
+          .groupBy("bucket").agg(count(lit(1)).as("turns"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val now = System.currentTimeMillis()
+        import spark.implicits._
+        group.map(b => (id, b, "done", counts.getOrElse(b, 0L),
+            inputFingerprint, ruleFingerprint, now))
+          .toDF("run_id", "bucket", "status", "turns", "input_fp", "rule_fp",
+            "finished_unix_ms")
+          .coalesce(1).write.mode(SaveMode.Append).parquet(lineagePath)
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-
-    // lineage rows appended AFTER the data commit (idempotence: a crash
-    // before this point just reprocesses the pending buckets next run)
-    val stats = spark.read.parquet(dataPath)
-      .where(col("bucket").isin(pending: _*))
-      .groupBy("bucket").agg(count(lit(1)).as("turns"))
-      .withColumn("run_id", lit(id))
-      .withColumn("status", lit("done"))
-      .withColumn("input_fp", lit(inputFingerprint))
-      .withColumn("rule_fp", lit(ruleFingerprint))
-      .withColumn("finished_unix_ms", lit(System.currentTimeMillis()))
-      .select("run_id", "bucket", "status", "turns", "input_fp", "rule_fp",
-        "finished_unix_ms")
-    stats.coalesce(1).write.mode(SaveMode.Append).parquet(lineagePath)
 
     RunStatus(id, nBuckets, pending.size, done.size)
   }

@@ -47,6 +47,45 @@ class CheckpointSpec extends AnyFunSuite {
     assert(h1 == h2)
   }
 
+  test("kill mid-run and resume: committed groups skip, only the rest reprocess") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_kill").toString
+    val redacted = Deid.redact(TurnsGen.turns(spark, sfDir))
+    // poison the frame so any task touching bucket 7 (hash(conv_id) % 8)
+    // throws — the run dies inside the group containing bucket 7, AFTER
+    // the earlier groups' lineage committed (groups of 2 over buckets
+    // 0..7 → (0,1),(2,3),(4,5) commit, (6,7) aborts)
+    val poisoned = redacted.withColumn("text",
+      when(pmod(hash(col("conv_id")), lit(8)) === 7,
+        raise_error(lit("injected crash"))).otherwise(col("text")))
+    intercept[Exception] {
+      CheckpointedRun.run(spark, poisoned, out, "sf0.001", "rules-v1",
+        nBuckets = 8, groupSize = 2)
+    }
+    val doneAfterCrash = spark.read.parquet(s"$out/_lineage")
+      .where(col("status") === "done").select("bucket")
+      .collect().map(_.getInt(0)).toSet
+    assert(doneAfterCrash == Set(0, 1, 2, 3, 4, 5), doneAfterCrash)
+
+    // snapshot a committed bucket's files: resume must NOT rewrite them
+    val b0 = new java.io.File(s"$out/data/bucket=0")
+    val before = b0.listFiles().map(f => f.getName -> f.lastModified()).toMap
+
+    val resumed = CheckpointedRun.run(spark, redacted, out, "sf0.001", "rules-v1",
+      nBuckets = 8, groupSize = 2)
+    assert(resumed.processed == 2 && resumed.skipped == 6, s"got $resumed")
+    val after = b0.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "resume rewrote an already-committed bucket")
+
+    // final content identical to a clean full run
+    val out2 = java.nio.file.Files.createTempDirectory("graft_ckpt_kill2").toString
+    CheckpointedRun.run(spark, redacted, out2, "sf0.001", "rules-v1", nBuckets = 8)
+    val h = (p: String) => spark.read.parquet(p)
+      .selectExpr("sum(hash(conv_id, turn_idx, text))").first().getLong(0)
+    assert(h(s"$out/data") == h(s"$out2/data"))
+    assert(spark.read.parquet(s"$out/data").count() ==
+      spark.read.parquet(s"$out2/data").count())
+  }
+
   test("different rule fingerprint gets a different run id (no false resume)") {
     val a = CheckpointedRun.runId("in", "rules-v1", 8)
     val b = CheckpointedRun.runId("in", "rules-v2", 8)

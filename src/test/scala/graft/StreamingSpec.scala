@@ -20,8 +20,11 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.read.parquet(s"$dir/out")
     val want = Deid.redact(spark.read.parquet(s"$dir/in"))
     assert(got.count() == want.count())
+    // agreement over the FULL projection: redacted text, entities, events,
+    // replacement map — stream == batch row for row
     val h = (df: org.apache.spark.sql.DataFrame) =>
-      df.selectExpr("sum(hash(conv_id, turn_idx, text))").first().getLong(0)
+      df.selectExpr("sum(hash(conv_id, turn_idx, text, " +
+        "to_json(struct(entities, events, replacement_map))))").first().getLong(0)
     assert(h(got) == h(want))
 
     // restart with the same checkpoint: no new files -> no new rows

@@ -374,6 +374,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the SAME cluster assignment through the O(log n) large-star/small-star
+    // promotion path — both implementations are pinned to one DuckDB
+    // transitive-closure oracle
+    "dedup_clusters_ls" -> ((s, dir) => {
+      val subset = plantedDocs(s, dir).where(col("doc_id") % 100000 < 50)
+      val pairs = Dedup.ngramJaccardCountsExact(subset, k = 3)
+        .where(col("inter") >= 1 && col("inter") * 2 >= col("ua"))
+        .select("a", "b")
+      Dedup.connectedComponentsAlternating(pairs, subset.select("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // planted copies (base<50 plus their near/exact twins) so the result is
     // non-empty and exactly reproducible by the DuckDB brute-force oracle
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -649,6 +661,28 @@ object SparkEntry {
         |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim FROM q JOIN c ON q_id <> n_id),
         |r AS (SELECT q_id, n_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
+    // shared by dedup_clusters (min-label) and dedup_clusters_ls
+    // (large-star/small-star): component = min transitively-reachable id
+    val dedupClustersOracle =
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0 AND doc_id < 50
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0 AND doc_id < 50),
+        |s AS (
+        |  SELECT doc_id AS id,
+        |         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                       ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM p)),
+        |e AS (
+        |  SELECT l.id AS a, r.id AS b FROM s l JOIN s r ON l.id < r.id
+        |  WHERE len(list_intersect(l.sh, r.sh)) >= 1
+        |    AND len(list_intersect(l.sh, r.sh)) * 2 >= len(l.sh)),
+        |e2 AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM s
+        |  UNION
+        |  SELECT e2.b, reach.r FROM reach JOIN e2 ON e2.a = reach.id)
+        |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " ")
     Map(
       "turns_gen" ->
         s"$cte SELECT conv_id, turn_idx, role, text, tool FROM turns ORDER BY conv_id, turn_idx",
@@ -727,27 +761,10 @@ object SparkEntry {
       // brute-force n-gram Jaccard over the planted 50-doc corpus — DuckDB
       // list comprehension rebuilds the exact k=3 word shingles
       // the same pair graph closed transitively (recursive CTE): component =
-      // min reachable doc_id, isolated docs keep their own id
-      "dedup_clusters" ->
-        ("""WITH RECURSIVE p AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id < 50
-          |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0 AND doc_id < 50
-          |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0 AND doc_id < 50),
-          |s AS (
-          |  SELECT doc_id AS id,
-          |         list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-          |                       ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END) AS sh
-          |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM p)),
-          |e AS (
-          |  SELECT l.id AS a, r.id AS b FROM s l JOIN s r ON l.id < r.id
-          |  WHERE len(list_intersect(l.sh, r.sh)) >= 1
-          |    AND len(list_intersect(l.sh, r.sh)) * 2 >= len(l.sh)),
-          |e2 AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-          |reach(id, r) AS (
-          |  SELECT id, id FROM s
-          |  UNION
-          |  SELECT e2.b, reach.r FROM reach JOIN e2 ON e2.a = reach.id)
-          |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // min reachable doc_id, isolated docs keep their own id. The SAME
+      // oracle pins both CC implementations (min-label + alternating).
+      "dedup_clusters" -> dedupClustersOracle,
+      "dedup_clusters_ls" -> dedupClustersOracle,
 
       "dedup_ngram_jaccard" ->
         ("""WITH p AS (

@@ -213,10 +213,10 @@ object Dedup {
     * still changing (graph diameter > maxIter, e.g. a chain-shaped dup
     * family) the labels would NOT be a valid component assignment, so the
     * call FAILS with an IllegalStateException telling the caller to raise
-    * `maxIter` or switch to the promotion path: large-star/small-star
-    * alternation (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC 2014), which contracts chains in O(log n) rounds with
-    * the same join shapes.
+    * `maxIter` or switch to the promotion path,
+    * [[connectedComponentsAlternating]] (large-star/small-star, Kiveris et
+    * al. SoCC 2014), which contracts chains in O(log n) rounds with the
+    * same join shapes.
     *
     * One Spark action per round: the new labels carry their previous value
     * (`prev`) through a lazily-marked `localCheckpoint`, and the
@@ -266,8 +266,87 @@ object Dedup {
       s"connectedComponents did not converge within maxIter=$maxIter rounds " +
         "(graph diameter exceeds the cap); labels would be truncated mid-" +
         "propagation. Raise maxIter (rounds needed = graph diameter) or use " +
-        "large-star/small-star alternation for adversarial chain graphs.")
+        "connectedComponentsAlternating (O(log n) rounds) for chain-shaped graphs.")
     labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "component")
+  }
+
+  /** Connected components via large-star/small-star alternation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the promotion path [[connectedComponents]]'s contract points at for
+    * graphs whose diameter exceeds a sane round budget: chains contract in
+    * O(log n) rounds instead of one round per hop.
+    *
+    * Each round is two edge rewrites, all shuffles keyed on node id:
+    *  - large-star: every node u computes m = min(Γ(u) ∪ u); each LARGER
+    *    neighbor v > u re-attaches as (v, m);
+    *  - small-star: with edges directed large→small, every u re-attaches
+    *    itself and its smaller neighbors to m = min(L(u) ∪ u).
+    * The fixpoint is a star forest — every non-root node carries one edge
+    * (node, component-min). Convergence is checked with a (count,
+    * hash-sum) signature computed in the same action that materializes the
+    * round's lazily-checkpointed edge set — one action per round, like
+    * [[connectedComponents]].
+    */
+  def connectedComponentsAlternating(
+      edges: DataFrame,
+      nodes: DataFrame,
+      idCol: String = "doc_id",
+      maxIter: Int = 30
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, greatest, least, min}
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("minv"))
+        .select(col("u"), least(col("minv"), col("u")).as("m"))
+      sym.where(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      val mins = dir.groupBy("u").agg(min("v").as("m")) // m < u by construction
+      val joined = dir.join(mins, "u")
+      joined.select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var e = edges.select(col("a").as("u"), col("b").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(false)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.selectExpr("count(*) AS n", "coalesce(sum(hash(u, v)), 0) AS h").first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e) // materializes the initial checkpoint
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nextSig = signature(next) // the one action of this round
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsAlternating did not converge within maxIter=$maxIter " +
+        "rounds; rounds needed are O(log n) — raise maxIter.")
+    // at fixpoint e is a star forest (one (node, root) edge per non-root);
+    // the min-agg guards row multiplicity anyway so a node can never fan out
+    val stars = e.select(col("u").as("id"), col("v").as("comp"))
+      .groupBy("id").agg(min("comp").as("comp"))
+    nodes.select(col(idCol).as("id"))
+      .join(stars, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("component"))
   }
 
   /** SimHash near-dup candidates: Hamming(sig_a, sig_b) <= maxDist via

@@ -159,6 +159,36 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("alternating CC: 200-node chain collapses in O(log n) rounds") {
+    // diameter 199: min-label would need 199 rounds (and throws at its
+    // default cap); the large-star/small-star promotion path converges fast
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (1L to 200L).toDF("doc_id")
+    val got = Dedup.connectedComponentsAlternating(chain, nodes, maxIter = 15)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component")))
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 1L), got.filter(_._2 != 1L).take(5).toSeq)
+  }
+
+  test("alternating CC agrees with min-label propagation on a random graph") {
+    val rng = new scala.util.Random(42)
+    val n = 300L
+    val edges = (1 to 220).map(_ =>
+      (rng.nextInt(n.toInt).toLong + 1, rng.nextInt(n.toInt).toLong + 1))
+      .filter(p => p._1 != p._2)
+      .toDF("a", "b")
+    val nodes = (1L to n).toDF("doc_id")
+    val alt = Dedup.connectedComponentsAlternating(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ml = Dedup.connectedComponents(edges, nodes, maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt == ml)
+    // isolated nodes keep their own id
+    val isolated = (1L to n).filterNot(
+      edges.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet)
+    isolated.foreach(i => assert(alt(i) == i))
+  }
+
   test("dedup/ANN library calls honor the documented eager-materialization contract") {
     // documented: the returned frame is persisted + already materialized;
     // the caller owns its unpersist. Assert the storage level is set.

@@ -52,6 +52,33 @@ object Bench {
     (singleMops, speedup)
   }
 
+  /** Cheap single-thread probe (~0.1 s): Mops the host sustains right now.
+    * Sampled before and after the query block so a committed BENCH artifact
+    * carries its own host-contention context — a run where `after` reads
+    * far below `before` (or both read far below the ~440 Mops this VM
+    * sustains unloaded) was taken during a throttle window and its query
+    * times under-read the engine.
+    */
+  def quickProbe(): Double = {
+    def work(iters: Long): Long = {
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < iters) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= x >>> 33
+        i += 1
+      }
+      x
+    }
+    work(5000000L)
+    val iters = 50000000L
+    val t0 = System.nanoTime()
+    val sink = work(iters)
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (sink == 42) println("")
+    iters / sec / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,7 +98,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val probeBefore = quickProbe()
     val (results, nTurns) = queryTimes(spark, sfDir)
+    val probeAfter = quickProbe()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -120,8 +149,10 @@ object Bench {
         f"""{"turns":${levels.head.turns},"levels":$levelsJson,"efficiency_2_to_8":$eff28%.3f,"efficiency_8_to_32":$eff832%.3f,"host_probe":{"threads":32,"single_thread_mops":$singleMops%.0f,"parallel_speedup_32":$hostSpeedup%.1f}}"""
       }
 
+    val hostContext =
+      f"""{"single_thread_mops_before_queries":$probeBefore%.0f,"single_thread_mops_after_queries":$probeAfter%.0f}"""
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"skew":$skewJson,"sf_scale":$sfScaleJson,"checkpoint_resume":$ckptJson,"scaling":$scalingJson}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"skew":$skewJson,"sf_scale":$sfScaleJson,"checkpoint_resume":$ckptJson,"scaling":$scalingJson}""")
   }
 
   /** Resume evidence: a full CheckpointedRun over the benched turns, then
@@ -162,8 +193,8 @@ object Bench {
     // best-of-3 per query: a single-shot number on this shared, throttling
     // VM is whatever the host was doing that minute (round-1 headline read
     // 28.5 s for a transform its own scaling section ran at 2.0 s)
-    def timed(f: => Unit): Double =
-      (1 to 3).map { _ =>
+    def timed(f: => Unit, runs: Int = 3): Double =
+      (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         f
         val dt = (System.nanoTime() - t0) / 1e9
@@ -204,8 +235,11 @@ object Bench {
         .getField("n_rects").as("n"))
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    results("deid_replace") = timed(force(Deid.redact(turns)))
-    results("deid_blackbox") = timed(force(Deid.redact(turns, mode = "blackbox")))
+    // best-of-5 for the headline pair: the turns/s record derives from
+    // deid_replace, and on this shared VM one throttled minute inside a
+    // best-of-3 window has twice produced a phantom ~2x "regression"
+    results("deid_replace") = timed(force(Deid.redact(turns)), runs = 5)
+    results("deid_blackbox") = timed(force(Deid.redact(turns, mode = "blackbox")), runs = 5)
     results("detect_entities") = timed(force(detectQ))
     results("html_text_strip") = timed(force(htmlQ))
     results("model_detect") = timed(force(modelQ))

@@ -55,7 +55,11 @@ object ScaleProbe {
         val pairs = Dedup.simhashNearDups(d, maxDist = 3).select("a", "b")
         force(Dedup.connectedComponents(pairs, d.select("doc_id")))
       }
-      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs")
+      val tCcLs = best3 {
+        val pairs = Dedup.simhashNearDups(d, maxDist = 3).select("a", "b")
+        force(Dedup.connectedComponentsAlternating(pairs, d.select("doc_id")))
+      }
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs")
     }
     spark.stop()
   }

@@ -933,20 +933,28 @@ object SparkEntry {
           "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant " +
           "FROM turns) t JOIN v USING (variant) ORDER BY conv_id, turn_idx"),
 
+      // en twin. The en MEDICAL_ID rule (\b[A-Za-z0-9]{6,12}\b, faithful to
+      // configs/regex_en.yaml) also fires on the PREFIX's order key once
+      // keys reach 6 digits (first at sf0.1) — the oracle models that with
+      // a conditional extra MEDICAL_ID:<conv_id> key merged into the sorted
+      // list, so the same SQL is exact at every driver scale.
       "deid_replace_en" ->
-        (s"$cte, v(variant, n_entities, n_events, repl_keys) AS (VALUES " +
-          "(0,1,1,'PASSPORT:A1234567')," +
-          "(1,2,2,'EMAIL:test@example.com|PHONE:0912345678')," +
-          "(2,2,2,'MEDICAL_ID:record|PASSPORT:M1234567')," +
-          "(3,5,5,'EMAIL:alice@example.com|MEDICAL_ID:Contact|MEDICAL_ID:details|MEDICAL_ID:script|MEDICAL_ID:script')," +
-          "(4,5,5,'MEDICAL_ID:000123|MEDICAL_ID:12345678|MEDICAL_ID:Passport|MEDICAL_ID:contract|PASSPORT:A1234567')," +
-          "(5,4,4,'MEDICAL_ID:Nothing|MEDICAL_ID:confirmation|MEDICAL_ID:routine|MEDICAL_ID:sensitive')," +
-          "(6,3,3,'ADDRESS:123 Main Street|ID:123-45-6789|PHONE:1-555-123-4567')," +
-          "(7,2,2,'MEDICAL_ID:output|MEDICAL_ID:status')) " +
-          "SELECT t.conv_id, t.turn_idx, CAST(v.n_entities AS INTEGER) AS n_entities, " +
-          "CAST(v.n_events AS INTEGER) AS n_events, v.repl_keys " +
+        (s"$cte, v(variant, n, keys) AS (VALUES " +
+          "(0,1,['PASSPORT:A1234567'])," +
+          "(1,2,['EMAIL:test@example.com','PHONE:0912345678'])," +
+          "(2,2,['MEDICAL_ID:record','PASSPORT:M1234567'])," +
+          "(3,5,['EMAIL:alice@example.com','MEDICAL_ID:Contact','MEDICAL_ID:details','MEDICAL_ID:script','MEDICAL_ID:script'])," +
+          "(4,5,['MEDICAL_ID:000123','MEDICAL_ID:12345678','MEDICAL_ID:Passport','MEDICAL_ID:contract','PASSPORT:A1234567'])," +
+          "(5,4,['MEDICAL_ID:Nothing','MEDICAL_ID:confirmation','MEDICAL_ID:routine','MEDICAL_ID:sensitive'])," +
+          "(6,3,['ADDRESS:123 Main Street','ID:123-45-6789','PHONE:1-555-123-4567'])," +
+          "(7,2,['MEDICAL_ID:output','MEDICAL_ID:status'])) " +
+          "SELECT t.conv_id, t.turn_idx, CAST(v.n + t.extra AS INTEGER) AS n_entities, " +
+          "CAST(v.n + t.extra AS INTEGER) AS n_events, " +
+          "array_to_string(list_sort(CASE WHEN t.extra = 1 " +
+          "THEN list_append(v.keys, 'MEDICAL_ID:' || t.conv_id) ELSE v.keys END), '|') AS repl_keys " +
           "FROM (SELECT conv_id, turn_idx, " +
-          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant " +
+          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant, " +
+          "CASE WHEN length(conv_id) BETWEEN 6 AND 12 THEN 1 ELSE 0 END AS extra " +
           "FROM turns) t JOIN v USING (variant) ORDER BY conv_id, turn_idx"),
 
       // per-event audit: entity_type/original/event-start per variant are

@@ -366,24 +366,16 @@ object SparkEntry {
     // propagation): the keep/drop decision of a dedup pipeline. Exact-pair
     // edges so the DuckDB recursive-CTE oracle reproduces the whole graph.
     "dedup_clusters" -> ((s, dir) => {
-      val subset = plantedDocs(s, dir).where(col("doc_id") % 100000 < 50)
-      val pairs = Dedup.ngramJaccardCountsExact(subset, k = 3)
-        .where(col("inter") >= 1 && col("inter") * 2 >= col("ua"))
-        .select("a", "b")
-      Dedup.connectedComponents(pairs, subset.select("doc_id"))
-        .orderBy("doc_id")
+      val (pairs, nodes) = clusterPairGraph(s, dir)
+      Dedup.connectedComponents(pairs, nodes).orderBy("doc_id")
     }),
 
     // the SAME cluster assignment through the O(log n) large-star/small-star
     // promotion path — both implementations are pinned to one DuckDB
     // transitive-closure oracle
     "dedup_clusters_ls" -> ((s, dir) => {
-      val subset = plantedDocs(s, dir).where(col("doc_id") % 100000 < 50)
-      val pairs = Dedup.ngramJaccardCountsExact(subset, k = 3)
-        .where(col("inter") >= 1 && col("inter") * 2 >= col("ua"))
-        .select("a", "b")
-      Dedup.connectedComponentsAlternating(pairs, subset.select("doc_id"))
-        .orderBy("doc_id")
+      val (pairs, nodes) = clusterPairGraph(s, dir)
+      Dedup.connectedComponentsAlternating(pairs, nodes).orderBy("doc_id")
     }),
 
     // planted copies (base<50 plus their near/exact twins) so the result is
@@ -647,6 +639,20 @@ object SparkEntry {
     val exact = base.where(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 200000).as("doc_id"), col("text"))
     base.union(near).union(exact)
+  }
+
+  /** Shared (edges, nodes) for both cluster-assignment queries — one
+    * definition so dedup_clusters and dedup_clusters_ls cannot drift apart
+    * while sharing one oracle: the planted 50-doc subset's near-dup pair
+    * graph (exact shingle evidence, inter*2 >= |A| keeps the DuckDB oracle
+    * trivially reproducible).
+    */
+  private def clusterPairGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val subset = plantedDocs(s, dir).where(col("doc_id") % 100000 < 50)
+    val pairs = Dedup.ngramJaccardCountsExact(subset, k = 3)
+      .where(col("inter") >= 1 && col("inter") * 2 >= col("ua"))
+      .select("a", "b")
+    (pairs, subset.select("doc_id"))
   }
 
   /** DuckDB oracles. Table names = parquet basenames; `turns` comes from the
@@ -918,26 +924,40 @@ object SparkEntry {
 
       // replace-pipeline projections: per-variant entity/event counts and
       // sorted TYPE:original keys are template constants (VariantProbe-
-      // derived; values themselves are MT19937 and stay golden-gated)
+      // derived; values themselves are MT19937 and stay golden-gated). The
+      // zh UNIFIED_BUSINESS_NO rule (\d{8}, unanchored) additionally fires
+      // on the PREFIX's order key once keys reach 8 digits (orderkey ≥
+      // 10^7, far past sf0.1 but modeled so the SQL stays exact) — one
+      // extra key UNIFIED_BUSINESS_NO:<first 8 digits>. 16+-digit keys
+      // (two non-overlapping matches) are outside the modeled domain.
       "deid_replace" ->
-        (s"$cte, v(variant, n_entities, n_events, repl_keys) AS (VALUES " +
-          "(0,2,2,'ID:A123456789|PHONE:0912-345-678')," +
-          "(1,2,2,'EMAIL:test@example.com|PHONE:0912345678')," +
-          "(2,2,2,'ADDRESS:台北市信義路1號|PASSPORT:M1234567')," +
-          "(3,1,1,'EMAIL:alice@example.com')," +
-          "(4,2,2,'PASSPORT:PA1234567|UNIFIED_BUSINESS_NO:12345678')," +
-          "(5,0,0,''),(6,0,0,''),(7,0,0,'')) " +
-          "SELECT t.conv_id, t.turn_idx, CAST(v.n_entities AS INTEGER) AS n_entities, " +
-          "CAST(v.n_events AS INTEGER) AS n_events, v.repl_keys " +
+        (s"$cte, v(variant, n, keys) AS (VALUES " +
+          "(0,2,['ID:A123456789','PHONE:0912-345-678'])," +
+          "(1,2,['EMAIL:test@example.com','PHONE:0912345678'])," +
+          "(2,2,['ADDRESS:台北市信義路1號','PASSPORT:M1234567'])," +
+          "(3,1,['EMAIL:alice@example.com'])," +
+          "(4,2,['PASSPORT:PA1234567','UNIFIED_BUSINESS_NO:12345678'])," +
+          "(5,0,[]::VARCHAR[]),(6,0,[]::VARCHAR[]),(7,0,[]::VARCHAR[])) " +
+          "SELECT t.conv_id, t.turn_idx, CAST(v.n + t.extra AS INTEGER) AS n_entities, " +
+          "CAST(v.n + t.extra AS INTEGER) AS n_events, " +
+          // coalesce: DuckDB's array_to_string yields NULL (not '') on an
+          // empty list, and Spark's array_join yields ''
+          "coalesce(array_to_string(list_sort(CASE WHEN t.extra = 1 " +
+          "THEN list_append(v.keys, 'UNIFIED_BUSINESS_NO:' || substr(t.conv_id, 1, 8)) " +
+          "ELSE v.keys END), '|'), '') AS repl_keys " +
           "FROM (SELECT conv_id, turn_idx, " +
-          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant " +
+          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant, " +
+          "CASE WHEN length(conv_id) BETWEEN 8 AND 15 THEN 1 ELSE 0 END AS extra " +
           "FROM turns) t JOIN v USING (variant) ORDER BY conv_id, turn_idx"),
 
       // en twin. The en MEDICAL_ID rule (\b[A-Za-z0-9]{6,12}\b, faithful to
       // configs/regex_en.yaml) also fires on the PREFIX's order key once
       // keys reach 6 digits (first at sf0.1) — the oracle models that with
       // a conditional extra MEDICAL_ID:<conv_id> key merged into the sorted
-      // list, so the same SQL is exact at every driver scale.
+      // list, so the same SQL is exact at every driver scale. Modeled
+      // domain: keys of 6–9 digits (all driver scales are ≤6; at 10+
+      // digits, orderkey ≥ 10^9 ≈ sf1700, the higher-priority en PHONE
+      // rule takes the span over instead).
       "deid_replace_en" ->
         (s"$cte, v(variant, n, keys) AS (VALUES " +
           "(0,1,['PASSPORT:A1234567'])," +
@@ -954,24 +974,33 @@ object SparkEntry {
           "THEN list_append(v.keys, 'MEDICAL_ID:' || t.conv_id) ELSE v.keys END), '|') AS repl_keys " +
           "FROM (SELECT conv_id, turn_idx, " +
           "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant, " +
-          "CASE WHEN length(conv_id) BETWEEN 6 AND 12 THEN 1 ELSE 0 END AS extra " +
+          "CASE WHEN length(conv_id) BETWEEN 6 AND 9 THEN 1 ELSE 0 END AS extra " +
           "FROM turns) t JOIN v USING (variant) ORDER BY conv_id, turn_idx"),
 
       // per-event audit: entity_type/original/event-start per variant are
-      // constants relative to the prefix (event start = original span start)
+      // constants relative to the prefix (event start = original span
+      // start). Same zh UBN-in-prefix modeling as deid_replace: 8–15-digit
+      // order keys add one event at the key's offset in the prefix
+      // ('turn {i} of order ' = plen - 2 - key length).
       "events_audit" ->
         (s"$cte, ev(variant, entity_type, original, rs) AS (VALUES " +
           "(0,'ID','A123456789',13),(0,'PHONE','0912-345-678',34)," +
           "(1,'EMAIL','test@example.com',12),(1,'PHONE','0912345678',37)," +
           "(2,'PASSPORT','M1234567',11),(2,'ADDRESS','台北市信義路1號',23)," +
           "(3,'EMAIL','alice@example.com',133)," +
-          "(4,'PASSPORT','PA1234567',9),(4,'UNIFIED_BUSINESS_NO','12345678',23)) " +
-          "SELECT t.conv_id, t.turn_idx, e.entity_type, e.original, " +
-          "CAST(e.rs + t.plen AS INTEGER) AS start " +
-          "FROM (SELECT conv_id, turn_idx, " +
+          "(4,'PASSPORT','PA1234567',9),(4,'UNIFIED_BUSINESS_NO','12345678',23)), " +
+          "t AS (SELECT conv_id, turn_idx, " +
           "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant, " +
           "length('turn ' || CAST(turn_idx AS VARCHAR) || ' of order ' || conv_id || ': ') AS plen " +
-          "FROM turns) t JOIN ev e USING (variant) " +
+          "FROM turns) " +
+          "SELECT * FROM (" +
+          "SELECT t.conv_id, t.turn_idx, e.entity_type, e.original, " +
+          "CAST(e.rs + t.plen AS INTEGER) AS start " +
+          "FROM t JOIN ev e USING (variant) " +
+          "UNION ALL " +
+          "SELECT conv_id, turn_idx, 'UNIFIED_BUSINESS_NO', substr(conv_id, 1, 8), " +
+          "CAST(plen - 2 - length(conv_id) AS INTEGER) " +
+          "FROM t WHERE length(conv_id) BETWEEN 8 AND 15) " +
           "ORDER BY conv_id, turn_idx, start, entity_type"),
 
       "masked_pair_recovery" ->

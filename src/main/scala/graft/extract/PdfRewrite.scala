@@ -275,6 +275,40 @@ object PdfRewrite {
   private val genRefPat =
     java.util.regex.Pattern.compile("(\\d+)\\s+[1-9]\\d*\\s+R\\b")
 
+  /** Rewrite non-zero-generation refs to gen 0 — OUTSIDE (...) string
+    * literals only, so metadata strings that merely look like `12 34 R`
+    * (titles, dates) are never altered. Literal spans are walked with
+    * PDF-spec escape and nested-paren handling and copied verbatim.
+    */
+  private[graft] def rewriteGenRefs(dict: String): String = {
+    if (!genRefPat.matcher(dict).find()) return dict
+    val sb = new java.lang.StringBuilder(dict.length)
+    var i = 0
+    var segStart = 0
+    def flushOutside(end: Int): Unit =
+      sb.append(genRefPat.matcher(dict.substring(segStart, end)).replaceAll("$1 0 R"))
+    while (i < dict.length) {
+      if (dict.charAt(i) == '(') {
+        flushOutside(i)
+        val litStart = i
+        var depth = 1
+        i += 1
+        while (i < dict.length && depth > 0) {
+          val c = dict.charAt(i)
+          if (c == '\\' && i + 1 < dict.length) i += 2
+          else {
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            i += 1
+          }
+        }
+        sb.append(dict, litStart, i)
+        segStart = i
+      } else i += 1
+    }
+    flushOutside(dict.length)
+    sb.toString
+  }
+
   /** Classic serialization of the (expanded) object map: ObjStm and XRef
     * stream objects dropped (their payloads are top-level now / stale),
     * everything else byte-preserved except that non-zero-generation
@@ -300,11 +334,7 @@ object PdfRewrite {
       // every object is re-emitted at generation 0, so indirect references
       // carrying a non-zero generation (incrementally-updated sources)
       // must be rewritten to gen 0 or they dangle in the rebuilt file
-      val dict =
-        if (genRefPat.matcher(body).find())
-          genRefPat.matcher(body).replaceAll("$1 0 R")
-        else body
-      w(dict)
+      w(rewriteGenRefs(body))
       o.stream.foreach { bytes =>
         w("stream\n")
         out.write(bytes)

@@ -209,11 +209,12 @@ object Dedup {
     * 1 groupBy per round, all shuffles on the id key). Rounds needed =
     * graph diameter; near-dup clusters are shallow (template families,
     * mirror chains), so convergence is 2–4 rounds in practice. The loop
-    * exits early on convergence; if `maxIter` is reached while labels are
-    * still changing (graph diameter > maxIter, e.g. a chain-shaped dup
-    * family) the labels would NOT be a valid component assignment, so the
-    * call FAILS with an IllegalStateException telling the caller to raise
-    * `maxIter` or switch to the promotion path,
+    * exits early on convergence — note convergence is OBSERVED one round
+    * after propagation completes (a zero-change confirming round), so
+    * `maxIter` must be ≥ graph diameter + 1. If the cap is reached while
+    * labels are still changing the labels would NOT be a valid component
+    * assignment, so the call FAILS with an IllegalStateException telling
+    * the caller to raise `maxIter` or switch to the promotion path,
     * [[connectedComponentsAlternating]] (large-star/small-star, Kiveris et
     * al. SoCC 2014), which contracts chains in O(log n) rounds with the
     * same join shapes.
@@ -263,9 +264,9 @@ object Dedup {
     }
     sym.unpersist()
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within maxIter=$maxIter rounds " +
-        "(graph diameter exceeds the cap); labels would be truncated mid-" +
-        "propagation. Raise maxIter (rounds needed = graph diameter) or use " +
+      s"connectedComponents did not converge within maxIter=$maxIter rounds; " +
+        "labels would be truncated mid-propagation. Raise maxIter (rounds " +
+        "needed = graph diameter + 1 confirming zero-change round) or use " +
         "connectedComponentsAlternating (O(log n) rounds) for chain-shaped graphs.")
     labels.withColumnRenamed("id", idCol).withColumnRenamed("label", "component")
   }
@@ -285,7 +286,11 @@ object Dedup {
     * (node, component-min). Convergence is checked with a (count,
     * hash-sum) signature computed in the same action that materializes the
     * round's lazily-checkpointed edge set — one action per round, like
-    * [[connectedComponents]].
+    * [[connectedComponents]] — and then CONFIRMED with one exact multiset
+    * comparison at the (rare) signature match, so a hash-sum collision
+    * between different edge sets cannot silently terminate early. As with
+    * min-label, the fixpoint is observed one unchanged round after it is
+    * reached, so `maxIter` must cover the contraction rounds + 1.
     */
   def connectedComponentsAlternating(
       edges: DataFrame,
@@ -332,7 +337,10 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next) // the one action of this round
-      converged = nextSig == sig
+      // signature equality is necessary, not sufficient (hash-sum could
+      // collide) — confirm with an exact multiset compare, which runs only
+      // at the one round where the signatures first agree
+      converged = nextSig == sig && next.exceptAll(e).isEmpty
       e = next
       sig = nextSig
       iter += 1

@@ -69,15 +69,19 @@ object CheckpointedRun {
     val pending = (0 until nBuckets).filterNot(done)
     if (pending.isEmpty) return RunStatus(id, nBuckets, 0, nBuckets)
 
+    // persist ONCE: without this the whole upstream pipeline would recompute
+    // for every group (the bucket filter is on a computed hash column, so
+    // nothing prunes at the source) and again for every count
     val bucketed = df.withColumn("bucket", pmod(hash(col("conv_id")), lit(nBuckets)))
+      .where(col("bucket").isin(pending: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       pending.grouped(groupSize).foreach { group =>
-        bucketed
-          .where(col("bucket").isin(group: _*))
-          // salted clustering + stable in-partition order (north rule O7)
+        val g = bucketed.where(col("bucket").isin(group: _*))
+        g // salted clustering + stable in-partition order (north rule O7)
           .repartition(col("bucket"))
           .sortWithinPartitions(col("conv_id"), col("turn_idx"))
           .write
@@ -87,11 +91,13 @@ object CheckpointedRun {
 
         // lineage rows appended AFTER this group's data commit — a crash
         // before this point loses only the in-flight group; already-
-        // committed groups are skipped by the next invocation. Rows are
-        // built driver-side (≤ groupSize) so EMPTY buckets also get their
-        // done row and are not retried forever.
-        val counts: Map[Int, Long] = spark.read.parquet(dataPath)
-          .where(col("bucket").isin(group: _*))
+        // committed groups are skipped by the next invocation. Counts come
+        // from the persisted frame, NOT a dataPath read-back: a group whose
+        // buckets are all empty writes no parquet files, and schema
+        // inference on the empty directory would crash — deterministically,
+        // on every resume. Rows are built driver-side (≤ groupSize) so
+        // EMPTY buckets also get their done row and are not retried forever.
+        val counts: Map[Int, Long] = g
           .groupBy("bucket").agg(count(lit(1)).as("turns"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val now = System.currentTimeMillis()
@@ -103,6 +109,7 @@ object CheckpointedRun {
           .coalesce(1).write.mode(SaveMode.Append).parquet(lineagePath)
       }
     } finally {
+      bucketed.unpersist()
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -50,21 +50,22 @@ class CheckpointSpec extends AnyFunSuite {
   test("kill mid-run and resume: committed groups skip, only the rest reprocess") {
     val out = java.nio.file.Files.createTempDirectory("graft_ckpt_kill").toString
     val redacted = Deid.redact(TurnsGen.turns(spark, sfDir))
-    // poison the frame so any task touching bucket 7 (hash(conv_id) % 8)
-    // throws — the run dies inside the group containing bucket 7, AFTER
-    // the earlier groups' lineage committed (groups of 2 over buckets
-    // 0..7 → (0,1),(2,3),(4,5) commit, (6,7) aborts)
-    val poisoned = redacted.withColumn("text",
-      when(pmod(hash(col("conv_id")), lit(8)) === 7,
-        raise_error(lit("injected crash"))).otherwise(col("text")))
-    intercept[Exception] {
-      CheckpointedRun.run(spark, poisoned, out, "sf0.001", "rules-v1",
-        nBuckets = 8, groupSize = 2)
+
+    // simulate a driver death between group commits: run fully (groups of 2
+    // over buckets 0..7), then erase the LAST group's lineage rows and data
+    // dirs — exactly the on-disk state a crash during group (6,7) leaves
+    CheckpointedRun.run(spark, redacted, out, "sf0.001", "rules-v1",
+      nBuckets = 8, groupSize = 2)
+    val lineage = spark.read.parquet(s"$out/_lineage").cache()
+    lineage.count()
+    lineage.where(col("bucket") < 6)
+      .write.mode("overwrite").parquet(s"$out/_lineage_tmp")
+    spark.read.parquet(s"$out/_lineage_tmp").write.mode("overwrite")
+      .parquet(s"$out/_lineage")
+    Seq(6, 7).foreach { b =>
+      val dir = new java.io.File(s"$out/data/bucket=$b")
+      dir.listFiles().foreach(_.delete()); dir.delete()
     }
-    val doneAfterCrash = spark.read.parquet(s"$out/_lineage")
-      .where(col("status") === "done").select("bucket")
-      .collect().map(_.getInt(0)).toSet
-    assert(doneAfterCrash == Set(0, 1, 2, 3, 4, 5), doneAfterCrash)
 
     // snapshot a committed bucket's files: resume must NOT rewrite them
     val b0 = new java.io.File(s"$out/data/bucket=0")
@@ -84,6 +85,52 @@ class CheckpointSpec extends AnyFunSuite {
     assert(h(s"$out/data") == h(s"$out2/data"))
     assert(spark.read.parquet(s"$out/data").count() ==
       spark.read.parquet(s"$out2/data").count())
+  }
+
+  test("a run that fails before any lineage commit resumes cleanly from zero") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_fail").toString
+    val redacted = Deid.redact(TurnsGen.turns(spark, sfDir))
+    // the poisoned column throws while the persisted input materializes
+    // (first group's job) — NO lineage commits, possibly half-written files
+    val poisoned = redacted.withColumn("text",
+      when(pmod(hash(col("conv_id")), lit(8)) === 7,
+        raise_error(lit("injected crash"))).otherwise(col("text")))
+    intercept[Exception] {
+      CheckpointedRun.run(spark, poisoned, out, "sf0.001", "rules-v1",
+        nBuckets = 8, groupSize = 2)
+    }
+    val lineageDir = new java.io.File(s"$out/_lineage")
+    val doneAfterCrash =
+      if (!lineageDir.exists()) Set.empty[Int]
+      else spark.read.parquet(s"$out/_lineage")
+        .where(col("status") === "done").select("bucket")
+        .collect().map(_.getInt(0)).toSet
+    assert(doneAfterCrash.isEmpty, doneAfterCrash)
+
+    // resume with the clean frame: full reprocess, correct content, no dups
+    val resumed = CheckpointedRun.run(spark, redacted, out, "sf0.001", "rules-v1",
+      nBuckets = 8, groupSize = 2)
+    assert(resumed.processed == 8 && resumed.skipped == 0, s"got $resumed")
+    assert(spark.read.parquet(s"$out/data").count() ==
+      spark.read.parquet(s"$sfDir/orders.parquet").count() * 3)
+  }
+
+  test("empty buckets get lineage rows (no retry-forever) and empty groups don't crash") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_empty").toString
+    // 2 conversations over 64 buckets with groups of 4: most groups write
+    // ZERO rows — the dataPath read-back shape crashed here (no parquet
+    // files to infer a schema from) and empty buckets never got done rows
+    val tiny = Deid.redact(TurnsGen.turns(spark, sfDir)
+      .where(col("conv_id").isin("1", "2")))
+    val s1 = CheckpointedRun.run(spark, tiny, out, "tiny", "rules-v1",
+      nBuckets = 64, groupSize = 4)
+    assert(s1.processed == 64 && s1.skipped == 0)
+    val doneRows = spark.read.parquet(s"$out/_lineage")
+      .where(col("status") === "done").count()
+    assert(doneRows == 64, s"$doneRows lineage rows — empty buckets skipped")
+    val s2 = CheckpointedRun.run(spark, tiny, out, "tiny", "rules-v1",
+      nBuckets = 64, groupSize = 4)
+    assert(s2.processed == 0 && s2.skipped == 64, s"got $s2")
   }
 
   test("different rule fingerprint gets a different run id (no false resume)") {

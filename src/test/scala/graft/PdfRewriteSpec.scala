@@ -134,6 +134,18 @@ class PdfRewriteSpec extends AnyFunSuite {
     assert(!PdfExtract.extractText(out).contains("A123456789"))
   }
 
+  test("gen-ref rewrite never touches (...) string literals") {
+    // metadata strings that merely LOOK like refs must survive verbatim;
+    // the real ref outside the literal is rewritten
+    val dict = "<< /Title (Lot 12 34 R) /Note (nested (7 2 R) \\) 9 1 R) /Contents 4 1 R >>"
+    val got = PdfRewrite.rewriteGenRefs(dict)
+    assert(got ==
+      "<< /Title (Lot 12 34 R) /Note (nested (7 2 R) \\) 9 1 R) /Contents 4 0 R >>", got)
+    // no gen>0 refs at all: byte-identical fast path
+    val clean = "<< /Pages 2 0 R /Title (x) >>"
+    assert(PdfRewrite.rewriteGenRefs(clean) eq clean)
+  }
+
   test("real TeX PDF: the maintainer email is removed, document survives") {
     val p = java.nio.file.Paths.get("/usr/share/doc/libtasn1-doc/libtasn1.pdf")
     if (!java.nio.file.Files.isReadable(p)) cancel("host PDF not present")

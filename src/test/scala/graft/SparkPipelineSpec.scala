@@ -116,6 +116,35 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(other.values.head != m.values.head)
   }
 
+  test("oracle scale-domain: prefix detections at wide order keys match the modeled SQL") {
+    import graft.pipeline.DeidCore
+    // zh: the UBN rule (\d{8}, unanchored) fires on 8-15-digit keys, once,
+    // on the FIRST 8 digits, at the key's offset in the prefix
+    Seq("12345678", "123456789", "123456789012345").foreach { key =>
+      val text = s"turn 1 of order $key: Nothing sensitive in this routine confirmation turn."
+      val ents = DeidCore.detect(text, "zh", withStub = false)
+      assert(ents.length == 1, s"zh key=$key -> ${ents.toSeq}")
+      val e = ents.head
+      assert(e.typ == "UNIFIED_BUSINESS_NO")
+      assert(e.start == "turn 1 of order ".length && e.end == e.start + 8)
+    }
+    // zh: 7-digit keys (max at sf1) detect nothing in the prefix
+    assert(DeidCore.detect(
+      "turn 1 of order 1234567: Nothing sensitive in this routine confirmation turn.",
+      "zh", withStub = false).isEmpty)
+    // en: MEDICAL_ID takes 6-9-digit keys; PHONE outranks it at 10 digits
+    // (the oracle's modeled domain ends at 9)
+    Seq("123456", "123456789").foreach { key =>
+      val text = s"turn 1 of order $key: ok."
+      val ents = DeidCore.detect(text, "en", withStub = false)
+      assert(ents.exists(e => e.typ == "MEDICAL_ID" &&
+        e.start == "turn 1 of order ".length && e.end == e.start + key.length),
+        s"en key=$key -> ${ents.toSeq}")
+    }
+    val tenDigit = DeidCore.detect("turn 1 of order 2345678901: ok.", "en", withStub = false)
+    assert(tenDigit.exists(_.typ == "PHONE"), tenDigit.toSeq)
+  }
+
   test("entity histogram is deterministic and ordered by (-count, type)") {
     val t = TurnsGen.turns(spark, sfDir)
     val h = Deid.entityHistogram(Deid.redact(t)).collect()

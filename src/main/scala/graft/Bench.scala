@@ -249,6 +249,7 @@ object Bench {
       graft.functions.gf.pdfRewrite(graft.functions.gf.pdfSynth(
         substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 200)))
         .getField("n_rects").as("n"))))
+    results("dedup_substring_merged") = timed(force(SparkEntry.queries("dedup_substring_merged")(spark, sfDir)))
     results("dedup_minhash_pairs") = timed(force(SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)))
     results("dedup_simhash_pairs") = timed(force(SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)))
     results("knn_lsh") = timed(force(SparkEntry.queries("knn_lsh")(spark, sfDir)))

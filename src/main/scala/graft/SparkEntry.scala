@@ -378,6 +378,22 @@ object SparkEntry {
       Dedup.connectedComponentsAlternating(pairs, nodes).orderBy("doc_id")
     }),
 
+    // exact substring dedup (Lee et al. 2022, windowed): token-index spans
+    // of 8-token windows shared by >= 2 distinct docs; DuckDB rebuilds the
+    // same windows with a list comprehension. The merged variant collapses
+    // overlapping windows into the maximal spans a cut pass would remove.
+    "dedup_substring_spans" -> ((s, dir) =>
+      Dedup.duplicatedWindowSpans(
+          plantedDocs(s, dir).where(col("doc_id") % 100000 < 50), k = 8)
+        .select("doc_id", "tok_start", "tok_end")
+        .orderBy("doc_id", "tok_start")),
+
+    "dedup_substring_merged" -> ((s, dir) =>
+      Dedup.mergeTokenSpans(Dedup.duplicatedWindowSpans(
+          plantedDocs(s, dir).where(col("doc_id") % 100000 < 50), k = 8))
+        .select("doc_id", "tok_start", "tok_end")
+        .orderBy("doc_id", "tok_start")),
+
     // planted copies (base<50 plus their near/exact twins) so the result is
     // non-empty and exactly reproducible by the DuckDB brute-force oracle
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -667,6 +683,20 @@ object SparkEntry {
         |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim FROM q JOIN c ON q_id <> n_id),
         |r AS (SELECT q_id, n_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
+    // shared by dedup_substring_spans / dedup_substring_merged: the planted
+    // subset's 8-token windows (1-based DuckDB list slices), the >= 2
+    // distinct-docs filter, and 0-based [tok_start, tok_end) spans
+    val substringSpansCte =
+      """WITH p AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0 AND doc_id < 50
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0 AND doc_id < 50),
+        |tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM p),
+        |wl AS (SELECT doc_id, [{'i': i, 'w': array_to_string(t[i:i+7], ' ')} for i in range(1, len(t) - 6)] AS ws FROM tk WHERE len(t) >= 8),
+        |w AS (SELECT doc_id, unnest(ws) AS u FROM wl),
+        |w2 AS (SELECT doc_id, u.i AS i1, u.w AS wt FROM w),
+        |dups AS (SELECT wt FROM w2 GROUP BY wt HAVING count(DISTINCT doc_id) >= 2),
+        |spans AS (SELECT w2.doc_id, CAST(w2.i1 - 1 AS INTEGER) AS tok_start, CAST(w2.i1 + 7 AS INTEGER) AS tok_end FROM w2 JOIN dups USING (wt))""".stripMargin
     // shared by dedup_clusters (min-label) and dedup_clusters_ls
     // (large-star/small-star): component = min transitively-reachable id
     val dedupClustersOracle =
@@ -771,6 +801,22 @@ object SparkEntry {
       // oracle pins both CC implementations (min-label + alternating).
       "dedup_clusters" -> dedupClustersOracle,
       "dedup_clusters_ls" -> dedupClustersOracle,
+
+      "dedup_substring_spans" ->
+        (substringSpansCte +
+          " SELECT doc_id, tok_start, tok_end FROM spans ORDER BY doc_id, tok_start")
+          .replace("\n", " "),
+
+      "dedup_substring_merged" ->
+        (substringSpansCte + """,
+          |pm AS (SELECT doc_id, tok_start, tok_end,
+          |  max(tok_end) OVER (PARTITION BY doc_id ORDER BY tok_start, tok_end
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM spans),
+          |ni AS (SELECT *, CASE WHEN prev_max IS NULL OR tok_start > prev_max THEN 1 ELSE 0 END AS nw FROM pm),
+          |isl AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY tok_start, tok_end) AS island FROM ni)
+          |SELECT doc_id, CAST(min(tok_start) AS INTEGER) AS tok_start, CAST(max(tok_end) AS INTEGER) AS tok_end
+          |FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start""".stripMargin)
+          .replace("\n", " "),
 
       "dedup_ngram_jaccard" ->
         ("""WITH p AS (

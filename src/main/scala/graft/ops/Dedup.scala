@@ -357,6 +357,83 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("component"))
   }
 
+  /** Windowed exact substring duplication — the exact-substring dedup
+    * criterion of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022), realized Spark-first as fixed-`k`-token
+    * windows instead of a monolithic suffix array: every k-token window
+    * whose text occurs in ≥ `minDocs` DISTINCT documents is a duplicated
+    * span. Consecutive qualifying windows are merged into maximal spans by
+    * [[mergeTokenSpans]] (the shape a cut-the-duplicates pass consumes).
+    *
+    * Scale shape: one narrow pass per document emits
+    * (sha2(window_text), doc, token span, char span) rows — window TEXT
+    * never shuffles, only its 256-bit digest; the ≥ minDocs filter is a
+    * digest-keyed count-distinct aggregation and the qualifying digests
+    * join back to the narrow window rows. Shuffle volume ∝ corpus tokens.
+    * The per-row window construction uses higher-order functions over the
+    * [[graft.functions.TokensWithOffsetsExpr]] array — adequate here; a
+    * 100-TB deployment would promote it to a single custom expression
+    * (same move as MinHashSigExpr).
+    *
+    * Returns (idCol, tok_start, tok_end, start, end): token-index span
+    * [tok_start, tok_end) plus the code-point char span [start, end).
+    */
+  def duplicatedWindowSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(k >= 1, "window size k must be >= 1")
+    require(minDocs >= 2, "a window is duplicated only across >= 2 documents")
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.gf.tokensWithOffsets(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+    val wins = base.select(col("id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - k), i => struct(
+          i.as("tok_start"),
+          (i + k).as("tok_end"),
+          element_at(col("toks"), i + 1).getField("start").as("start"),
+          element_at(col("toks"), i + k).getField("end").as("end"),
+          sha2(array_join(
+            transform(slice(col("toks"), i + 1, lit(k)), t => t.getField("token")),
+            " "), 256).as("w")
+        ))).as("win"))
+      .select(col("id"), col("win.tok_start").as("tok_start"),
+        col("win.tok_end").as("tok_end"), col("win.start").as("start"),
+        col("win.end").as("end"), col("win.w").as("w"))
+    val dup = wins.groupBy("w")
+      .agg(countDistinct("id").as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("w")
+    wins.join(dup, "w")
+      .select(col("id").as(idCol), col("tok_start"), col("tok_end"),
+        col("start"), col("end"))
+  }
+
+  /** Merge per-document overlapping/adjacent token spans into maximal
+    * islands (classic gaps-and-islands over a doc-partitioned window —
+    * no UDF, no driver-side collect). Input needs (idCol, tok_start,
+    * tok_end, start, end); output is one row per island with min/max of
+    * both span kinds.
+    */
+  def mergeTokenSpans(spans: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("tok_start"), col("tok_end"))
+    spans
+      .withColumn("prev_max",
+        max(col("tok_end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("tok_start") > col("prev_max"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("tok_start").as("tok_start"), max("tok_end").as("tok_end"),
+        min("start").as("start"), max("end").as("end"))
+      .select(col(idCol), col("tok_start"), col("tok_end"), col("start"), col("end"))
+  }
+
   /** SimHash near-dup candidates: Hamming(sig_a, sig_b) <= maxDist via
     * pigeonhole — split the 64-bit signature into (maxDist+1) chunks; equal
     * pairs must share at least one chunk ⇒ join per chunk, verify distance.

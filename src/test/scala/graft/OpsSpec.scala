@@ -159,6 +159,37 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("windowed exact substring dedup: shared runs found and merged to maximal spans") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again" // 12 tokens
+    val d = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, "unrelated words entirely different content here nothing shared with others at all"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedWindowSpans(d, k = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("tok_start"), r.getAs[Int]("tok_end"))).toSet
+    // doc1 carries the shared run at tokens [2, 14) -> window starts 2..6;
+    // doc2 at [0, 12) -> starts 0..4; doc3 shares nothing
+    assert(spans == ((2 to 6).map(i => (1L, i, i + 8)) ++
+      (0 to 4).map(i => (2L, i, i + 8))).toSet, spans)
+    val merged = Dedup.mergeTokenSpans(Dedup.duplicatedWindowSpans(d, k = 8))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("tok_start"), r.getAs[Int]("tok_end"))).toSet
+    assert(merged == Set((1L, 2, 14), (2L, 0, 12)), merged)
+    // char spans line up with the token content
+    val row = Dedup.mergeTokenSpans(Dedup.duplicatedWindowSpans(d, k = 8))
+      .where($"doc_id" === 1L).select("start", "end").first()
+    val doc1 = s"alpha beta $shared gamma"
+    assert(doc1.substring(row.getInt(0), row.getInt(1)) == shared)
+    // a window repeated twice WITHIN one doc is not cross-doc duplication
+    val selfRep = Seq(
+      (1L, "a b c d e f g h a b c d e f g h"),
+      (2L, "totally distinct tokens only here nothing else matches anything"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicatedWindowSpans(selfRep, k = 8).count() == 0)
+  }
+
   test("alternating CC: 200-node chain collapses in O(log n) rounds") {
     // diameter 199: min-label would need 199 rounds (and throws at its
     // default cap); the large-star/small-star promotion path converges fast

@@ -394,6 +394,18 @@ object SparkEntry {
         .select("doc_id", "tok_start", "tok_end")
         .orderBy("doc_id", "tok_start")),
 
+    // benchmark decontamination: corpus spans overlapping a "benchmark" set
+    // (every 7th document's raw text) via broadcast digest semi-join —
+    // merged to the maximal spans a scrub pass would cut
+    "decontaminate_spans" -> ((s, dir) => {
+      val corpus = plantedDocs(s, dir).where(col("doc_id") % 100000 < 50)
+      val benchmark = docs(s, dir).where(col("doc_id") % 7 === 3)
+        .select("doc_id", "text")
+      Dedup.mergeTokenSpans(Dedup.contaminatedSpans(corpus, benchmark, k = 8))
+        .select("doc_id", "tok_start", "tok_end")
+        .orderBy("doc_id", "tok_start")
+    }),
+
     // planted copies (base<50 plus their near/exact twins) so the result is
     // non-empty and exactly reproducible by the DuckDB brute-force oracle
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -697,6 +709,16 @@ object SparkEntry {
         |w2 AS (SELECT doc_id, u.i AS i1, u.w AS wt FROM w),
         |dups AS (SELECT wt FROM w2 GROUP BY wt HAVING count(DISTINCT doc_id) >= 2),
         |spans AS (SELECT w2.doc_id, CAST(w2.i1 - 1 AS INTEGER) AS tok_start, CAST(w2.i1 + 7 AS INTEGER) AS tok_end FROM w2 JOIN dups USING (wt))""".stripMargin
+    // shared gaps-and-islands tail merging a `spans` CTE to maximal spans
+    val mergeIslandsTail =
+      """,
+        |pm AS (SELECT doc_id, tok_start, tok_end,
+        |  max(tok_end) OVER (PARTITION BY doc_id ORDER BY tok_start, tok_end
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM spans),
+        |ni AS (SELECT *, CASE WHEN prev_max IS NULL OR tok_start > prev_max THEN 1 ELSE 0 END AS nw FROM pm),
+        |isl AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY tok_start, tok_end) AS island FROM ni)
+        |SELECT doc_id, CAST(min(tok_start) AS INTEGER) AS tok_start, CAST(max(tok_end) AS INTEGER) AS tok_end
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start""".stripMargin
     // shared by dedup_clusters (min-label) and dedup_clusters_ls
     // (large-star/small-star): component = min transitively-reachable id
     val dedupClustersOracle =
@@ -808,15 +830,25 @@ object SparkEntry {
           .replace("\n", " "),
 
       "dedup_substring_merged" ->
-        (substringSpansCte + """,
-          |pm AS (SELECT doc_id, tok_start, tok_end,
-          |  max(tok_end) OVER (PARTITION BY doc_id ORDER BY tok_start, tok_end
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM spans),
-          |ni AS (SELECT *, CASE WHEN prev_max IS NULL OR tok_start > prev_max THEN 1 ELSE 0 END AS nw FROM pm),
-          |isl AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY tok_start, tok_end) AS island FROM ni)
-          |SELECT doc_id, CAST(min(tok_start) AS INTEGER) AS tok_start, CAST(max(tok_end) AS INTEGER) AS tok_end
-          |FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start""".stripMargin)
-          .replace("\n", " "),
+        (substringSpansCte + mergeIslandsTail).replace("\n", " "),
+
+      // corpus windows ∩ benchmark windows (docs with doc_id % 7 = 3),
+      // merged — the decontamination scrub's cut list
+      "decontaminate_spans" ->
+        ("""WITH p AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+          |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0 AND doc_id < 50
+          |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0 AND doc_id < 50),
+          |tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM p),
+          |wl AS (SELECT doc_id, [{'i': i, 'w': array_to_string(t[i:i+7], ' ')} for i in range(1, len(t) - 6)] AS ws FROM tk WHERE len(t) >= 8),
+          |w AS (SELECT doc_id, unnest(ws) AS u FROM wl),
+          |w2 AS (SELECT doc_id, u.i AS i1, u.w AS wt FROM w),
+          |btk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents WHERE doc_id % 7 = 3),
+          |bwl AS (SELECT [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] AS ws FROM btk WHERE len(t) >= 8),
+          |bw AS (SELECT DISTINCT unnest(ws) AS wt FROM bwl),
+          |spans AS (SELECT w2.doc_id, CAST(w2.i1 - 1 AS INTEGER) AS tok_start, CAST(w2.i1 + 7 AS INTEGER) AS tok_end
+          |  FROM w2 WHERE wt IN (SELECT wt FROM bw))""".stripMargin
+          + mergeIslandsTail).replace("\n", " "),
 
       "dedup_ngram_jaccard" ->
         ("""WITH p AS (

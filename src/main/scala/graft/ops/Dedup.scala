@@ -387,10 +387,25 @@ object Dedup {
   ): DataFrame = {
     require(k >= 1, "window size k must be >= 1")
     require(minDocs >= 2, "a window is duplicated only across >= 2 documents")
-    val base = docs.select(col(idCol).as("id"),
-      graft.functions.gf.tokensWithOffsets(col(textCol)).as("toks"))
+    val wins = tokenWindows(docs, idCol, textCol, k)
+    val dup = wins.groupBy("w")
+      .agg(countDistinct("id").as("nd"))
+      .where(col("nd") >= minDocs)
+      .select("w")
+    wins.join(dup, "w")
+      .select(col("id").as(idCol), col("tok_start"), col("tok_end"),
+        col("start"), col("end"))
+  }
+
+  /** (id, tok_start, tok_end, start, end, w): every k-token window of every
+    * document, `w` = sha2-256 of the space-joined window text.
+    */
+  private def tokenWindows(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.gf.tokensWithOffsets(col(textCol)).as("toks"))
       .where(size(col("toks")) >= k)
-    val wins = base.select(col("id"), explode(
+      .select(col("id"), explode(
         transform(sequence(lit(0), size(col("toks")) - k), i => struct(
           i.as("tok_start"),
           (i + k).as("tok_end"),
@@ -403,11 +418,34 @@ object Dedup {
       .select(col("id"), col("win.tok_start").as("tok_start"),
         col("win.tok_end").as("tok_end"), col("win.start").as("start"),
         col("win.end").as("end"), col("win.w").as("w"))
-    val dup = wins.groupBy("w")
-      .agg(countDistinct("id").as("nd"))
-      .where(col("nd") >= minDocs)
-      .select("w")
-    wins.join(dup, "w")
+
+  /** Benchmark decontamination: spans of corpus documents whose k-token
+    * windows also occur in a REFERENCE corpus (the eval/benchmark set every
+    * serious training pipeline must scrub — n-gram overlap decontamination
+    * as practiced since GPT-2/GPT-3's 8-gram filters). Returns the same
+    * span shape as [[duplicatedWindowSpans]]; feed through
+    * [[mergeTokenSpans]] for the maximal spans to cut, or `distinct` doc
+    * ids to drop whole documents.
+    *
+    * Scale shape: the reference side reduces to DISTINCT window digests
+    * and is BROADCAST (the common case — benchmarks are MBs, corpora are
+    * TBs), so the 100-TB side is one narrow scan + broadcast-hash
+    * semi-join with NO shuffle. Set `broadcastReference = false` for a
+    * large reference (falls back to a digest-keyed shuffle join).
+    */
+  def contaminatedSpans(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      broadcastReference: Boolean = true
+  ): DataFrame = {
+    require(k >= 1, "window size k must be >= 1")
+    val refW = tokenWindows(reference, idCol, textCol, k).select("w").distinct()
+    val refSide = if (broadcastReference) broadcast(refW) else refW
+    tokenWindows(corpus, idCol, textCol, k)
+      .join(refSide, Seq("w"), "left_semi")
       .select(col("id").as(idCol), col("tok_start"), col("tok_end"),
         col("start"), col("end"))
   }

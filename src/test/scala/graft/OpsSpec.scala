@@ -190,6 +190,26 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.duplicatedWindowSpans(selfRep, k = 8).count() == 0)
   }
 
+  test("decontamination: corpus spans overlapping the benchmark set are flagged") {
+    val leaked = "question four what is the capital of France answer Paris" // 10 tokens
+    val corpus = Seq(
+      (1L, s"some training document that contains $leaked verbatim inside"),
+      (2L, "completely original writing with no benchmark overlap at all in it"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq((900L, leaked)).toDF("doc_id", "text")
+    val merged = Dedup.mergeTokenSpans(
+        Dedup.contaminatedSpans(corpus, benchmark, k = 8))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("tok_start"), r.getAs[Int]("tok_end"))).toSet
+    // doc1: leaked run occupies tokens [5, 15) -> one merged island; doc2 clean
+    assert(merged == Set((1L, 5, 15)), merged)
+    // char span slices back to the leaked text
+    val row = Dedup.mergeTokenSpans(Dedup.contaminatedSpans(corpus, benchmark, k = 8))
+      .select("start", "end").first()
+    val doc1 = s"some training document that contains $leaked verbatim inside"
+    assert(doc1.substring(row.getInt(0), row.getInt(1)) == leaked)
+  }
+
   test("alternating CC: 200-node chain collapses in O(log n) rounds") {
     // diameter 199: min-label would need 199 rounds (and throws at its
     // default cap); the large-star/small-star promotion path converges fast

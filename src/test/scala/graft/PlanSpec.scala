@@ -115,6 +115,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination broadcasts the benchmark digests; substring dedup has no cartesian") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.ops.Dedup.contaminatedSpans(
+      docs, docs.where(col("doc_id") % 7 === 3)))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val ps = plan(graft.ops.Dedup.duplicatedWindowSpans(docs))
+    assert(!ps.contains("CartesianProduct"), ps)
+  }
+
   test("connected components shuffles on the id key only (no cartesian)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")

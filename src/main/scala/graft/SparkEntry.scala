@@ -427,6 +427,19 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // SemDeDup shape: same planted corpus + threshold through cluster-
+    // partitioned candidates (IVF coarse quantizer) instead of LSH buckets;
+    // identical vectors always share a centroid and the max natural cosine
+    // is ~0.51, so the approximate result equals the exact oracle — the
+    // SAME oracle as dedup_embedding_pairs pins both scale paths
+    "semantic_dedup_pairs" -> ((s, dir) => {
+      val planted = plantedEmbeddings(s, dir)
+      val centroids = graft.ops.Ivf.train(embeddings(s, dir), k = 16, iters = 2)
+      Similarity.semanticNearDups(planted, centroids.map(_.toSeq).toSeq, threshold = 0.9)
+        .select(col("a"), col("b"))
+        .orderBy("a", "b")
+    }),
+
     // ---- similarity (embeddings) -------------------------------------------
     "knn_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir),
@@ -719,6 +732,17 @@ object SparkEntry {
         |isl AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY tok_start, tok_end) AS island FROM ni)
         |SELECT doc_id, CAST(min(tok_start) AS INTEGER) AS tok_start, CAST(max(tok_end) AS INTEGER) AS tok_end
         |FROM isl GROUP BY doc_id, island ORDER BY doc_id, tok_start""".stripMargin
+    // shared by dedup_embedding_pairs (LSH) and semantic_dedup_pairs
+    // (SemDeDup clusters): exact brute force over the planted vectors
+    val embeddingPairsOracle =
+      """WITH pe AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT l.vec_id AS a, r.vec_id AS b
+        |FROM pe l JOIN pe r ON l.vec_id < r.vec_id
+        |WHERE list_cosine_similarity(l.v, r.v) >= 0.9
+        |ORDER BY a, b""".stripMargin.replace("\n", " ")
     // shared by dedup_clusters (min-label) and dedup_clusters_ls
     // (large-star/small-star): component = min transitively-reachable id
     val dedupClustersOracle =
@@ -869,17 +893,12 @@ object SparkEntry {
           |ORDER BY a, b""".stripMargin.replace("\n", " ")),
 
       // exact brute force over the planted corpus: only the planted
-      // identical-vector pairs clear 0.9 (max natural cosine ~0.51), and LSH
-      // finds identical vectors with probability 1 — approximate == exact
-      "dedup_embedding_pairs" ->
-        ("""WITH pe AS (
-          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-          |  UNION ALL
-          |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 0)
-          |SELECT l.vec_id AS a, r.vec_id AS b
-          |FROM pe l JOIN pe r ON l.vec_id < r.vec_id
-          |WHERE list_cosine_similarity(l.v, r.v) >= 0.9
-          |ORDER BY a, b""".stripMargin.replace("\n", " ")),
+      // identical-vector pairs clear 0.9 (max natural cosine ~0.51); LSH
+      // finds identical vectors with probability 1 and identical vectors
+      // always share a k-means centroid — approximate == exact for BOTH
+      // the LSH and the SemDeDup cluster-partitioned path
+      "dedup_embedding_pairs" -> embeddingPairsOracle,
+      "semantic_dedup_pairs" -> embeddingPairsOracle,
 
       "knn_ivf" -> knnBruteforceOracle,
 

@@ -208,6 +208,44 @@ object Similarity {
       .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
   }
 
+  /** Semantic near-duplicate pairs via k-means cluster partitioning — the
+    * SemDeDup shape (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): embeddings are
+    * assigned to their nearest centroid (the IVF coarse quantizer,
+    * [[Ivf.train]] — seeded Lloyd rounds whose only driver state is
+    * k×dim), pairwise cosine runs only WITHIN clusters, and pairs ≥
+    * `threshold` are semantic duplicates. Keeper selection composes with
+    * [[graft.ops.Dedup.connectedComponents]].
+    *
+    * Scale shape: the self-join keys on the cluster id, so candidate work
+    * is Σ cluster_size² — pick k ≈ √n (SemDeDup uses ~√n clusters) to keep
+    * expected work near-linear; a pathologically popular cluster is a skew
+    * key (AQE skew-join handles moderate cases; re-cluster or sub-split
+    * the hot cluster for adversarial ones). Unlike the sign-LSH path
+    * ([[cosineNearDups]]) recall is governed by cluster assignment:
+    * identical vectors ALWAYS share a centroid, so exact duplicates are
+    * found with probability 1 and near-duplicates with high probability
+    * when clusters are coarser than the duplicate radius.
+    */
+  def semanticNearDups(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Double]],
+      threshold: Double = 0.95,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val assigned = corpus.select(
+      col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"),
+      element_at(graft.functions.gf.nearestCentroids(
+        col(vecCol).cast("array<double>"), centroids, 1), 1).as("cluster"))
+    assigned.as("l").join(assigned.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        cosine(col("l.vec"), col("r.vec")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs (sim >= threshold), via LSH
     * buckets — the embedding flavor of the dedup suite.
     *

@@ -317,6 +317,26 @@ class OpsSpec extends AnyFunSuite {
     assert(wanted.subsetOf(pairs), s"missing: ${wanted.diff(pairs).take(5)}")
   }
 
+  test("semantic near-dups (SemDeDup clusters): result equals exact brute force on planted corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val copies = emb.where($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val plantedVecs = emb.select($"vec_id", $"embedding").union(copies)
+    val centroids = graft.ops.Ivf.train(emb, k = 16, iters = 2)
+    val got = Similarity.semanticNearDups(plantedVecs, centroids.map(_.toSeq).toSeq, threshold = 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    // exact brute force over the same planted corpus at the same threshold
+    val exact = plantedVecs.select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("v"))
+    val want = exact.as("l").join(exact.as("r"), $"l.id" < $"r.id")
+      .select($"l.id".as("a"), $"r.id".as("b"),
+        Similarity.cosine($"l.v", $"r.v").as("sim"))
+      .where($"sim" >= 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(got == want, s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("IVF: probing all lists equals exact brute force; planted dups at nprobe=1") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     val queries = emb.where($"vec_id" < 20)

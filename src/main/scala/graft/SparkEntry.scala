@@ -485,6 +485,14 @@ object SparkEntry {
         .select("doc_id", "quality_score")
         .orderBy("doc_id")),
 
+    // deterministic greedy sequence packing (pretraining batch prep): the
+    // (bucket, pack) assignment is a pure fold over id order, so DuckDB
+    // replays it exactly with a recursive CTE
+    "pack_sequences" -> ((s, dir) =>
+      TextStats.packSequences(docs(s, dir).select("doc_id", "text"),
+          maxTokens = 256, buckets = 8)
+        .orderBy("doc_id")),
+
     "lang_id" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
@@ -953,6 +961,25 @@ object SparkEntry {
           "CASE WHEN n_tokens > 0 AND CAST(n_distinct_tokens AS DOUBLE) / n_tokens > 0.3 THEN 0.25 ELSE 0.0 END + " +
           "CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2 THEN 0.25 ELSE 0.0 END) AS quality_score " +
           "FROM f ORDER BY doc_id"),
+
+      // the same greedy first-fit fold as a recursive CTE: each iteration
+      // advances every bucket by one row, carrying (acc, pack)
+      "pack_sequences" ->
+        ("""WITH RECURSIVE d AS (
+          |  SELECT doc_id,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+          |    CAST(doc_id % 8 AS INTEGER) AS bucket,
+          |    CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS INTEGER) AS rn
+          |  FROM documents),
+          |st AS (
+          |  SELECT bucket, rn, doc_id, n_tokens, CAST(n_tokens AS BIGINT) AS acc, 0 AS pack FROM d WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+          |    CASE WHEN st.acc + d.n_tokens > 256 THEN CAST(d.n_tokens AS BIGINT) ELSE st.acc + d.n_tokens END,
+          |    CASE WHEN st.acc + d.n_tokens > 256 THEN st.pack + 1 ELSE st.pack END
+          |  FROM st JOIN d ON d.bucket = st.bucket AND d.rn = st.rn + 1)
+          |SELECT doc_id, n_tokens, bucket, CAST(pack AS INTEGER) AS pack
+          |FROM st ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       // quality CTE + lang CTE + first-per-text keeper window, composed
       "corpus_filter" ->

@@ -86,4 +86,52 @@ object TextStats {
     */
   def fingerprint64(textCol: Column): Column =
     xxhash64(regexp_replace(trim(textCol), "\\s+", " "))
+
+  /** Deterministic greedy sequence packing — the pretraining batch-prep
+    * step that concatenates documents into fixed token-budget context
+    * windows ("packs"). Documents are bucketed by `id % buckets` (each
+    * bucket packs independently — at scale set buckets ≈ cores×4 for
+    * parallelism) and packed FIRST-FIT IN id ORDER within the bucket: a
+    * document that would overflow `maxTokens` starts the next pack, and an
+    * oversize document (> maxTokens alone) gets a pack of its own.
+    *
+    * Scale shape: one shuffle keyed on the bucket, then the greedy scan
+    * streams each sorted partition with O(1) state (no per-group
+    * collection). Fully deterministic — (bucket, pack) is reproducible
+    * from the input alone, so the assignment is SQL-checkable (the driver
+    * oracle replays the same greedy fold as a recursive CTE).
+    * Returns (idCol, n_tokens, bucket, pack).
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxTokens: Int = 256,
+      buckets: Int = 8
+  ): DataFrame = {
+    require(maxTokens > 0 && buckets > 0)
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        tokenCount(col(textCol)).as("n_tokens"),
+        pmod(col(idCol).cast("long"), lit(buckets.toLong)).cast("int").as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        // several buckets can share a partition (hash placement); rows are
+        // sorted (bucket, id), so a bucket change resets the greedy state
+        var curBucket = -1
+        var acc = 0L
+        var pack = 0
+        it.map { case (id, n, b) =>
+          if (b != curBucket) { curBucket = b; acc = n.toLong; pack = 0 }
+          else if (acc + n > maxTokens) { pack += 1; acc = n.toLong }
+          else acc += n
+          (id, n, b, pack)
+        }
+      }
+      .toDF(idCol, "n_tokens", "bucket", "pack")
+  }
 }

@@ -159,6 +159,29 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("sequence packing: greedy first-fit in id order, oversize docs isolated") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // bucket 0 (ids 0,2,4,6,8,10), budget 7: [3,4] pack0, [2,5] pack1,
+    // oversize 9 -> pack2 alone, then 1 -> pack3
+    val d = Seq(
+      0L -> words(3), 2L -> words(4), 4L -> words(2), 6L -> words(5),
+      8L -> words(9), 10L -> words(1),
+      // bucket 1 (ids 1,3): [5,1] fit one pack
+      1L -> words(5), 3L -> words(1)).toDF("doc_id", "text")
+    val got = TextStats.packSequences(d, maxTokens = 7, buckets = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("bucket"), r.getAs[Int]("pack"))).toMap
+    assert(got == Map(
+      0L -> (0, 0), 2L -> (0, 0), 4L -> (0, 1), 6L -> (0, 1),
+      8L -> (0, 2), 10L -> (0, 3),
+      1L -> (1, 0), 3L -> (1, 0)), got)
+    // every pack except oversize ones respects the budget
+    val packTotals = TextStats.packSequences(d, maxTokens = 7, buckets = 2)
+      .groupBy("bucket", "pack").sum("n_tokens")
+      .collect().map(_.getLong(2))
+    assert(packTotals.count(_ > 7) == 1) // only the oversize doc's pack
+  }
+
   test("windowed exact substring dedup: shared runs found and merged to maximal spans") {
     val shared = "the quick brown fox jumps over the lazy dog again and again" // 12 tokens
     val d = Seq(

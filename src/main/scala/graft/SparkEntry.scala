@@ -716,10 +716,10 @@ object SparkEntry {
         |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim FROM q JOIN c ON q_id <> n_id),
         |r AS (SELECT q_id, n_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
-    // shared by dedup_substring_spans / dedup_substring_merged: the planted
-    // subset's 8-token windows (1-based DuckDB list slices), the >= 2
-    // distinct-docs filter, and 0-based [tok_start, tok_end) spans
-    val substringSpansCte =
+    // corpus-window prefix shared by all three window-based oracles: the
+    // planted subset's 8-token windows (1-based DuckDB list slices) as
+    // (doc_id, i1, wt) rows in CTE `w2`
+    val corpusWindowsCte =
       """WITH p AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 50
         |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0 AND doc_id < 50
@@ -727,7 +727,11 @@ object SparkEntry {
         |tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM p),
         |wl AS (SELECT doc_id, [{'i': i, 'w': array_to_string(t[i:i+7], ' ')} for i in range(1, len(t) - 6)] AS ws FROM tk WHERE len(t) >= 8),
         |w AS (SELECT doc_id, unnest(ws) AS u FROM wl),
-        |w2 AS (SELECT doc_id, u.i AS i1, u.w AS wt FROM w),
+        |w2 AS (SELECT doc_id, u.i AS i1, u.w AS wt FROM w)""".stripMargin
+    // + the >= 2 distinct-docs filter and 0-based [tok_start, tok_end)
+    // spans (dedup_substring_spans / dedup_substring_merged)
+    val substringSpansCte = corpusWindowsCte +
+      """,
         |dups AS (SELECT wt FROM w2 GROUP BY wt HAVING count(DISTINCT doc_id) >= 2),
         |spans AS (SELECT w2.doc_id, CAST(w2.i1 - 1 AS INTEGER) AS tok_start, CAST(w2.i1 + 7 AS INTEGER) AS tok_end FROM w2 JOIN dups USING (wt))""".stripMargin
     // shared gaps-and-islands tail merging a `spans` CTE to maximal spans
@@ -867,14 +871,7 @@ object SparkEntry {
       // corpus windows ∩ benchmark windows (docs with doc_id % 7 = 3),
       // merged — the decontamination scrub's cut list
       "decontaminate_spans" ->
-        ("""WITH p AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id < 50
-          |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0 AND doc_id < 50
-          |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0 AND doc_id < 50),
-          |tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM p),
-          |wl AS (SELECT doc_id, [{'i': i, 'w': array_to_string(t[i:i+7], ' ')} for i in range(1, len(t) - 6)] AS ws FROM tk WHERE len(t) >= 8),
-          |w AS (SELECT doc_id, unnest(ws) AS u FROM wl),
-          |w2 AS (SELECT doc_id, u.i AS i1, u.w AS wt FROM w),
+        (corpusWindowsCte + """,
           |btk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents WHERE doc_id % 7 = 3),
           |bwl AS (SELECT [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] AS ws FROM btk WHERE len(t) >= 8),
           |bw AS (SELECT DISTINCT unnest(ws) AS wt FROM bwl),
@@ -1076,12 +1073,15 @@ object SparkEntry {
 
       // en twin. The en MEDICAL_ID rule (\b[A-Za-z0-9]{6,12}\b, faithful to
       // configs/regex_en.yaml) also fires on the PREFIX's order key once
-      // keys reach 6 digits (first at sf0.1) — the oracle models that with
-      // a conditional extra MEDICAL_ID:<conv_id> key merged into the sorted
-      // list, so the same SQL is exact at every driver scale. Modeled
-      // domain: keys of 6–9 digits (all driver scales are ≤6; at 10+
-      // digits, orderkey ≥ 10^9 ≈ sf1700, the higher-priority en PHONE
-      // rule takes the span over instead).
+      // keys reach 6 digits (first at sf0.1); the higher-priority en PHONE
+      // rule takes the span instead when the whole run matches its
+      // \b-delimited 10-digit (or '1'+10-digit) shape. The oracle models
+      // the exact per-width outcome — MEDICAL_ID at 6–9 and 12 digits and
+      // at 11 digits not starting with '1'; PHONE at 10 digits and
+      // '1'-leading 11 digits; nothing at 13+ (no \b-bounded 6–12 window
+      // exists inside a longer digit run) — each width pinned against the
+      // real detector in SparkPipelineSpec, so the same SQL is exact at
+      // every scale.
       "deid_replace_en" ->
         (s"$cte, v(variant, n, keys) AS (VALUES " +
           "(0,1,['PASSPORT:A1234567'])," +
@@ -1092,13 +1092,17 @@ object SparkEntry {
           "(5,4,['MEDICAL_ID:Nothing','MEDICAL_ID:confirmation','MEDICAL_ID:routine','MEDICAL_ID:sensitive'])," +
           "(6,3,['ADDRESS:123 Main Street','ID:123-45-6789','PHONE:1-555-123-4567'])," +
           "(7,2,['MEDICAL_ID:output','MEDICAL_ID:status'])) " +
-          "SELECT t.conv_id, t.turn_idx, CAST(v.n + t.extra AS INTEGER) AS n_entities, " +
-          "CAST(v.n + t.extra AS INTEGER) AS n_events, " +
-          "array_to_string(list_sort(CASE WHEN t.extra = 1 " +
-          "THEN list_append(v.keys, 'MEDICAL_ID:' || t.conv_id) ELSE v.keys END), '|') AS repl_keys " +
+          "SELECT t.conv_id, t.turn_idx, " +
+          "CAST(v.n + CASE WHEN t.extra_key IS NULL THEN 0 ELSE 1 END AS INTEGER) AS n_entities, " +
+          "CAST(v.n + CASE WHEN t.extra_key IS NULL THEN 0 ELSE 1 END AS INTEGER) AS n_events, " +
+          "array_to_string(list_sort(CASE WHEN t.extra_key IS NULL " +
+          "THEN v.keys ELSE list_append(v.keys, t.extra_key) END), '|') AS repl_keys " +
           "FROM (SELECT conv_id, turn_idx, " +
           "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant, " +
-          "CASE WHEN length(conv_id) BETWEEN 6 AND 9 THEN 1 ELSE 0 END AS extra " +
+          "CASE WHEN length(conv_id) BETWEEN 6 AND 9 THEN 'MEDICAL_ID:' || conv_id " +
+          "WHEN length(conv_id) = 10 OR (length(conv_id) = 11 AND substr(conv_id, 1, 1) = '1') THEN 'PHONE:' || conv_id " +
+          "WHEN length(conv_id) IN (11, 12) THEN 'MEDICAL_ID:' || conv_id " +
+          "ELSE NULL END AS extra_key " +
           "FROM turns) t JOIN v USING (variant) ORDER BY conv_id, turn_idx"),
 
       // per-event audit: entity_type/original/event-start per variant are

@@ -377,6 +377,13 @@ object Dedup {
     *
     * Returns (idCol, tok_start, tok_end, start, end): token-index span
     * [tok_start, tok_end) plus the code-point char span [start, end).
+    *
+    * Eager-materialization contract: same as [[minhashNearDups]] — the
+    * window frame feeds BOTH the count-distinct aggregation and the
+    * join-back probe, so it is persisted (the tokenize+sha2 scan runs
+    * once, not twice), the result is materialized, the window cache is
+    * released before returning, and the caller owns the returned frame's
+    * `unpersist()`.
     */
   def duplicatedWindowSpans(
       docs: DataFrame,
@@ -388,13 +395,18 @@ object Dedup {
     require(k >= 1, "window size k must be >= 1")
     require(minDocs >= 2, "a window is duplicated only across >= 2 documents")
     val wins = tokenWindows(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy("w")
       .agg(countDistinct("id").as("nd"))
       .where(col("nd") >= minDocs)
       .select("w")
-    wins.join(dup, "w")
+    val result = wins.join(dup, "w")
       .select(col("id").as(idCol), col("tok_start"), col("tok_end"),
         col("start"), col("end"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    wins.unpersist()
+    result
   }
 
   /** (id, tok_start, tok_end, start, end, w): every k-token window of every

@@ -51,7 +51,8 @@ object CheckpointedRun {
       inputFingerprint: String,
       ruleFingerprint: String,
       nBuckets: Int = 64,
-      groupSize: Int = 16
+      groupSize: Int = 16,
+      persistInput: Boolean = false
   ): RunStatus = {
     require(groupSize > 0)
     val id = runId(inputFingerprint, ruleFingerprint, nBuckets)
@@ -69,12 +70,20 @@ object CheckpointedRun {
     val pending = (0 until nBuckets).filterNot(done)
     if (pending.isEmpty) return RunStatus(id, nBuckets, 0, nBuckets)
 
-    // persist ONCE: without this the whole upstream pipeline would recompute
-    // for every group (the bucket filter is on a computed hash column, so
-    // nothing prunes at the source) and again for every count
-    val bucketed = df.withColumn("bucket", pmod(hash(col("conv_id")), lit(nBuckets)))
+    // persistInput=false (default): each group's job filters on the bucket
+    // hash BEFORE the expensive per-row work (Catalyst pushes the filter
+    // under the projection), so a data-dependent failure in one bucket
+    // aborts only its own group and the earlier groups' lineage survives —
+    // the class's incremental-progress guarantee. persistInput=true
+    // trades that for computing an expensive UPSTREAM (e.g. a shuffle the
+    // filter cannot push through) exactly once: the first group's job then
+    // materializes every pending bucket, so a poison row anywhere kills
+    // the run before any lineage commits.
+    val raw = df.withColumn("bucket", pmod(hash(col("conv_id")), lit(nBuckets)))
       .where(col("bucket").isin(pending: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed =
+      if (persistInput) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw
 
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -92,11 +101,13 @@ object CheckpointedRun {
         // lineage rows appended AFTER this group's data commit — a crash
         // before this point loses only the in-flight group; already-
         // committed groups are skipped by the next invocation. Counts come
-        // from the persisted frame, NOT a dataPath read-back: a group whose
-        // buckets are all empty writes no parquet files, and schema
-        // inference on the empty directory would crash — deterministically,
-        // on every resume. Rows are built driver-side (≤ groupSize) so
-        // EMPTY buckets also get their done row and are not retried forever.
+        // from the group frame (column pruning drops the expensive payload
+        // columns, so this recount is a cheap id-only scan), NOT a
+        // dataPath read-back: a group whose buckets are all empty writes
+        // no parquet files, and schema inference on the empty directory
+        // would crash — deterministically, on every resume. Rows are built
+        // driver-side (≤ groupSize) so EMPTY buckets also get their done
+        // row and are not retried forever.
         val counts: Map[Int, Long] = g
           .groupBy("bucket").agg(count(lit(1)).as("turns"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -109,7 +120,7 @@ object CheckpointedRun {
           .coalesce(1).write.mode(SaveMode.Append).parquet(lineagePath)
       }
     } finally {
-      bucketed.unpersist()
+      if (persistInput) bucketed.unpersist()
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -87,17 +87,46 @@ class CheckpointSpec extends AnyFunSuite {
       spark.read.parquet(s"$out2/data").count())
   }
 
-  test("a run that fails before any lineage commit resumes cleanly from zero") {
+  test("data-dependent crash mid-run (default): earlier groups' lineage survives") {
     val out = java.nio.file.Files.createTempDirectory("graft_ckpt_fail").toString
     val redacted = Deid.redact(TurnsGen.turns(spark, sfDir))
-    // the poisoned column throws while the persisted input materializes
-    // (first group's job) — NO lineage commits, possibly half-written files
+    // poison any row hashing to bucket 7: with the default (unpersisted)
+    // input, each group's job filters on the bucket BEFORE evaluating the
+    // poisoned column, so groups (0,1),(2,3),(4,5) commit and only the
+    // in-flight group (6,7) is lost — incremental progress under organic
+    // data-dependent failures
     val poisoned = redacted.withColumn("text",
       when(pmod(hash(col("conv_id")), lit(8)) === 7,
         raise_error(lit("injected crash"))).otherwise(col("text")))
     intercept[Exception] {
       CheckpointedRun.run(spark, poisoned, out, "sf0.001", "rules-v1",
         nBuckets = 8, groupSize = 2)
+    }
+    val doneAfterCrash = spark.read.parquet(s"$out/_lineage")
+      .where(col("status") === "done").select("bucket")
+      .collect().map(_.getInt(0)).toSet
+    assert(doneAfterCrash == Set(0, 1, 2, 3, 4, 5), doneAfterCrash)
+
+    // resume with the clean frame: only the lost group reprocesses
+    val resumed = CheckpointedRun.run(spark, redacted, out, "sf0.001", "rules-v1",
+      nBuckets = 8, groupSize = 2)
+    assert(resumed.processed == 2 && resumed.skipped == 6, s"got $resumed")
+    assert(spark.read.parquet(s"$out/data").count() ==
+      spark.read.parquet(s"$sfDir/orders.parquet").count() * 3)
+  }
+
+  test("persistInput=true: documented all-or-nothing failure, clean resume from zero") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_fail2").toString
+    val redacted = Deid.redact(TurnsGen.turns(spark, sfDir))
+    val poisoned = redacted.withColumn("text",
+      when(pmod(hash(col("conv_id")), lit(8)) === 7,
+        raise_error(lit("injected crash"))).otherwise(col("text")))
+    // persisted input: the first group's job materializes EVERY pending
+    // bucket, so the poison fires before any lineage commits — the
+    // documented trade for computing an expensive upstream exactly once
+    intercept[Exception] {
+      CheckpointedRun.run(spark, poisoned, out, "sf0.001", "rules-v1",
+        nBuckets = 8, groupSize = 2, persistInput = true)
     }
     val lineageDir = new java.io.File(s"$out/_lineage")
     val doneAfterCrash =
@@ -106,10 +135,8 @@ class CheckpointSpec extends AnyFunSuite {
         .where(col("status") === "done").select("bucket")
         .collect().map(_.getInt(0)).toSet
     assert(doneAfterCrash.isEmpty, doneAfterCrash)
-
-    // resume with the clean frame: full reprocess, correct content, no dups
     val resumed = CheckpointedRun.run(spark, redacted, out, "sf0.001", "rules-v1",
-      nBuckets = 8, groupSize = 2)
+      nBuckets = 8, groupSize = 2, persistInput = true)
     assert(resumed.processed == 8 && resumed.skipped == 0, s"got $resumed")
     assert(spark.read.parquet(s"$out/data").count() ==
       spark.read.parquet(s"$sfDir/orders.parquet").count() * 3)

@@ -275,6 +275,10 @@ class OpsSpec extends AnyFunSuite {
     assert(knn.storageLevel.useMemory || knn.storageLevel.useDisk,
       "lshTopK result must come back persisted per its contract")
     knn.unpersist()
+    val spans = Dedup.duplicatedWindowSpans(planted, k = 8)
+    assert(spans.storageLevel.useMemory || spans.storageLevel.useDisk,
+      "duplicatedWindowSpans result must come back persisted per its contract")
+    spans.unpersist()
   }
 
   test("hyperplane components are Gaussian (moments), deterministic by seed") {

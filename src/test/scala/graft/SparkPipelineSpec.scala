@@ -132,17 +132,23 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(DeidCore.detect(
       "turn 1 of order 1234567: Nothing sensitive in this routine confirmation turn.",
       "zh", withStub = false).isEmpty)
-    // en: MEDICAL_ID takes 6-9-digit keys; PHONE outranks it at 10 digits
-    // (the oracle's modeled domain ends at 9)
-    Seq("123456", "123456789").foreach { key =>
-      val text = s"turn 1 of order $key: ok."
-      val ents = DeidCore.detect(text, "en", withStub = false)
-      assert(ents.exists(e => e.typ == "MEDICAL_ID" &&
-        e.start == "turn 1 of order ".length && e.end == e.start + key.length),
-        s"en key=$key -> ${ents.toSeq}")
+    // en, per key width (the oracle's exact per-width model):
+    //  6-9 and 12 digits, and 11 digits not starting '1' -> MEDICAL_ID;
+    //  10 digits and '1'-leading 11 digits -> PHONE (outranks MEDICAL_ID);
+    //  13+ -> nothing (no \b-bounded 6-12 window inside a longer run)
+    def one(key: String): Seq[(String, Int, Int)] =
+      DeidCore.detect(s"turn 1 of order $key: ok.", "en", withStub = false)
+        .map(e => (e.typ, e.start, e.end)).toSeq
+    val p = "turn 1 of order ".length
+    Seq("123456", "123456789", "23456789012", "234567890123").foreach { key =>
+      assert(one(key) == Seq(("MEDICAL_ID", p, p + key.length)),
+        s"en key=$key -> ${one(key)}")
     }
-    val tenDigit = DeidCore.detect("turn 1 of order 2345678901: ok.", "en", withStub = false)
-    assert(tenDigit.exists(_.typ == "PHONE"), tenDigit.toSeq)
+    Seq("2345678901", "12345678901").foreach { key =>
+      assert(one(key) == Seq(("PHONE", p, p + key.length)),
+        s"en key=$key -> ${one(key)}")
+    }
+    assert(one("2345678901234").isEmpty, s"13-digit -> ${one("2345678901234")}")
   }
 
   test("entity histogram is deterministic and ordered by (-count, type)") {

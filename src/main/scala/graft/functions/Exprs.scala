@@ -862,3 +862,64 @@ case class CanonicalTypeExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): CanonicalTypeExpr =
     copy(child = newChild)
 }
+
+/** All k-token windows of a text in ONE pass: `\S+` tokens with code-point
+  * offsets, then per window the token span, char span, and the sha2-256 hex
+  * digest of the space-joined window text — the engine form of the
+  * window-dedup/decontamination scan ([[graft.ops.Dedup]]). The HOF
+  * formulation it replaces (transform over sequence + slice + array_join +
+  * sha2 per window) re-walked the token array per window through
+  * interpreted lambda evaluation; this builds every window in a single
+  * rolling pass and is pinned bit-equal to the HOF in OpsSpec.
+  */
+case class TokenWindowsExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok_start", IntegerType, nullable = false),
+    StructField("tok_end", IntegerType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("w", StringType, nullable = false)
+  )), containsNull = false)
+  override def prettyName: String = "graft_token_windows"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val off = new graft.detect.CpOffsets(text)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+    while (m.find()) toks += ((m.group(), off.toCp(m.start), off.toCp(m.end)))
+    val n = toks.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = "0123456789abcdef".toCharArray
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j)._1)
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hexChars = new Array[Char](64)
+      var b = 0
+      while (b < 32) {
+        hexChars(2 * b) = hex((digest(b) >> 4) & 0xf)
+        hexChars(2 * b + 1) = hex(digest(b) & 0xf)
+        b += 1
+      }
+      out(i) = InternalRow(i, i + k, toks(i)._2, toks(i + k - 1)._3,
+        UTF8String.fromString(new String(hexChars)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowsExpr =
+    copy(child = newChild)
+}

@@ -133,4 +133,8 @@ object gf {
   /** P6 — canonical entity-type mapping (null when unmappable). */
   def canonicalType(raw: Column): Column =
     column(CanonicalTypeExpr(expression(raw)))
+
+  /** all k-token windows (token span, char span, sha2 digest) in one pass. */
+  def tokenWindows(text: Column, k: Int): Column =
+    column(TokenWindowsExpr(expression(text), k))
 }

@@ -410,23 +410,14 @@ object Dedup {
   }
 
   /** (id, tok_start, tok_end, start, end, w): every k-token window of every
-    * document, `w` = sha2-256 of the space-joined window text.
+    * document, `w` = sha2-256 of the space-joined window text. One rolling
+    * pass per row ([[graft.functions.TokenWindowsExpr]] — pinned bit-equal
+    * to the per-window HOF formulation in OpsSpec).
     */
   private def tokenWindows(
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-        graft.functions.gf.tokensWithOffsets(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= k)
-      .select(col("id"), explode(
-        transform(sequence(lit(0), size(col("toks")) - k), i => struct(
-          i.as("tok_start"),
-          (i + k).as("tok_end"),
-          element_at(col("toks"), i + 1).getField("start").as("start"),
-          element_at(col("toks"), i + k).getField("end").as("end"),
-          sha2(array_join(
-            transform(slice(col("toks"), i + 1, lit(k)), t => t.getField("token")),
-            " "), 256).as("w")
-        ))).as("win"))
+        explode(graft.functions.gf.tokenWindows(col(textCol), k)).as("win"))
       .select(col("id"), col("win.tok_start").as("tok_start"),
         col("win.tok_end").as("tok_end"), col("win.start").as("start"),
         col("win.end").as("end"), col("win.w").as("w"))

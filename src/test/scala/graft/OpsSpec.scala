@@ -213,6 +213,33 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.duplicatedWindowSpans(selfRep, k = 8).count() == 0)
   }
 
+  test("single-pass TokenWindowsExpr is bit-identical to the per-window HOF formulation") {
+    // the HOF reference formulation the expression replaces: per window a
+    // slice + array_join + sha2 through interpreted lambda evaluation
+    val k = 8
+    val toks = graft.functions.gf.tokensWithOffsets($"text")
+    val hof = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k), i => struct(
+        i.as("tok_start"),
+        (i + k).as("tok_end"),
+        element_at(toks, i + 1).getField("start").as("start"),
+        element_at(toks, i + k).getField("end").as("end"),
+        sha2(array_join(
+          transform(slice(toks, i + 1, lit(k)), t => t.getField("token")),
+          " "), 256).as("w"))))
+      .otherwise(array().cast("array<struct<tok_start:int,tok_end:int,start:int,end:int,w:string>>"))
+    val rows = planted.limit(150)
+      .union(Seq((999901L, ""), (999902L, "  short  "),
+        (999903L, "exactly eight tokens here to hit the boundary"),
+        (999904L, "多语言 文本 one two three four five six seven")).toDF("doc_id", "text"))
+      .select(graft.functions.gf.tokenWindows($"text", k).as("fast"), hof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"window mismatch: ${r.getSeq[Any](0).take(2)} vs ${r.getSeq[Any](1).take(2)}")
+    }
+  }
+
   test("decontamination: corpus spans overlapping the benchmark set are flagged") {
     val leaked = "question four what is the capital of France answer Paris" // 10 tokens
     val corpus = Seq(

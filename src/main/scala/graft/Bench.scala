@@ -253,6 +253,7 @@ object Bench {
     results("dedup_minhash_pairs") = timed(force(SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)))
     results("dedup_simhash_pairs") = timed(force(SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)))
     results("knn_lsh") = timed(force(SparkEntry.queries("knn_lsh")(spark, sfDir)))
+    results("pack_sequences") = timed(force(SparkEntry.queries("pack_sequences")(spark, sfDir)))
     results("word_freq_top50") = timed(force(SparkEntry.queries("word_freq_top50")(spark, sfDir)))
     results("percentile_exact") = timed(force(SparkEntry.queries("percentile_exact")(spark, sfDir)))
     results("sessionize") = timed(force(SparkEntry.queries("sessionize")(spark, sfDir)))

@@ -220,5 +220,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"graft_canonical_type expects 1 arg, got ${args.length}")
     }
+
+    inject("graft_token_windows",
+      "graft_token_windows(text, k) - k-token windows with spans + sha2 digest") {
+      case Seq(t, kArg) => kArg match {
+        case Literal(k: Int, _) => TokenWindowsExpr(t, k)
+        case other => throw new IllegalArgumentException(
+          s"k must be an integer literal, got $other")
+      }
+      case args => throw new IllegalArgumentException(
+        s"graft_token_windows expects 2 args, got ${args.length}")
+    }
   }
 }

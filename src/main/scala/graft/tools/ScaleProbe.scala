@@ -59,7 +59,14 @@ object ScaleProbe {
         val pairs = Dedup.simhashNearDups(d, maxDist = 3).select("a", "b")
         force(Dedup.connectedComponentsAlternating(pairs, d.select("doc_id")))
       }
-      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs")
+      val tSub = best3 {
+        val spans = Dedup.duplicatedWindowSpans(d, k = 8)
+        force(Dedup.mergeTokenSpans(spans))
+        spans.unpersist()
+      }
+      val tDecon = best3(force(Dedup.mergeTokenSpans(
+        Dedup.contaminatedSpans(d, d.where(col("doc_id") % 7 === 3), k = 8))))
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs")
     }
     spark.stop()
   }

@@ -100,6 +100,9 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(an.getString(0) == "ID" && an.getString(1).startsWith("R2C"))
     assert(spark.sql("SELECT graft_canonical_type('EMAIL_1') AS c")
       .first().getString(0) == "EMAIL")
+    val tw = spark.sql(
+      "SELECT graft_token_windows('a b c d', 3) AS w").first().getSeq[Any](0)
+    assert(tw.length == 2) // windows [a b c], [b c d]
   }
 
   test("same original + same conv text => identical replacement; different turn text => different") {

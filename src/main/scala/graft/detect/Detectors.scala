@@ -15,6 +15,25 @@ final class CpOffsets(val s: String) {
   def toU16(cp: Int): Int = if (identity) cp else s.offsetByCodePoints(0, cp)
 }
 
+/** Monotone variant of [[CpOffsets.toCp]] for left-to-right scans:
+  * successive calls must pass NON-DECREASING UTF-16 offsets; the
+  * conversion advances an internal cursor so a full scan costs O(n) total
+  * where repeated absolute `codePointCount(0, u16)` would be O(n²) on
+  * non-ASCII text (one emoji is enough to leave the identity fast path).
+  */
+final class CpCursor(s: String) {
+  private val identity: Boolean = s.codePointCount(0, s.length) == s.length
+  private var lastU16 = 0
+  private var lastCp = 0
+  def toCp(u16: Int): Int =
+    if (identity) u16
+    else {
+      lastCp += s.codePointCount(lastU16, u16)
+      lastU16 = u16
+      lastCp
+    }
+}
+
 /** Per-row PII detectors — pure functions `String => Array[SpanEnt]` with
   * the reference's exact emission order.
   */

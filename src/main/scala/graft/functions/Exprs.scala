@@ -80,6 +80,12 @@ object GraftSchemas {
     InternalRow(UTF8String.fromString(e.entity_type), UTF8String.fromString(e.original),
       UTF8String.fromString(e.replacement), e.start, e.end,
       UTF8String.fromString(e.source))
+
+  /** `\S+` — compiled once per JVM, shared by the tokenizing expressions
+    * (a per-row Pattern.compile in a hot eval path is pure waste).
+    */
+  val wsTokenPattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\S+")
 }
 
 /** `RegexDetectSpans(text)` — D1 (+D2 stub, +D7 resolution when `resolve`).
@@ -192,8 +198,8 @@ case class TokensWithOffsetsExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val off = new graft.detect.CpOffsets(text)
-    val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+    val off = new graft.detect.CpCursor(text)
+    val m = GraftSchemas.wsTokenPattern.matcher(text)
     val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     while (m.find()) {
       buf += InternalRow(UTF8String.fromString(m.group()),
@@ -875,6 +881,8 @@ case class CanonicalTypeExpr(child: Expression)
 case class TokenWindowsExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
+  require(k >= 1, s"window size k must be >= 1, got $k")
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("tok_start", IntegerType, nullable = false),
     StructField("tok_end", IntegerType, nullable = false),
@@ -886,9 +894,9 @@ case class TokenWindowsExpr(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val off = new graft.detect.CpOffsets(text)
+    val off = new graft.detect.CpCursor(text)
     val toks = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
-    val m = java.util.regex.Pattern.compile("\\S+").matcher(text)
+    val m = GraftSchemas.wsTokenPattern.matcher(text)
     while (m.find()) toks += ((m.group(), off.toCp(m.start), off.toCp(m.end)))
     val n = toks.length
     if (n < k) return new GenericArrayData(Array.empty[Any])

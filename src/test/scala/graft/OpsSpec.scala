@@ -238,6 +238,9 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getSeq[Any](0) == r.getSeq[Any](1),
         s"window mismatch: ${r.getSeq[Any](0).take(2)} vs ${r.getSeq[Any](1).take(2)}")
     }
+    // invalid k fails at construction with a readable message, not as an
+    // ArrayIndexOutOfBounds inside an executor
+    intercept[IllegalArgumentException](graft.functions.gf.tokenWindows($"text", 0))
   }
 
   test("decontamination: corpus spans overlapping the benchmark set are flagged") {

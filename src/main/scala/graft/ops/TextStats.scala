@@ -110,15 +110,20 @@ object TextStats {
       buckets: Int = 8
   ): DataFrame = {
     require(maxTokens > 0 && buckets > 0)
-    val spark0 = docs.sparkSession
-    import spark0.implicits._
+    // explicit encoders (no scala-reflect): the implicit product encoder
+    // resolves through runtime reflection, which breaks in REPL/console
+    // classloaders even though it works in a plain JVM
+    import org.apache.spark.sql.Encoders
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaInt)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+      Encoders.scalaInt, Encoders.scalaInt)
     docs
       .select(col(idCol).cast("long").as("id"),
         tokenCount(col(textCol)).as("n_tokens"),
         pmod(col(idCol).cast("long"), lit(buckets.toLong)).cast("int").as("bucket"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "id")
-      .as[(Long, Int, Int)]
+      .as(inEnc)
       .mapPartitions { it =>
         // several buckets can share a partition (hash placement); rows are
         // sorted (bucket, id), so a bucket change resets the greedy state
@@ -131,7 +136,7 @@ object TextStats {
           else acc += n
           (id, n, b, pack)
         }
-      }
+      }(outEnc)
       .toDF(idCol, "n_tokens", "bucket", "pack")
   }
 }

@@ -1281,6 +1281,13 @@ object SparkEntry {
           "ELSE (xs[CAST(floor(n/2) AS INTEGER)] + xs[CAST(floor(n/2) AS INTEGER) + 1]) / 2.0 END AS p50, " +
           "xs[CAST(floor(0.95 * (n - 1)) AS INTEGER) + 1] AS p95 " +
           "FROM s ORDER BY event_type")
-    )
+      // Whitespace-class pin: the engine tokenizes with the Java `\s` class
+      // [ \t\n\x0B\f\r] (Spark regexes are java.util.regex); DuckDB's RE2
+      // excludes \x0B from `\s`, so every oracle's `\s+` is rewritten to the
+      // EXPLICIT Java class — engine and oracle now agree on texts
+      // containing vertical tabs instead of silently diverging.
+    ).map { case (name, sql) =>
+      name -> sql.replace("""\s+""", """[ \t\n\x0B\f\r]+""")
+    }
   }
 }

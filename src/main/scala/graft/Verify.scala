@@ -20,7 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // several queries (minhash/knn LSH, window dedup) return frames
+        // persisted under the eager-materialization contract; the persisted
+        // handle is buried inside the returned plan, so release via the
+        // catalog after each dump instead of accumulating ~10 cached frames
+        // across the run
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -81,11 +81,19 @@ object GraftSchemas {
       UTF8String.fromString(e.replacement), e.start, e.end,
       UTF8String.fromString(e.source))
 
-  /** `\S+` — compiled once per JVM, shared by the tokenizing expressions
-    * (a per-row Pattern.compile in a hot eval path is pure waste).
+  /** Engine whitespace-tokenizer — compiled once per JVM, shared by the
+    * tokenizing expressions (a per-row Pattern.compile in a hot eval path
+    * is pure waste). Pinned to the EXPLICIT Java `\s` character class
+    * `[ \t\n\x0B\f\r]` rather than the `\S+` shorthand: RE2 (the DuckDB
+    * oracle dialect) excludes `\x0B` (vertical tab) from `\s`, so the
+    * shorthand would silently diverge between engine and oracle on texts
+    * containing `\x0B`. The oracle SQL carries the same explicit class
+    * ([[graft.SparkEntry.oracleSql]]) and the unicode fuzz alphabet
+    * includes `\x0B` (RobustnessSpec), so a drift on this class fails a
+    * test instead of a production corpus.
     */
   val wsTokenPattern: java.util.regex.Pattern =
-    java.util.regex.Pattern.compile("\\S+")
+    java.util.regex.Pattern.compile("[^ \\t\\n\\x0B\\f\\r]+")
 }
 
 /** `RegexDetectSpans(text)` — D1 (+D2 stub, +D7 resolution when `resolve`).

@@ -90,8 +90,9 @@ object TextStats {
   /** Deterministic greedy sequence packing — the pretraining batch-prep
     * step that concatenates documents into fixed token-budget context
     * windows ("packs"). Documents are bucketed by `id % buckets` (each
-    * bucket packs independently — at scale set buckets ≈ cores×4 for
-    * parallelism) and packed FIRST-FIT IN id ORDER within the bucket: a
+    * bucket packs independently; `buckets <= 0` — the default — derives
+    * cores×4 from the cluster so the stage is never parallelism-capped by
+    * a constant) and packed FIRST-FIT IN id ORDER within the bucket: a
     * document that would overflow `maxTokens` starts the next pack, and an
     * oversize document (> maxTokens alone) gets a pack of its own.
     *
@@ -107,9 +108,39 @@ object TextStats {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxTokens: Int = 256,
-      buckets: Int = 8
+      buckets: Int = 0
+  ): DataFrame =
+    packSequencesByCost(docs, tokenCount(col(textCol)), idCol, maxTokens, buckets)
+
+  /** [[packSequences]] with a caller-supplied token-cost column — the hook
+    * for REAL tokenizer costs (e.g. [[BpeTokenizer]] counts or the
+    * regex-only [[bpeishCount]] proxy) instead of the whitespace count: a
+    * pretraining pipeline budgets context windows in model tokens, and a
+    * whitespace proxy under-counts CJK/code by multiples.
+    *
+    * Contract (fail-fast, not null-propagating): `idCol` must be numeric
+    * and non-null (it is RETYPED TO LONG in the output — the bucket key is
+    * `id % buckets`), and `costCol` must evaluate non-null on every row.
+    * Unlike the expression-level ops (which propagate null per row), a
+    * null here would silently mis-bucket or NPE inside the typed fold, so
+    * the scan raises a descriptive error instead.
+    *
+    * `buckets <= 0` derives the bucket count as `defaultParallelism × 4`
+    * (the standard over-decomposition so the greedy scan keeps every core
+    * busy; an explicit value pins the — bucket-count-DEPENDENT — packing
+    * layout for reproducibility across differently-sized clusters).
+    */
+  def packSequencesByCost(
+      docs: DataFrame,
+      costCol: Column,
+      idCol: String = "doc_id",
+      maxTokens: Int = 256,
+      buckets: Int = 0
   ): DataFrame = {
-    require(maxTokens > 0 && buckets > 0)
+    require(maxTokens > 0)
+    val nb =
+      if (buckets > 0) buckets
+      else docs.sparkSession.sparkContext.defaultParallelism * 4
     // explicit encoders (no scala-reflect): the implicit product encoder
     // resolves through runtime reflection, which breaks in REPL/console
     // classloaders even though it works in a plain JVM
@@ -119,8 +150,16 @@ object TextStats {
       Encoders.scalaInt, Encoders.scalaInt)
     docs
       .select(col(idCol).cast("long").as("id"),
-        tokenCount(col(textCol)).as("n_tokens"),
-        pmod(col(idCol).cast("long"), lit(buckets.toLong)).cast("int").as("bucket"))
+        costCol.cast("int").as("n_tokens"),
+        pmod(col(idCol).cast("long"), lit(nb.toLong)).cast("int").as("bucket"))
+      // fail-fast null guard: assert_true raises on violation and returns
+      // null otherwise; keeping it inside a Filter (always-true predicate)
+      // stops column pruning from dropping the check
+      .filter(assert_true(
+        col("id").isNotNull && col("n_tokens").isNotNull,
+        lit(s"packSequences: null or non-numeric '$idCol' or null token " +
+          "cost — the packing fold requires non-null numeric ids and " +
+          "costs (see packSequencesByCost contract)")).isNull)
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "id")
       .as(inEnc)

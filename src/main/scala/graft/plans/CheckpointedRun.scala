@@ -101,16 +101,18 @@ object CheckpointedRun {
         // lineage rows appended AFTER this group's data commit — a crash
         // before this point loses only the in-flight group; already-
         // committed groups are skipped by the next invocation. Counts come
-        // from the group frame (column pruning drops the expensive payload
-        // columns, so this recount is a cheap id-only scan), NOT a
-        // dataPath read-back: a group whose buckets are all empty writes
-        // no parquet files, and schema inference on the empty directory
-        // would crash — deterministically, on every resume. Rows are built
-        // driver-side (≤ groupSize) so EMPTY buckets also get their done
-        // row and are not retried forever.
-        val counts: Map[Int, Long] = g
-          .groupBy("bucket").agg(count(lit(1)).as("turns"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        // from the COMMITTED parquet footers (metadata only, no data scan,
+        // no Spark job): recomputing them by re-running the upstream would
+        // let a nondeterministic input record audit numbers that disagree
+        // with the bytes actually on disk. A bucket whose directory is
+        // absent wrote zero rows (dynamic overwrite emits no directory for
+        // an empty partition) and still gets its `done` row with turns=0,
+        // so empty buckets are not retried forever — and no DataFrame
+        // read-back touches the (possibly fileless) directory, which
+        // schema inference would crash on.
+        val counts: Map[Int, Long] = group.map { b =>
+          b -> bucketRowCount(spark, s"$dataPath/bucket=$b")
+        }.toMap
         val now = System.currentTimeMillis()
         import spark.implicits._
         group.map(b => (id, b, "done", counts.getOrElse(b, 0L),
@@ -133,5 +135,22 @@ object CheckpointedRun {
   private def pathExists(spark: SparkSession, p: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(p)
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Committed row count for one bucket directory, from parquet footer
+    * metadata (driver-side, no job). Missing directory = empty bucket = 0.
+    */
+  private def bucketRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0L
+    fs.listStatus(root)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 }

@@ -127,6 +127,7 @@ object Bench {
 
     val skewJson = skewEvidence(spark, sfDir)
     val ckptJson = checkpointResumeEvidence(spark, sfDir)
+    val windowJson = tokenWindowsProbe(spark, sfDir)
     spark.stop()
 
     // North-rule scaling evidence (BASELINE.md): identical job + input at
@@ -152,7 +153,34 @@ object Bench {
     val hostContext =
       f"""{"single_thread_mops_before_queries":$probeBefore%.0f,"single_thread_mops_after_queries":$probeAfter%.0f}"""
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"skew":$skewJson,"sf_scale":$sfScaleJson,"checkpoint_resume":$ckptJson,"scaling":$scalingJson}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"skew":$skewJson,"sf_scale":$sfScaleJson,"checkpoint_resume":$ckptJson,"token_windows":$windowJson,"scaling":$scalingJson}""")
+  }
+
+  /** Is the window-dedup path compute-bound (TokenWindowsExpr scan) or
+    * shuffle-bound (digest groupBy + join-back)? Times the expression-only
+    * scan against the full duplicatedWindowSpans+merge over the whole
+    * documents table, best-of-3 each — the r4 question of whether promoting
+    * the window scan further would pay. scan_share ≈ 1 ⇒ compute-bound
+    * (promote); scan_share ≪ 1 ⇒ shuffle-bound (no code change wins).
+    */
+  private def tokenWindowsProbe(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    def best3(f: => Unit): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); f
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); dt
+    }.min
+    val scan = best3(force(d.select(col("doc_id"),
+      explode(graft.functions.gf.tokenWindows(col("text"), 8)).as("w"))))
+    val full = best3 {
+      val spans = graft.ops.Dedup.duplicatedWindowSpans(d, k = 8)
+      force(graft.ops.Dedup.mergeTokenSpans(spans))
+      spans.unpersist()
+    }
+    val share = if (full > 0) scan / full else 0.0
+    val bound = if (share >= 0.6) "compute" else "shuffle"
+    f"""{"scan_sec":$scan%.3f,"full_sec":$full%.3f,"scan_share":$share%.2f,"bound":"$bound"}"""
   }
 
   /** Resume evidence: a full CheckpointedRun over the benched turns, then
@@ -250,6 +278,8 @@ object Bench {
         substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""), 1, 200)))
         .getField("n_rects").as("n"))))
     results("dedup_substring_merged") = timed(force(SparkEntry.queries("dedup_substring_merged")(spark, sfDir)))
+    results("dedup_keepers") = timed(force(SparkEntry.queries("dedup_keepers")(spark, sfDir)))
+    results("semantic_dedup_pairs") = timed(force(SparkEntry.queries("semantic_dedup_pairs")(spark, sfDir)))
     results("dedup_minhash_pairs") = timed(force(SparkEntry.queries("dedup_minhash_pairs")(spark, sfDir)))
     results("dedup_simhash_pairs") = timed(force(SparkEntry.queries("dedup_simhash_pairs")(spark, sfDir)))
     results("knn_lsh") = timed(force(SparkEntry.queries("knn_lsh")(spark, sfDir)))

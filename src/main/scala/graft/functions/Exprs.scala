@@ -258,7 +258,13 @@ object SimHash64Expr {
 
   def simhash(text: String): Long = {
     val votes = new Array[Int](64)
-    val m = java.util.regex.Pattern.compile("\\S+").matcher(text.toLowerCase)
+    // Locale.ROOT: default-locale toLowerCase is machine-dependent (tr_TR
+    // dotless-i would change signatures across executors/clusters); features
+    // are the engine whitespace-class tokens of the ROOT-lowercased text,
+    // so the signature is a pure function of the token MULTISET — the
+    // property the dedup_simhash_pairs oracle pins.
+    val m = GraftSchemas.wsTokenPattern.matcher(
+      text.toLowerCase(java.util.Locale.ROOT))
     while (m.find()) {
       val h = hash64(m.group())
       var b = 0

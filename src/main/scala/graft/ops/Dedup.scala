@@ -357,6 +357,35 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("component"))
   }
 
+  /** Quality-aware keeper selection — the keep/drop decision real dedup
+    * pipelines actually ship: given per-doc cluster assignments (the
+    * output of [[connectedComponents]] / [[connectedComponentsAlternating]])
+    * and a per-doc quality score ([[TextStats.qualityScore]]), keep the
+    * HIGHEST-quality document of each component (ties broken by smallest
+    * id) instead of the arbitrary min-id doc. Returns
+    * (idCol, component, keeper_id, is_dup).
+    *
+    * Scale shape: one inner join on the id key plus one window shuffle on
+    * the component key; `first_value` over the (score desc, id asc)
+    * ordering resolves the arg-max without a second self-join.
+    */
+  def qualityKeepers(
+      components: DataFrame,
+      quality: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "quality_score"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = components.join(quality.select(col(idCol), col(scoreCol)), Seq(idCol))
+    // default frame (unbounded preceding .. current row): first() is the
+    // partition's top-ranked row for EVERY row of the component
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    j.select(col(idCol), col("component"),
+        first(col(idCol)).over(w).as("keeper_id"))
+      .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
+  }
+
   /** Windowed exact substring duplication — the exact-substring dedup
     * criterion of Lee et al., "Deduplicating Training Data Makes Language
     * Models Better" (ACL 2022), realized Spark-first as fixed-`k`-token
@@ -479,6 +508,46 @@ object Dedup {
     * pigeonhole — split the 64-bit signature into (maxDist+1) chunks; equal
     * pairs must share at least one chunk ⇒ join per chunk, verify distance.
     */
+  /** Token-multiset duplicate pairs via SimHash bucketing: candidates are
+    * the distance-0 signature collisions (the pigeonhole join degenerates
+    * to ONE join on the full 64-bit signature), then VERIFIED by exact
+    * equality of the sorted lowercased token multiset. The verify step
+    * makes the result exact — a 64-bit signature collision between
+    * different multisets (rare for independent texts, but LIKELY between
+    * one-token-apart near twins, whose vote counters each move by ±1) is
+    * filtered out — while completeness is structural: equal multisets give
+    * equal signatures, so every true pair is a candidate with probability
+    * 1. This is the property that lets the driver pin the whole SimHash
+    * path (signature expression, band join, verification) to an exact
+    * multiset-equality SQL oracle.
+    *
+    * Scale shape: one signature-keyed shuffle for candidates; the sorted
+    * token keys are recomputed only for docs appearing in a candidate pair
+    * (left-semi prune), as in [[minhashNearDups]].
+    */
+  def simhashExactDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val cand = simhashNearDups(docs, idCol, textCol, maxDist = 0)
+      .select(col("a"), col("b"))
+    val candidateIds = cand.select(col("a").as(idCol))
+      .union(cand.select(col("b").as(idCol)))
+      .distinct()
+    // the token-multiset key, Spark-side lower() (locale-independent simple
+    // case mapping, same as the signature's Locale.ROOT lowercasing)
+    val keys = docs.join(candidateIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        sort_array(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
+          .as("key"))
+    cand
+      .join(keys.withColumnRenamed(idCol, "a").withColumnRenamed("key", "key_a"), "a")
+      .join(keys.withColumnRenamed(idCol, "b").withColumnRenamed("key", "key_b"), "b")
+      .where(col("key_a") === col("key_b"))
+      .select("a", "b")
+  }
+
   def simhashNearDups(
       docs: DataFrame,
       idCol: String = "doc_id",

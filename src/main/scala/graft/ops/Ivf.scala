@@ -26,7 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Deterministic k-means training; returns k centroids (k×dim doubles). */
+  /** Deterministic k-means training; returns k centroids (k×dim doubles).
+    *
+    * `sampleCap > 0` fits the centroids on a DETERMINISTIC sample — the
+    * `sampleCap` vectors with the smallest `xxhash64(id, seed)` (a seeded
+    * uniform draw with no RNG state, computed with one TakeOrdered pass:
+    * per-partition top-N heaps, no full sort) — instead of `iters` full
+    * scans of the corpus. Centroid quality saturates at sample sizes of
+    * ~100–1000 × k, so a fixed cap makes train cost FLAT in corpus size:
+    * one scan for the sample, then Lloyd rounds over the cached sample
+    * only (ScaleProbe records the flatness). Because the k-vector init
+    * takes the k hash-smallest of the SAME ordering, the initial centroids
+    * are identical with or without sampling (k ≤ sampleCap); only the
+    * Lloyd refinements see fewer rows. `nprobe = k` queries stay EXACT
+    * under any centroid set — sampling trades only approximate-regime
+    * recall, never correctness of the pinned paths.
+    */
   def train(
       corpus: DataFrame,
       k: Int = 16,
@@ -34,33 +49,42 @@ object Ivf {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      seed: Long = 42L
+      seed: Long = 42L,
+      sampleCap: Int = 0
   ): Array[Array[Double]] = {
-    val base = corpus.select(col(idCol).as("id"),
+    require(sampleCap == 0 || sampleCap >= k,
+      s"sampleCap must be 0 (full corpus) or >= k, got $sampleCap < $k")
+    val full = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    // seeded init: k hash-smallest vectors (deterministic, one pass + top-k)
-    var centroids: Array[Array[Double]] = base
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(k)
-      .select(col("vec"))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    val dims = (0 until dim).map(d => avg(element_at(col("vec"), d + 1)).as(s"c$d"))
-    var it = 0
-    while (it < iters) {
-      val assigned = base.select(
-        graft.functions.gf.nearestCentroids(col("vec"), centroids.toIndexedSeq.map(_.toIndexedSeq), 1)
-          .getItem(0).as("cid"),
-        col("vec"))
-      val updated = assigned.groupBy("cid").agg(dims.head, dims.tail: _*)
+    val base =
+      if (sampleCap <= 0) full
+      else full.orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(sampleCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seeded init: k hash-smallest vectors (deterministic, one pass + top-k)
+      var centroids: Array[Array[Double]] = base
+        .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+        .limit(k)
+        .select(col("vec"))
         .collect()
-        .map(r => r.getInt(0) -> (0 until dim).map(d => r.getDouble(d + 1)).toArray)
-        .toMap
-      // empty clusters keep their previous centroid (standard Lloyd detail)
-      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
-      it += 1
-    }
-    centroids
+        .map(_.getSeq[Double](0).toArray)
+      val dims = (0 until dim).map(d => avg(element_at(col("vec"), d + 1)).as(s"c$d"))
+      var it = 0
+      while (it < iters) {
+        val assigned = base.select(
+          graft.functions.gf.nearestCentroids(col("vec"), centroids.toIndexedSeq.map(_.toIndexedSeq), 1)
+            .getItem(0).as("cid"),
+          col("vec"))
+        val updated = assigned.groupBy("cid").agg(dims.head, dims.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> (0 until dim).map(d => r.getDouble(d + 1)).toArray)
+          .toMap
+        // empty clusters keep their previous centroid (standard Lloyd detail)
+        centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+        it += 1
+      }
+      centroids
+    } finally if (sampleCap > 0) base.unpersist()
   }
 
   /** (id, cid, vec) — the indexed corpus; persist/bucket by cid at scale. */

@@ -232,18 +232,68 @@ object Similarity {
       centroids: Seq[Seq[Double]],
       threshold: Double = 0.95,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      maxClusterSize: Int = 0,
+      subTables: Int = 8,
+      seed: Long = 7L
   ): DataFrame = {
     val assigned = corpus.select(
       col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"),
       element_at(graft.functions.gf.nearestCentroids(
         col(vecCol).cast("array<double>"), centroids, 1), 1).as("cluster"))
-    assigned.as("l").join(assigned.as("r"),
-        col("l.cluster") === col("r.cluster") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"),
-        cosine(col("l.vec"), col("r.vec")).as("sim"))
-      .where(col("sim") >= threshold)
+    def pairsOf(rows: DataFrame, keys: Seq[String]): DataFrame = {
+      val cond = keys.map(c => col(s"l.$c") === col(s"r.$c"))
+        .reduce(_ && _) && col("l.id") < col("r.id")
+      rows.as("l").join(rows.as("r"), cond)
+        .select(col("l.id").as("a"), col("r.id").as("b"),
+          cosine(col("l.vec"), col("r.vec")).as("sim"))
+    }
+    if (maxClusterSize <= 0)
+      pairsOf(assigned, Seq("cluster")).where(col("sim") >= threshold)
+    else {
+      // ==Hot-cluster sub-split== Candidate work is Σ cluster_size², so one
+      // popular template cluster IS the workload at corpus scale. Clusters
+      // above `maxClusterSize` are salt-banded WITHIN the cluster by
+      // multi-table sign-bit LSH: near-duplicates still collide in some
+      // table with high probability (and identical vectors in EVERY table
+      // — the exactness the planted-twin oracle pins survives), while the
+      // per-bucket self-join bounds candidate work by occupancy². The bit
+      // width derives from the largest hot cluster (the size aggregation
+      // is k rows — an explicit, documented driver action; `assigned` is
+      // persisted so centroid assignment runs once, released before
+      // return). Residual honesty: a hot cluster of NEAR-IDENTICAL vectors
+      // does not split (same sign on every plane) — but then the true
+      // pair OUTPUT is itself quadratic and no candidate scheme can beat
+      // its own output size; the sub-split bounds the case that matters,
+      // a broad cluster with sparse duplicates.
+      val acached = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = acached.groupBy("cluster").agg(count(lit(1)).as("cn"))
+        .where(col("cn") > maxClusterSize)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val result =
+        if (sizes.isEmpty) pairsOf(acached, Seq("cluster")).where(col("sim") >= threshold)
+        else {
+          val hotIds = sizes.map(_._1).toSeq
+          val maxSz = sizes.map(_._2).max
+          val bits = math.max(1, math.ceil(
+            math.log(maxSz.toDouble / maxClusterSize) / math.log(2.0)).toInt)
+          val dim = centroids.head.length
+          val planes = hyperplanes(dim, bits * subTables, seed)
+          val cold = acached.where(!col("cluster").isInCollection(hotIds))
+          val hot = acached.where(col("cluster").isInCollection(hotIds))
+            .select(col("id"), col("vec"), col("cluster"),
+              posexplode(graft.functions.gf.lshBuckets(col("vec"), planes, bits))
+                .as(Seq("table", "bucket")))
+          pairsOf(cold, Seq("cluster"))
+            .union(pairsOf(hot, Seq("cluster", "table", "bucket")).distinct())
+            .where(col("sim") >= threshold)
+        }
+      val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // eager-materialization contract: caller owns out.unpersist()
+      acached.unpersist()
+      out
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs (sim >= threshold), via LSH

@@ -46,10 +46,13 @@ object TextStats {
       .otherwise(size(split(trim(textCol), "\\s+")))
 
   /** BPE-ish subword-piece count: runs of letters, runs of digits, and
-    * isolated punctuation — a deterministic proxy for tokenizer cost.
+    * isolated punctuation — a deterministic proxy for tokenizer cost
+    * (whitespace written as the explicit Java `\s` class so the RE2 oracle
+    * regex is char-for-char identical; see GraftSchemas.wsTokenPattern).
     */
   def bpeishCount(textCol: Column): Column =
-    size(regexp_extract_all(textCol, lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0)))
+    size(regexp_extract_all(textCol,
+      lit("\\p{L}+|\\p{N}+|[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]"), lit(0)))
 
   /** Quality facets (Gopher-flavored), integer numerators so oracles stay
     * float-free: (n_chars, n_tokens, n_stopwords, n_punct, n_distinct_tokens).

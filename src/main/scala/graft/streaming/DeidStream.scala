@@ -67,4 +67,23 @@ object DeidStream {
       .withColumn("text_hash", sha2(col("text"), 256))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Streaming benchmark decontamination — the same broadcast-digest
+    * semi-join as [[graft.ops.Dedup.contaminatedSpans]], applied to each
+    * micro-batch: the static reference (benchmark/eval) side reduces to
+    * DISTINCT window digests and broadcasts, so the scrub is STATELESS
+    * (stream-static left-semi join; no state store, no watermark needed)
+    * and incremental ingest gets the same cut list as the batch scrub.
+    * Emits the raw (doc_id, tok_start, tok_end, start, end) window spans;
+    * island-merging is a per-doc window function, so run
+    * [[graft.ops.Dedup.mergeTokenSpans]] downstream in `foreachBatch` (a
+    * document arrives whole within one batch, so per-batch merging equals
+    * the batch semantics — pinned by the StreamingSpec batch-twin test).
+    */
+  def decontaminateSpans(
+      docs: DataFrame,
+      reference: DataFrame,
+      k: Int = 8
+  ): DataFrame =
+    graft.ops.Dedup.contaminatedSpans(docs, reference, k = k)
 }

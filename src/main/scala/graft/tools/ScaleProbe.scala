@@ -66,7 +66,12 @@ object ScaleProbe {
       }
       val tDecon = best3(force(Dedup.mergeTokenSpans(
         Dedup.contaminatedSpans(d, d.where(col("doc_id") % 7 === 3), k = 8))))
-      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs")
+      // sampled centroid training: cost must stay FLAT in corpus size
+      // (one sample scan + Lloyd over the fixed-cap sample)
+      val tTrain = best3 {
+        graft.ops.Ivf.train(e, k = 16, iters = 2, sampleCap = 4096); ()
+      }
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs")
     }
     spark.stop()
   }

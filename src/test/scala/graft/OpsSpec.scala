@@ -109,6 +109,25 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardCounts(docs4, maxDocFreq = 5).columns.contains("inter"))
   }
 
+  test("quality keepers: highest score wins, ties break to min id, filter composes") {
+    val comps = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 7L -> 7L, 8L -> 8L)
+      .toDF("doc_id", "component")
+    val qual = Seq(1L -> 0.5, 2L -> 0.75, 3L -> 0.75, 7L -> 0.25, 8L -> 1.0)
+      .toDF("doc_id", "quality_score")
+    val got = Dedup.qualityKeepers(comps, qual)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Boolean]("is_dup")))).toMap
+    // component 10: 2 and 3 tie at 0.75 -> min id 2 keeps; isolated docs
+    // keep themselves regardless of score
+    assert(got == Map(
+      1L -> ((2L, true)), 2L -> ((2L, false)), 3L -> ((2L, true)),
+      7L -> ((7L, false)), 8L -> ((8L, false))), got)
+    // the pipeline composition: survivors = the per-component best docs
+    val kept = Dedup.qualityKeepers(comps, qual)
+      .where(!$"is_dup").select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 7L, 8L))
+  }
+
   test("connectedComponents fails loudly when maxIter < graph diameter") {
     // chain 1-2-3-4-5-6: min-label needs 5 rounds to reach the far end
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
@@ -182,6 +201,55 @@ class OpsSpec extends AnyFunSuite {
     assert(packTotals.count(_ > 7) == 1) // only the oversize doc's pack
   }
 
+  test("sequence packing composes with REAL BPE token costs; null ids fail fast") {
+    // token-budget packing with the model tokenizer's counts — the actual
+    // pretraining budget (whitespace proxies under-count CJK/code); costs
+    // verified against serial BpeTokenizer.count, fold replayed in Scala
+    val vocabPath = "/root/reference/models/gpt2/onnx/vocab.json"
+    val mergesPath = "/root/reference/models/gpt2/onnx/merges.txt"
+    if (!new java.io.File(vocabPath).isFile) cancel("gpt2 vocab/merges not present")
+    val tok = graft.ops.BpeTokenizer.load(vocabPath, mergesPath)
+    val texts = Seq(
+      0L -> "Hello world, this is a test.",
+      1L -> "短い日本語テキストはBPEだと高コスト",
+      2L -> "def f(x): return x * 2  # code-ish",
+      3L -> "a",
+      4L -> ("long prose " * 30).trim,
+      5L -> "mixed 中文 and english tokens here")
+    val d = texts.toDF("doc_id", "text")
+    val withCost = graft.ops.BpeTokenizer.countTokens(spark, d, tok)
+    val packed = TextStats.packSequencesByCost(withCost, $"n_bpe_tokens",
+      maxTokens = 40, buckets = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("bucket"), r.getAs[Int]("pack")))
+      .toMap
+    // costs match the serial tokenizer
+    texts.foreach { case (id, t) =>
+      assert(packed(id)._1 == tok.count(t), s"doc $id cost")
+    }
+    // replay the greedy first-fit fold serially per bucket
+    texts.groupBy(_._1 % 2).foreach { case (b, ds) =>
+      var acc = 0L; var pack = 0; var first = true
+      ds.sortBy(_._1).foreach { case (id, t) =>
+        val n = tok.count(t)
+        if (first) { acc = n; first = false }
+        else if (acc + n > 40) { pack += 1; acc = n }
+        else acc += n
+        assert(packed(id) == ((n, b.toInt, pack)), s"doc $id")
+      }
+    }
+    // null id fails fast with the contract message, not an encoder NPE
+    val bad = Seq((java.lang.Long.valueOf(7L), "x"), (null.asInstanceOf[java.lang.Long], "y"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextStats.packSequences(bad, maxTokens = 10, buckets = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("packSequences")), messages(e).mkString(" | "))
+  }
+
   test("windowed exact substring dedup: shared runs found and merged to maximal spans") {
     val shared = "the quick brown fox jumps over the lazy dog again and again" // 12 tokens
     val d = Seq(
@@ -211,6 +279,81 @@ class OpsSpec extends AnyFunSuite {
       (2L, "totally distinct tokens only here nothing else matches anything"))
       .toDF("doc_id", "text")
     assert(Dedup.duplicatedWindowSpans(selfRep, k = 8).count() == 0)
+  }
+
+  test("window-merge boundary proof: merged spans == true maximal duplicated runs for runs >= k") {
+    // The Lee et al. suffix-array equivalence on the windowed regime: for
+    // every cross-doc duplicated token run of length L >= k, the merged
+    // k-window spans recover EXACTLY the run's token interval (union of
+    // intervals when shared runs overlap); runs of L < k are invisible by
+    // design. Cases are adversarial off-by-one boundaries; fillers are
+    // globally unique tokens so nothing else duplicates.
+    val k = 8
+    def run(caseId: String, n: Int) = (0 until n).map(i => s"r${caseId}_$i")
+    def fill(caseId: String, doc: Int, n: Int) =
+      (0 until n).map(i => s"u${caseId}_${doc}_$i")
+    def spansOf(docs: Seq[(Long, Seq[String])]): Set[(Long, Int, Int)] = {
+      val df = docs.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      Dedup.mergeTokenSpans(Dedup.duplicatedWindowSpans(df, k = k))
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Int]("tok_start"), r.getAs[Int]("tok_end"))).toSet
+    }
+
+    // L = k-1: below the window size, invisible
+    assert(spansOf(Seq(
+      1L -> (fill("a", 1, 3) ++ run("a", k - 1) ++ fill("a", 1, 3) :+ "za1"),
+      2L -> (fill("a", 2, 2) ++ run("a", k - 1) ++ fill("a", 2, 4)))) == Set.empty)
+
+    // L = k exactly, mid-doc both sides
+    assert(spansOf(Seq(
+      1L -> (fill("b", 1, 3) ++ run("b", k) ++ fill("b", 1, 2)),
+      2L -> (fill("b", 2, 5) ++ run("b", k) ++ fill("b", 2, 1)))) ==
+      Set((1L, 3, 3 + k), (2L, 5, 5 + k)))
+
+    // L = k at doc START and at doc END (the off-by-one classics)
+    assert(spansOf(Seq(
+      1L -> (run("c", k) ++ fill("c", 1, 4)),
+      2L -> (fill("c", 2, 6) ++ run("c", k)))) ==
+      Set((1L, 0, k), (2L, 6, 6 + k)))
+
+    // whole doc IS the run (L = k+2); partner embeds it mid-doc
+    assert(spansOf(Seq(
+      1L -> run("d", k + 2),
+      2L -> (fill("d", 2, 3) ++ run("d", k + 2) ++ fill("d", 2, 3)))) ==
+      Set((1L, 0, k + 2), (2L, 3, 3 + k + 2)))
+
+    // two runs separated by ONE unique token: two islands, no bridge (any
+    // window crossing the separator contains a token unique to doc 1)
+    assert(spansOf(Seq(
+      1L -> (run("e1", k) ++ fill("e", 1, 1) ++ run("e2", k)),
+      2L -> (fill("e", 2, 2) ++ run("e1", k) ++ fill("e", 2, 2)),
+      3L -> (fill("e", 3, 2) ++ run("e2", k) ++ fill("e", 3, 2)))) ==
+      Set((1L, 0, k), (1L, k + 1, 2 * k + 1),
+        (2L, 2, 2 + k), (3L, 2, 2 + k)))
+
+    // OVERLAPPING shares with different partners: doc 1's [0,12) covered by
+    // B sharing [0,8) and C sharing [4,12) -> islands merge to the union
+    val a = run("f", 12)
+    assert(spansOf(Seq(
+      1L -> a,
+      2L -> (a.take(8) ++ fill("f", 2, 3)),
+      3L -> (fill("f", 3, 3) ++ a.drop(4)))) ==
+      Set((1L, 0, 12), (2L, 0, 8), (3L, 3, 11)))
+
+    // seeded random battery: one shared run per iteration, arbitrary
+    // offsets/lengths, expected spans computed analytically
+    val rng = new scala.util.Random(23)
+    (1 to 8).foreach { it =>
+      val l = k + rng.nextInt(10)
+      val p1 = rng.nextInt(5); val s1 = rng.nextInt(5)
+      val p2 = rng.nextInt(5); val s2 = rng.nextInt(5)
+      val got = spansOf(Seq(
+        1L -> (fill(s"g$it", 1, p1) ++ run(s"g$it", l) ++ fill(s"g$it", 1, s1)),
+        2L -> (fill(s"g$it", 2, p2) ++ run(s"g$it", l) ++ fill(s"g$it", 2, s2))))
+      assert(got == Set((1L, p1, p1 + l), (2L, p2, p2 + l)),
+        s"iter $it l=$l p1=$p1 p2=$p2: $got")
+    }
   }
 
   test("single-pass TokenWindowsExpr is bit-identical to the per-window HOF formulation") {
@@ -392,6 +535,82 @@ class OpsSpec extends AnyFunSuite {
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(got == want, s"missing=${want.diff(got).take(5)} extra=${got.diff(want).take(5)}")
     assert(got.nonEmpty)
+  }
+
+  test("SemDeDup hot-cluster sub-split: bounded candidate work, pairs unchanged vs brute force") {
+    // pathological skew: ~90% of the corpus lands in ONE k-means cluster.
+    // Vectors spread around direction d with enough angular noise that
+    // natural cosines stay below the 0.9 threshold (guarded below), plus
+    // planted exact twins — the only true pairs.
+    val dim = 32
+    val rng = new scala.util.Random(99)
+    def normalize(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def noisy(axis: Int) = normalize(Array.tabulate(dim)(j =>
+      (if (j == axis) 1.0 else 0.0) + 0.8 * rng.nextGaussian()))
+    val hot = (0 until 180).map(i => (i.toLong, noisy(0).toSeq))
+    val cold = (200 until 220).map(i => (i.toLong, noisy(1).toSeq))
+    val twins = (0 until 5).map(i => ((1000 + i * 13).toLong, hot(i * 13)._2))
+    val all = hot ++ cold ++ twins
+    // construction guard: max natural cosine strictly below threshold
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val naturalMax = (hot ++ cold).combinations(2)
+      .map { case Seq(x, y) => cos(x._2, y._2) }.max
+    assert(naturalMax < 0.9, s"construction: natural max cosine $naturalMax")
+
+    val df = all.toDF("vec_id", "embedding")
+    val centroids = Seq(
+      Seq.tabulate(dim)(j => if (j == 0) 1.0 else 0.0),
+      Seq.tabulate(dim)(j => if (j == 1) 1.0 else 0.0))
+    val cap = 50
+    val got = Similarity.semanticNearDups(df, centroids, threshold = 0.9,
+      maxClusterSize = cap)
+    val pairs = got.select($"a", $"b").as[(Long, Long)].collect().toSet
+    got.unpersist() // eager-materialization contract
+    val want = twins.map { case (tid, _) => ((tid - 1000) / 13 * 13L, tid) }.toSet
+    assert(pairs == want, s"missing=${want.diff(pairs)} extra=${pairs.diff(want)}")
+
+    // bounded work: replicate the operator's internal banding (same seed 7,
+    // subTables 8, bits from the hot size) and check occupancy actually
+    // splits the 185-vector hot cluster — Σ occupancy² per table well below
+    // the unsplit size²
+    val hotSize = 185 // 180 + 5 twins
+    val bits = math.max(1, math.ceil(math.log(hotSize.toDouble / cap) / math.log(2.0)).toInt)
+    val planes = Similarity.hyperplanes(dim, bits * 8, 7L)
+    val occ = df.where($"vec_id" < 200 || $"vec_id" >= 1000)
+      .select(posexplode(graft.functions.gf.lshBuckets(
+        $"embedding".cast("array<double>"), planes, bits)).as(Seq("table", "bucket")))
+      .groupBy("table", "bucket").count()
+      .select($"table", $"count").as[(Int, Long)].collect()
+    val worstTableWork = occ.groupBy(_._1).values
+      .map(_.map(c => c._2 * c._2).sum).max
+    assert(worstTableWork < hotSize.toLong * hotSize / 2,
+      s"sub-split failed to bound candidate work: $worstTableWork vs ${hotSize * hotSize}")
+    occ.foreach { case (_, c) => assert(c < hotSize, "a bucket holds the whole cluster") }
+  }
+
+  test("sampled IVF train: identical init, nprobe=k exactness preserved") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    // iters=0 exposes the init: the k hash-smallest of the sample ARE the
+    // k hash-smallest of the corpus (same ordering, k <= cap)
+    val initFull = graft.ops.Ivf.train(emb, k = 8, iters = 0)
+    val initSamp = graft.ops.Ivf.train(emb, k = 8, iters = 0, sampleCap = 64)
+    assert(initFull.map(_.toSeq).toSeq == initSamp.map(_.toSeq).toSeq)
+    // sampled Lloyd rounds give different (but valid) centroids; nprobe=k
+    // stays exact under ANY centroid set
+    val cs = graft.ops.Ivf.train(emb, k = 8, iters = 2, sampleCap = 128)
+    val queries = emb.where($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select($"q_id", $"rank", $"n_id").as[(Long, Int, Long)].collect().toSet
+    val ivf = graft.ops.Ivf.topK(emb, queries, cs, k = 3, nprobe = 8)
+      .select($"q_id", $"rank", $"n_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == brute, s"sampled-train nprobe=k diverged: ${ivf.diff(brute).take(5)}")
+    intercept[IllegalArgumentException] {
+      graft.ops.Ivf.train(emb, k = 8, iters = 1, sampleCap = 4)
+    }
   }
 
   test("IVF: probing all lists equals exact brute force; planted dups at nprobe=1") {

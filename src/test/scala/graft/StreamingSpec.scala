@@ -77,4 +77,46 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.ops.Dedup.exact(docs).where(!col("is_dup"))
     assert(batch.count() == 10)
   }
+
+  test("streaming decontamination agrees with the batch scrub") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toString
+    // corpus docs embed an 8-token benchmark sentence at varying offsets
+    val bench = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = spark.range(30).select(
+      col("id").as("doc_id"),
+      concat(lit("u"), col("id"), lit("a u"), col("id"), lit("b "),
+        when(col("id") % 3 === 0, lit(bench + " ")).otherwise(lit("")),
+        lit("tail"), col("id")).as("text"))
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val reference = spark.range(1).select(lit(0L).as("doc_id"),
+      lit("prefix " + bench + " suffix").as("text"))
+
+    val in = spark.readStream.schema("doc_id bigint, text string")
+      .parquet(s"$dir/in")
+    val q = DeidStream.decontaminateSpans(in, reference, k = 8)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.read.parquet(s"$dir/out")
+    val want = graft.ops.Dedup.contaminatedSpans(
+      spark.read.parquet(s"$dir/in"), reference, k = 8)
+    // only the id % 3 == 0 docs carry the benchmark window
+    assert(got.select("doc_id").distinct().count() == 10)
+    // batch-twin agreement over the FULL span projection
+    val h = (df: org.apache.spark.sql.DataFrame) =>
+      df.selectExpr("sum(hash(doc_id, tok_start, tok_end, start, `end`))")
+        .first().getLong(0)
+    assert(got.count() == want.count() && h(got) == h(want))
+    // per-batch merge in foreachBatch equals the batch merge (docs arrive
+    // whole within a batch)
+    val mGot = graft.ops.Dedup.mergeTokenSpans(got)
+    val mWant = graft.ops.Dedup.mergeTokenSpans(want)
+    assert(mGot.count() == mWant.count() && h(mGot) == h(mWant))
+  }
 }

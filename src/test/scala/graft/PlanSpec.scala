@@ -125,6 +125,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!ps.contains("CartesianProduct"), ps)
   }
 
+  test("round-5 ops: keeper window on component key; sub-split and verified simhash no cartesian") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // qualityKeepers: one hash join + one window exchange on component
+    val comps = Seq(1L -> 1L, 2L -> 1L).toDF("doc_id", "component")
+    val qual = Seq(1L -> 0.5, 2L -> 1.0).toDF("doc_id", "quality_score")
+    val pk = plan(graft.ops.Dedup.qualityKeepers(comps, qual))
+    assert(!pk.contains("CartesianProduct") && !pk.contains("BroadcastNestedLoopJoin"), pk)
+    assert(pk.contains("Window"), pk)
+    // verified simhash: no cartesian anywhere (band join + two key joins);
+    // the candidate-work bound of the sub-split path is pinned empirically
+    // in OpsSpec (occupancy² « size²), which is stronger than a plan-shape
+    // assertion on an eagerly-materialized frame
+    val psim = plan(graft.ops.Dedup.simhashExactDups(docs.limit(200)))
+    assert(!psim.contains("CartesianProduct") && !psim.contains("BroadcastNestedLoopJoin"), psim)
+  }
+
   test("connected components shuffles on the id key only (no cartesian)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")

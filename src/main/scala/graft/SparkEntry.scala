@@ -1009,8 +1009,9 @@ object SparkEntry {
 
       // MinHash at threshold 1.0 == exact shingle-SET-equality pairs (equal
       // sets -> equal signatures -> collide in every band; Jaccard >= 1
-      // admits nothing else). Key = sha256 of the sorted distinct shingle
-      // list; chr(1) never occurs inside a shingle (whitespace-split text).
+      // admits nothing else). The join keys on the sorted distinct shingle
+      // LIST directly — no string-encoding of the set, no separator
+      // assumptions about document content.
       "dedup_minhash_pairs" ->
         ("""WITH p AS (
           |  SELECT doc_id, text FROM documents
@@ -1018,17 +1019,16 @@ object SparkEntry {
           |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0),
           |s AS (
           |  SELECT doc_id AS id,
-          |         sha256(array_to_string(list_sort(list_distinct(
+          |         list_sort(list_distinct(
           |           CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-          |                ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END)), chr(1))) AS key
+          |                ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END)) AS key
           |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM p))
           |SELECT l.id AS a, r.id AS b FROM s l JOIN s r ON l.key = r.key AND l.id < r.id
           |ORDER BY a, b""".stripMargin.replace("\n", " ")),
 
       // verified SimHash == equal lowercased-token-MULTISET pairs:
-      // list_sort of the token list is the multiset key (coalesce: DuckDB's
-      // array_to_string yields NULL on an empty list, and a NULL key would
-      // silently drop token-less duplicate pairs from the join)
+      // list_sort of the token list IS the multiset key (joined as a list —
+      // empty token lists compare equal, so token-less duplicates pair too)
       "dedup_simhash_pairs" ->
         ("""WITH p AS (
           |  SELECT doc_id, text FROM documents
@@ -1036,8 +1036,8 @@ object SparkEntry {
           |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0),
           |s AS (
           |  SELECT doc_id AS id,
-          |         sha256(coalesce(array_to_string(list_sort(list_filter(
-          |           regexp_split_to_array(lower(text), '\s+'), x -> x <> '')), chr(1)), '')) AS key
+          |         list_sort(list_filter(
+          |           regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS key
           |  FROM p)
           |SELECT l.id AS a, r.id AS b FROM s l JOIN s r ON l.key = r.key AND l.id < r.id
           |ORDER BY a, b""".stripMargin.replace("\n", " ")),

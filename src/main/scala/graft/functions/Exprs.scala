@@ -883,6 +883,62 @@ case class CanonicalTypeExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** k-word shingles of the lowercased, space-trimmed, whitespace-split text
+  * — one compact expression replacing the HOF formulation
+  * (`transform(sequence(...), i -> concat_ws(' ', slice(split(...), i, k)))`)
+  * it is pinned bit-equal to in OpsSpec. Two reasons beyond interpreted-HOF
+  * cost: the HOF's printed expression tree is enormous, and optimizer rules
+  * (InferFiltersFromGenerate, CollapseProject, predicate pushdown through
+  * unions) CLONE it — measured multi-second janino compilation per derived
+  * query at bench scale. Semantics exactly match
+  * `split(trim(lower(text)), '\s+', -1)` + windowing: lower via
+  * UTF8String.toLowerCase (Spark's lower), trim strips ASCII spaces only,
+  * split keeps leading/interior empty tokens, texts with fewer than k
+  * tokens yield ONE shingle of all tokens space-joined.
+  */
+case class ShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, s"shingle size k must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[UTF8String].toLowerCase.toString
+    // Spark's trim() strips ASCII space (0x20) only — not the full \s class
+    var s = 0; var e = lowered.length
+    while (s < e && lowered.charAt(s) == ' ') s += 1
+    while (e > s && lowered.charAt(e - 1) == ' ') e -= 1
+    val trimmed = lowered.substring(s, e)
+    // split keeps leading + trailing empties (Spark split limit -1)
+    val toks = trimmed.split("[ \\t\\n\\x0B\\f\\r]+", -1)
+    val n = toks.length
+    val out: Array[Any] =
+      if (n < k) Array(UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val arr = new Array[Any](n - k + 1)
+        var i = 0
+        while (i + k <= n) {
+          val sb = new java.lang.StringBuilder
+          var j = i
+          while (j < i + k) {
+            if (j > i) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          arr(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        arr
+      }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
 /** All k-token windows of a text in ONE pass: `\S+` tokens with code-point
   * offsets, then per window the token span, char span, and the sha2-256 hex
   * digest of the space-joined window text — the engine form of the

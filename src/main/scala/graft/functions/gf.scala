@@ -137,4 +137,10 @@ object gf {
   /** all k-token windows (token span, char span, sha2 digest) in one pass. */
   def tokenWindows(text: Column, k: Int): Column =
     column(TokenWindowsExpr(expression(text), k))
+
+  /** k-word shingles (lowercased, whitespace-split) — compact expression
+    * pinned bit-equal to the HOF formulation (OpsSpec).
+    */
+  def shingles(text: Column, k: Int): Column =
+    column(ShinglesExpr(expression(text), k))
 }

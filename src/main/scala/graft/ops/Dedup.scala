@@ -32,14 +32,16 @@ object Dedup {
         (col(idCol) =!= col("keeper_id")).as("is_dup"))
   }
 
-  /** k-word shingles (lowercased, whitespace-tokenized). */
-  def shingles(textCol: Column, k: Int = 3): Column = {
-    val toks = split(trim(lower(textCol)), "\\s+")
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** k-word shingles (lowercased, whitespace-tokenized) — a compact custom
+    * expression ([[graft.functions.ShinglesExpr]], pinned bit-equal to the
+    * HOF formulation in OpsSpec). The HOF form's printed tree is huge and
+    * gets CLONED by optimizer rules (InferFiltersFromGenerate, pushdown
+    * through unions), costing multi-second janino compiles per derived
+    * query; the compact expression also removes the interpreted per-window
+    * lambda evaluation.
+    */
+  def shingles(textCol: Column, k: Int = 3): Column =
+    graft.functions.gf.shingles(textCol, k)
 
   /** MinHash signature — single-pass custom expression (each shingle's bytes
     * hashed once, H integer mixes derive the per-function values). The HOF
@@ -180,9 +182,24 @@ object Dedup {
       k: Int,
       maxDocFreq: Int
   ): DataFrame = {
+    // The shingle arrays must NOT ride through the explode/join: carrying
+    // the `sh` column beside `explode(sh)` lets CollapseProject substitute
+    // the (interpreted HOF) shingle expression into the exploded/joined
+    // projections, re-evaluating it once per OUTPUT row — measured 25× the
+    // whole query's cost even at oracle scale. Instead the join moves only
+    // narrow (id, g) rows (also the right shape at corpus scale), and the
+    // per-doc set sizes — one HOF evaluation per doc — join back AFTER the
+    // pair aggregation, when only the (few) qualifying pairs remain.
     val sh = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), k)).as("sh"))
-    val exploded = sh.select(col("id"), col("sh"), explode(col("sh")).as("g"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("nsh"))
+    // explode_outer, not explode: InferFiltersFromGenerate would clone the
+    // shingle expression into a `size(...) > 0` scan filter (an extra
+    // evaluation per input row); the shingle array is never empty by
+    // construction, so the outer variant + null guard is semantically
+    // identical without the inferred filter
+    val exploded = sh.select(col("id"), explode_outer(col("sh")).as("g"))
+      .where(col("g").isNotNull)
     val pruned =
       if (maxDocFreq <= 0) exploded
       else {
@@ -195,8 +212,10 @@ object Dedup {
     pruned.as("l").join(pruned.as("r"),
         col("l.g") === col("r.g") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("a"), col("r.id").as("b"))
-      .agg(count(lit(1)).as("inter"),
-        first(size(col("l.sh"))).as("ua"), first(size(col("r.sh"))).as("ub"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("nsh").as("ua")), "a")
+      .join(sizes.select(col("id").as("b"), col("nsh").as("ub")), "b")
+      .select(col("a"), col("b"), col("inter"), col("ua"), col("ub"))
   }
 
   /** Connected components over a near-dup pair graph → per-doc cluster id

@@ -28,7 +28,7 @@ object Multimodal {
     df.withColumn("media", struct(
       encode(col(fromCol), "UTF-8").as("data"),
       struct(
-        element_at(typedLit(Seq("image", "audio", "video")),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(xxhash64(col(fromCol)), lit(3)) + 1).cast("int")).as("kind"),
         (pmod(xxhash64(col(fromCol), lit(1)), lit(1920)) + 1).cast("int").as("width"),
         (pmod(xxhash64(col(fromCol), lit(2)), lit(1080)) + 1).cast("int").as("height"),

@@ -80,7 +80,7 @@ object Similarity {
   /** Sign-bit bucket id for a vector. */
   def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = typedLit(p)
+      val planeCol = array(p.map(lit): _*) // reflection-free (console-safe)
       when(dot(vecCol, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -281,12 +281,28 @@ object Similarity {
           val dim = centroids.head.length
           val planes = hyperplanes(dim, bits * subTables, seed)
           val cold = acached.where(!col("cluster").isInCollection(hotIds))
-          val hot = acached.where(col("cluster").isInCollection(hotIds))
-            .select(col("id"), col("vec"), col("cluster"),
+          // ids ONLY through the band self-join (the lshTables discipline:
+          // vectors must not shuffle ×subTables); candidates dedupe BEFORE
+          // scoring so each pair's cosine is computed once, with the
+          // vectors joined back from the cached assignment
+          val hotBands = acached.where(col("cluster").isInCollection(hotIds))
+            .select(col("id"), col("cluster"),
               posexplode(graft.functions.gf.lshBuckets(col("vec"), planes, bits))
                 .as(Seq("table", "bucket")))
+          val hotCand = hotBands.as("l").join(hotBands.as("r"),
+              col("l.cluster") === col("r.cluster") &&
+                col("l.table") === col("r.table") &&
+                col("l.bucket") === col("r.bucket") &&
+                col("l.id") < col("r.id"))
+            .select(col("l.id").as("a"), col("r.id").as("b"))
+            .distinct()
+          val vecs = acached.select(col("id"), col("vec"))
+          val hotPairs = hotCand
+            .join(vecs.select(col("id").as("a"), col("vec").as("va")), "a")
+            .join(vecs.select(col("id").as("b"), col("vec").as("vb")), "b")
+            .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("sim"))
           pairsOf(cold, Seq("cluster"))
-            .union(pairsOf(hot, Seq("cluster", "table", "bucket")).distinct())
+            .union(hotPairs)
             .where(col("sim") >= threshold)
         }
       val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

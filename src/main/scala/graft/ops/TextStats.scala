@@ -30,7 +30,10 @@ object TextStats {
   def langId(textCol: Column): Column = {
     val toks = split(lower(trim(textCol)), "\\s+")
     val hits = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val w = typedLit(words)
+      // array(lit…) not typedLit: typedLit resolves its TypeTag through
+      // runtime scala-reflect, which degrades to an unsupported plain
+      // Literal under REPL/console classloaders (SQL-surface usability)
+      val w = array(words.map(lit): _*)
       struct(size(filter(toks, t => array_contains(w, t))).as("hits"),
         lit(lang).as("lang"))
     }
@@ -59,7 +62,7 @@ object TextStats {
     */
   def qualityFacets(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
-    val sw = typedLit(stopwords("en"))
+    val sw = array(stopwords("en").map(lit): _*) // reflection-free (see langId)
     df.withColumn("n_chars", length(col(textCol)))
       .withColumn("n_tokens", tokenCount(col(textCol)))
       .withColumn("n_stopwords", size(filter(toks, t => array_contains(sw, t))))

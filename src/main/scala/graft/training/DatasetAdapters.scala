@@ -69,7 +69,7 @@ object DatasetAdapters {
     val tags = Seq(tagsField, "ner_tags", "tags").distinct
       .map(col).reduceLeft((a, b) => coalesce(a, b))
     val labels = id2label.getOrElse(wikiannId2Label)
-    val labelsCol = typedLit(labels)
+    val labelsCol = array(labels.map(lit): _*) // reflection-free (console-safe)
     // ids arrive as strings under the permissive schema; digits ⇒ id path
     val resolved = transform(tags, t =>
       when(t.rlike("^\\d+$"), element_at(labelsCol, t.cast("int") + 1)).otherwise(t))

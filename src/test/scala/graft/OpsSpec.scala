@@ -74,6 +74,36 @@ class OpsSpec extends AnyFunSuite {
     exactPairs.foreach(r => assert(r.getAs[Int]("hamming") == 0))
   }
 
+  test("compact ShinglesExpr is bit-identical to the HOF formulation") {
+    // the HOF form ShinglesExpr replaced — kept here as the reference
+    def hofShingles(textCol: org.apache.spark.sql.Column, k: Int) = {
+      val toks = split(trim(lower(textCol)), "\\s+")
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    }
+    // corpus rows + adversarial edges: empty, spaces-only, leading tab
+    // (trim strips SPACES only -> leading "" token), vertical tab, CJK,
+    // supplementary plane, fewer-than-k tokens, mixed case
+    val edge = Seq(
+      (9000001L, ""), (9000002L, "   "), (9000003L, "\tLead tab here x"),
+      (9000004L, "one"), (9000005L, "two words"),
+      (9000006L, "UPPER Case MiXeD tokens here"),
+      (9000007L, "ab c d e"), (9000008L, "中文 分词 测试 一下 吧"),
+      (9000009L, "𠀀 x 𠀁 y z"),
+      (9000010L, "trail spaces   "), (9000011L, " x  y   z "))
+      .toDF("doc_id", "text")
+    val both = docs.select($"doc_id", $"text").union(edge)
+    Seq(1, 2, 3, 5).foreach { k =>
+      val diff = both.select(
+          graft.functions.gf.shingles($"text", k).as("a"),
+          hofShingles($"text", k).as("b"))
+        .where(not($"a" <=> $"b"))
+      assert(diff.count() == 0, s"k=$k: ${diff.take(3).mkString("; ")}")
+    }
+  }
+
   test("ngram jaccard counts are exact for a known pair") {
     val two = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("doc_id", "text")
     val r = Dedup.ngramJaccardCountsExact(two).collect()

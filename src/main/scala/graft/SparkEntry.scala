@@ -36,7 +36,9 @@ import org.apache.spark.sql.functions._
   *  - `overwrite_similarity`: SequenceMatcher ratio itself — gate =
   *    SeqMatcherSpec (autojunk-exact goldens).
   *  - `doc_fingerprint`: xxhash64/simhash bit outputs (no DuckDB
-  *    equivalent) — gate = OpsSpec determinism + normalization specs.
+  *    equivalent) — gate = OpsSpec determinism + normalization specs, plus
+  *    the oracle-backed `doc_fingerprint_pairs` sibling (fingerprint
+  *    EQUALITY == whitespace-normalized-text equality, SQL-expressible).
   *  - `knn_lsh`: general approximate top-k — approximate ≠ any exact SQL;
   *    its exact siblings (`knn_bruteforce`, `knn_ivf` at nprobe=k,
   *    `knn_lsh_twins`) carry hash-exact oracles, and recall-vs-brute-force
@@ -577,6 +579,26 @@ object SparkEntry {
           gf.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
+    // the fingerprint's raw xxhash bits have no DuckDB twin, but its
+    // EQUALITY relation is SQL-checkable: planted whitespace variants
+    // (internal spaces -> tab+space, space padding) normalize to the same
+    // text, so equal fingerprints == equal whitespace-normalized texts
+    // (collisions between distinct normalized texts are 2^-64 and the
+    // fixture corpus is fixed — pinned at all three scales)
+    "doc_fingerprint_pairs" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val ws = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(lit("  "), regexp_replace(col("text"), " ", "\t "), lit("  "))
+            .as("text"))
+      val fp = base.union(ws)
+        .select(col("doc_id"), TextStats.fingerprint64(col("text")).as("fp"))
+      fp.as("l").join(fp.as("r"),
+          col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .orderBy("a", "b")
+    }),
+
     "word_freq_top50" -> ((s, dir) =>
       docs(s, dir)
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
@@ -1051,6 +1073,17 @@ object SparkEntry {
           |UNION ALL
           |SELECT vec_id + 100000 AS q_id, vec_id AS n_id FROM t
           |ORDER BY q_id""".stripMargin.replace("\n", " ")),
+
+      // equal fingerprints == equal whitespace-normalized texts (trim
+      // strips spaces only; \s+ collapses to one space — 'g' flag: DuckDB
+      // regexp_replace replaces only the first match by default)
+      "doc_fingerprint_pairs" ->
+        ("""WITH p AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 300000, '  ' || replace(text, ' ', chr(9) || ' ') || '  ' FROM documents WHERE doc_id % 10 = 0),
+          |n AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm FROM p)
+          |SELECT l.doc_id AS a, r.doc_id AS b FROM n l JOIN n r ON l.norm = r.norm AND l.doc_id < r.doc_id
+          |ORDER BY a, b""".stripMargin.replace("\n", " ")),
 
       "knn_ivf" -> knnBruteforceOracle,
 

@@ -231,5 +231,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"graft_token_windows expects 2 args, got ${args.length}")
     }
+
+    inject("graft_shingles",
+      "graft_shingles(text, k) - k-word shingles (lowercased, whitespace-split)") {
+      case Seq(t, kArg) => kArg match {
+        case Literal(k: Int, _) => ShinglesExpr(t, k)
+        case other => throw new IllegalArgumentException(
+          s"k must be an integer literal, got $other")
+      }
+      case args => throw new IllegalArgumentException(
+        s"graft_shingles expects 2 args, got ${args.length}")
+    }
   }
 }

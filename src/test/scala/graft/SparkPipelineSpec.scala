@@ -103,6 +103,10 @@ class SparkPipelineSpec extends AnyFunSuite {
     val tw = spark.sql(
       "SELECT graft_token_windows('a b c d', 3) AS w").first().getSeq[Any](0)
     assert(tw.length == 2) // windows [a b c], [b c d]
+    val shg = spark.sql(
+      "SELECT graft_shingles('The quick Brown fox', 3) AS s")
+      .first().getSeq[String](0)
+    assert(shg == Seq("the quick brown", "quick brown fox"))
   }
 
   test("same original + same conv text => identical replacement; different turn text => different") {

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * neighbors. The approximate regimes (threshold 0.5, maxDist 3, top-k
   * recall) remain spec-gated in OpsSpec.
   *
-  * The 4 rows WITHOUT an oracle are rows-only by design, each for a stated
+  * The 5 rows WITHOUT an oracle are rows-only by design, each for a stated
   * reason, each gated instead by reference-golden ScalaTest batteries:
   *  - `deid_replace_text`: replacement VALUES come from the MT19937 fake
   *    provider seeded by sha256 context — not ANSI-SQL; gate = 1,800-case
@@ -648,6 +648,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col("user_id")).as("users"))
         .orderBy("event_type", "hour_ts")),
+
+    // CONVERSATION-level exact dedup — the transcripts-native composition:
+    // turns roll up to one ordered document per conversation (array_sort
+    // over (turn_idx, text) structs, then join — deterministic, no
+    // collect_list-order dependence), planted whole-conversation copies
+    // (conv_id || 'D' sorts after the original, so min-id keeps the
+    // original), then Dedup.exact keyed on the conversation text
+    "conv_dedup" -> ((s, dir) => {
+      val conv = turns(s, dir)
+        .groupBy(col("conv_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+            x => x.getField("text")), "\n").as("text"))
+      val planted = conv.union(
+        conv.where(col("conv_id").cast("long") % 7 === 0)
+          .select(concat(col("conv_id"), lit("D")).as("conv_id"), col("text")))
+      Dedup.exact(planted, idCol = "conv_id")
+        .orderBy("conv_id")
+    }),
 
     "sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1456,6 +1475,15 @@ object SparkEntry {
         ("SELECT event_type, CAST(date_trunc('hour', ts) AS STRING) AS hour_ts, " +
           "count(*) AS cnt, count(DISTINCT user_id) AS users " +
           "FROM events GROUP BY event_type, hour_ts ORDER BY event_type, hour_ts"),
+
+      "conv_dedup" ->
+        (s"$cte, conv AS (SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text " +
+          "FROM turns GROUP BY conv_id), " +
+          "p AS (SELECT conv_id, text FROM conv " +
+          "UNION ALL SELECT conv_id || 'D', text FROM conv WHERE CAST(conv_id AS BIGINT) % 7 = 0) " +
+          "SELECT conv_id, min(conv_id) OVER (PARTITION BY text) AS keeper_id, " +
+          "conv_id <> min(conv_id) OVER (PARTITION BY text) AS is_dup " +
+          "FROM p ORDER BY conv_id"),
 
       "sessionize" ->
         ("WITH g AS (SELECT user_id, ts, " +

@@ -549,22 +549,44 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val cand = simhashNearDups(docs, idCol, textCol, maxDist = 0)
-      .select(col("a"), col("b"))
+    // at distance 0 the pigeonhole machinery reduces to ONE equality join
+    // on the full 64-bit signature — built directly here so the signature
+    // scan runs once (persisted narrow (id, sig) frame) instead of the
+    // general-banded plan, whose lazy composition replicated the signature
+    // expression ~30× across the join/filter tree (plan-compile bloat +
+    // repeated corpus scans at scale).
+    //
+    // Eager-materialization contract: same as [[minhashNearDups]] — the
+    // call is an action; the returned verified-pair frame is persisted and
+    // materialized, all intermediates released; caller owns `unpersist()`.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sigs = docs
+      .select(col(idCol).as("id"), graft.functions.gf.simhash64(col(textCol)).as("sig"))
+      .persist(lvl)
+    val cand = sigs.as("l").join(sigs.as("r"),
+        col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .persist(lvl)
+    cand.count()
     val candidateIds = cand.select(col("a").as(idCol))
       .union(cand.select(col("b").as(idCol)))
       .distinct()
     // the token-multiset key, Spark-side lower() (locale-independent simple
-    // case mapping, same as the signature's Locale.ROOT lowercasing)
+    // case mapping, same as the signature's Locale.ROOT lowercasing) —
+    // recomputed only for docs in a candidate pair (left-semi prune)
     val keys = docs.join(candidateIds, Seq(idCol), "left_semi")
       .select(col(idCol),
         sort_array(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
           .as("key"))
-    cand
+    val result = cand
       .join(keys.withColumnRenamed(idCol, "a").withColumnRenamed("key", "key_a"), "a")
       .join(keys.withColumnRenamed(idCol, "b").withColumnRenamed("key", "key_b"), "b")
       .where(col("key_a") === col("key_b"))
       .select("a", "b")
+      .persist(lvl)
+    result.count()
+    sigs.unpersist(); cand.unpersist()
+    result
   }
 
   def simhashNearDups(

@@ -134,11 +134,11 @@ class PlanSpec extends AnyFunSuite {
     val pk = plan(graft.ops.Dedup.qualityKeepers(comps, qual))
     assert(!pk.contains("CartesianProduct") && !pk.contains("BroadcastNestedLoopJoin"), pk)
     assert(pk.contains("Window"), pk)
-    // verified simhash: no cartesian anywhere (band join + two key joins);
-    // the candidate-work bound of the sub-split path is pinned empirically
-    // in OpsSpec (occupancy² « size²), which is stronger than a plan-shape
-    // assertion on an eagerly-materialized frame
-    val psim = plan(graft.ops.Dedup.simhashExactDups(docs.limit(200)))
+    // simhash at distance 0: the (lazy) pigeonhole path keys the self-join
+    // on the full signature — no cartesian (the VERIFIED operator
+    // simhashExactDups is eager, so its shape is pinned here through the
+    // lazy sibling + empirically by the OpsSpec occupancy/oracle gates)
+    val psim = plan(graft.ops.Dedup.simhashNearDups(docs.limit(200), maxDist = 0))
     assert(!psim.contains("CartesianProduct") && !psim.contains("BroadcastNestedLoopJoin"), psim)
   }
 

@@ -654,7 +654,11 @@ object SparkEntry {
     // over (turn_idx, text) structs, then join — deterministic, no
     // collect_list-order dependence), planted whole-conversation copies
     // (conv_id || 'D' sorts after the original, so min-id keeps the
-    // original), then Dedup.exact keyed on the conversation text
+    // original), then Dedup.exact keyed on the conversation text.
+    // SCALE NOTE: the roll-up holds a conversation's full text per group —
+    // fine for bounded conversations, a skew risk for mega-conversations;
+    // the aggregation-only fingerprint path below (`conv_dedup_fp`) is the
+    // 10^12-turn-safe variant.
     "conv_dedup" -> ((s, dir) => {
       val conv = turns(s, dir)
         .groupBy(col("conv_id"))
@@ -665,6 +669,28 @@ object SparkEntry {
         conv.where(col("conv_id").cast("long") % 7 === 0)
           .select(concat(col("conv_id"), lit("D")).as("conv_id"), col("text")))
       Dedup.exact(planted, idCol = "conv_id")
+        .orderBy("conv_id")
+    }),
+
+    // the SAME dedup decision WITHOUT materializing conversation text:
+    // fp = sum(xxhash64(turn_idx, text)) is a pure aggregation (O(1) group
+    // state — mega-conversation-safe); equal (turn_idx, text) multisets ⇔
+    // equal ordered conversations, and on the fixture corpus fp equality
+    // == conversation equality (64-bit sums; pinned at all three scales
+    // against the SAME rolled-up-text oracle as conv_dedup)
+    "conv_dedup_fp" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = turns(s, dir).select(col("conv_id"), col("turn_idx"), col("text"))
+      val planted = t.union(
+        t.where(col("conv_id").cast("long") % 7 === 0)
+          .select(concat(col("conv_id"), lit("D")).as("conv_id"),
+            col("turn_idx"), col("text")))
+      planted.groupBy(col("conv_id"))
+        .agg(TextStats.multisetFingerprint(col("turn_idx"), col("text")).as("fp"))
+        .withColumn("keeper_id",
+          min(col("conv_id")).over(Window.partitionBy(col("fp"))))
+        .select(col("conv_id"), col("keeper_id"),
+          (col("conv_id") =!= col("keeper_id")).as("is_dup"))
         .orderBy("conv_id")
     }),
 
@@ -1477,6 +1503,17 @@ object SparkEntry {
           "FROM events GROUP BY event_type, hour_ts ORDER BY event_type, hour_ts"),
 
       "conv_dedup" ->
+        (s"$cte, conv AS (SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text " +
+          "FROM turns GROUP BY conv_id), " +
+          "p AS (SELECT conv_id, text FROM conv " +
+          "UNION ALL SELECT conv_id || 'D', text FROM conv WHERE CAST(conv_id AS BIGINT) % 7 = 0) " +
+          "SELECT conv_id, min(conv_id) OVER (PARTITION BY text) AS keeper_id, " +
+          "conv_id <> min(conv_id) OVER (PARTITION BY text) AS is_dup " +
+          "FROM p ORDER BY conv_id"),
+
+      // fp equality == rolled-up-text equality on this corpus: the
+      // aggregation-only scale path is pinned to the SAME exact oracle
+      "conv_dedup_fp" ->
         (s"$cte, conv AS (SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text " +
           "FROM turns GROUP BY conv_id), " +
           "p AS (SELECT conv_id, text FROM conv " +

@@ -93,6 +93,22 @@ object TextStats {
   def fingerprint64(textCol: Column): Column =
     xxhash64(regexp_replace(trim(textCol), "\\s+", " "))
 
+  /** AGGREGATE set fingerprint: `bit_xor(xxhash64(parts…))` over a group —
+    * equal SETS of part-tuples give equal fingerprints. The part tuples
+    * must be DISTINCT within a group (xor cancels duplicate pairs); an
+    * ordinal column among the parts (e.g. `(turn_idx, text)`) guarantees
+    * that AND makes the set determine the ordered document. This is the
+    * mega-conversation-safe dedup key: a pure aggregation with O(1) state
+    * per group — no `collect_list`/string roll-up whose per-group memory
+    * grows with conversation length, and no ANSI sum-overflow (xor
+    * wraps by construction). Xor'd 64-bit hashes can collide adversarially
+    * — exact pipelines verify fingerprint-equal groups (cheap: candidates
+    * ≪ corpus), the same verify-the-candidates shape as
+    * [[graft.ops.Dedup.simhashExactDups]].
+    */
+  def multisetFingerprint(parts: Column*): Column =
+    bit_xor(xxhash64(parts: _*))
+
   /** Deterministic greedy sequence packing — the pretraining batch-prep
     * step that concatenates documents into fixed token-budget context
     * windows ("packs"). Documents are bucketed by `id % buckets` (each

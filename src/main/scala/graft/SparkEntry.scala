@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   *    provider seeded by sha256 context — not ANSI-SQL; gate = 1,800-case
   *    WideParitySpec byte parity + the `deid_replace` / `events_audit` /
   *    `deid_blackbox_len` / per-type count oracles covering the same scan.
-  *  - `deid_eval_report`: aggregates SequenceMatcher similarity (difflib
-  *    algorithm) — gate = DeidEvalSpec goldens.
+  *  - `deid_eval_report`: its `mean_similarity` aggregates the difflib
+  *    SequenceMatcher ratio (G4) — the one SQL-inexpressible piece; the
+  *    per-turn G3/G5/G6/G7 arithmetic is oracled by the round-6
+  *    `deid_eval_metrics` sibling, and the G8 aggregation is gate =
+  *    DeidEvalSpec/MetricsSpec goldens.
   *  - `overwrite_similarity`: SequenceMatcher ratio itself — gate =
   *    SeqMatcherSpec (autojunk-exact goldens).
   *  - `doc_fingerprint`: xxhash64/simhash bit outputs (no DuckDB
@@ -386,6 +389,20 @@ object SparkEntry {
       Dedup.simhashExactDups(plantedDocs(s, dir))
         .orderBy("a", "b")),
 
+    // linear KEEPER form of the token-multiset duplicate relation (the
+    // scale-safe twin of dedup_simhash_pairs: one digest-keyed window
+    // shuffle, output linear in the corpus — no pair materialization, no
+    // CC; million-member boilerplate classes cost O(m), not O(m²)). Runs
+    // over the FULL planted corpus, not the 50-doc subset.
+    "dedup_simhash_keepers" -> ((s, dir) =>
+      Dedup.multisetKeepers(plantedDocs(s, dir)).orderBy("doc_id")),
+
+    // linear keeper form of the distinct-shingle-SET relation (the
+    // threshold-1.0 regime of dedup_minhash_pairs, without bands or
+    // candidate joins)
+    "dedup_minhash_keepers" -> ((s, dir) =>
+      Dedup.shingleSetKeepers(plantedDocs(s, dir)).orderBy("doc_id")),
+
     // near-dup pairs -> CLUSTER ASSIGNMENT (connected components, min-label
     // propagation): the keep/drop decision of a dedup pipeline. Exact-pair
     // edges so the DuckDB recursive-CTE oracle reproduces the whole graph.
@@ -673,11 +690,15 @@ object SparkEntry {
     }),
 
     // the SAME dedup decision WITHOUT materializing conversation text:
-    // fp = sum(xxhash64(turn_idx, text)) is a pure aggregation (O(1) group
-    // state — mega-conversation-safe); equal (turn_idx, text) multisets ⇔
-    // equal ordered conversations, and on the fixture corpus fp equality
-    // == conversation equality (64-bit sums; pinned at all three scales
-    // against the SAME rolled-up-text oracle as conv_dedup)
+    // fp = bit_xor(xxhash64(turn_idx, text)) is a pure aggregation (O(1)
+    // group state — mega-conversation-safe); equal (turn_idx, text)
+    // multisets ⇔ equal ordered conversations, and on the fixture corpus fp
+    // equality == conversation equality, pinned at all three scales against
+    // the SAME rolled-up-text oracle as conv_dedup. Caveat: 64-bit xor
+    // admits STRUCTURED collisions (h1^h2 == h3^h4 across four distinct
+    // tuples) beyond the generic birthday bound — see
+    // TextStats.multisetFingerprint's verify-the-candidates note; OpsSpec
+    // asserts fp-distinctness == conversation-distinctness on this corpus.
     "conv_dedup_fp" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val t = turns(s, dir).select(col("conv_id"), col("turn_idx"), col("text"))
@@ -692,6 +713,26 @@ object SparkEntry {
         .select(col("conv_id"), col("keeper_id"),
           (col("conv_id") =!= col("keeper_id")).as("is_dup"))
         .orderBy("conv_id")
+    }),
+
+    // conversation-level NEAR-dup: MinHash-LSH over each conversation's
+    // per-turn fingerprint set, verified by exact multiset-fingerprint
+    // equality — ALL aggregation-only (no text roll-up; a mega-conversation
+    // costs O(1) group state). Planted: whole-conversation exact copies
+    // ('D', %7 — must pair) and near-copies with ONE turn edited ('E',
+    // %11 — must NOT pair at the exact regime), so the oracle proves both
+    // recall and that the threshold bites.
+    "conv_dedup_near" -> ((s, dir) => {
+      val t = turns(s, dir).select(col("conv_id"), col("turn_idx"), col("text"))
+      val exactCopies = t.where(col("conv_id").cast("long") % 7 === 0)
+        .select(concat(col("conv_id"), lit("D")).as("conv_id"),
+          col("turn_idx"), col("text"))
+      val nearCopies = t.where(col("conv_id").cast("long") % 11 === 0)
+        .select(concat(col("conv_id"), lit("E")).as("conv_id"), col("turn_idx"),
+          when(col("turn_idx") === 1, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+      Dedup.conversationDupPairs(t.union(exactCopies).union(nearCopies))
+        .orderBy("a", "b")
     }),
 
     "sessionize" -> ((s, dir) => {
@@ -738,18 +779,54 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- eval metrics over the pipeline's own output -----------------------
+    // the SQL-EXPRESSIBLE per-turn core of the deid eval report (G3 leak
+    // check, G5 TYPE_PATTERNS counts, G6 format compliance, G7 3-gram
+    // repetition), computed over the DETERMINISTIC placeholderized output
+    // (R6 — '<TYPE>' splices, no MT19937) so a DuckDB oracle can rebuild
+    // the prediction text per variant and replay every metric's arithmetic.
+    // The report-level aggregate with the difflib G4 mean stays in
+    // deid_eval_report (rows-only — difflib is the one SQL-inexpressible
+    // piece).
+    "deid_eval_metrics" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val txt = col("text")
+      val ents = gf.regexDetect(txt)
+      val origs = transform(ents, e =>
+        txt.substr(e.getField("start") + lit(1),
+          e.getField("end") - e.getField("start")))
+      t.select(col("conv_id"), col("turn_idx"),
+          gf.placeholderize(txt).as("ph"),
+          size(ents).as("pii_total"), origs.as("origs"))
+        .select(col("conv_id"), col("turn_idx"), col("ph"), col("pii_total"),
+          Metrics.piiRemoved(col("origs"), col("ph")).as("pii_removed"),
+          size(regexp_extract_all(col("ph"), lit("<[A-Z_]+>"), lit(0)))
+            .as("n_placeholders"),
+          Metrics.countTypeMatches(col("ph"), "EMAIL").as("n_email_pat"),
+          Metrics.repetition3gramRate(col("ph")).as("repetition_3gram_rate"),
+          Metrics.formatCompliant(col("ph")).as("format_compliant"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // report-level aggregate (G8) incl. the G4 difflib mean — rows-only:
+    // SequenceMatcher's algorithm is the one SQL-inexpressible piece; the
+    // per-turn G3/G5/G6/G7 arithmetic is oracled by deid_eval_metrics
     "deid_eval_report" -> ((s, dir) => {
       val t = turns(s, dir)
       val red = Deid.redact(t)
-      val perTurn = red.select(
-        col("conv_id"), col("turn_idx"),
-        size(col("events")).as("pii_total"),
-        Metrics.piiRemoved(
-          transform(col("events"), e => e.getField("original")), col("text"))
-          .as("pii_removed"),
-        Metrics.repetition3gramRate(col("text")).as("repetition_3gram_rate"),
-        Metrics.formatCompliant(col("text")).as("format_compliant"))
+      val perTurn = red
+        .join(t.select(col("conv_id"), col("turn_idx"), col("text").as("orig")),
+          Seq("conv_id", "turn_idx"))
+        .select(
+          col("conv_id"), col("turn_idx"),
+          size(col("events")).as("pii_total"),
+          Metrics.piiRemoved(
+            transform(col("events"), e => e.getField("original")), col("text"))
+            .as("pii_removed"),
+          Metrics.repetition3gramRate(col("text")).as("repetition_3gram_rate"),
+          Metrics.formatCompliant(col("text")).as("format_compliant"),
+          gf.seqRatio(col("orig"), col("text")).as("similarity"))
       Metrics.aggregateReports(perTurn)
+        .crossJoin(perTurn.agg(avg(col("similarity")).as("mean_similarity")))
     }),
 
     "overwrite_similarity" -> ((s, dir) => {
@@ -1109,6 +1186,57 @@ object SparkEntry {
           |SELECT l.id AS a, r.id AS b FROM s l JOIN s r ON l.key = r.key AND l.id < r.id
           |ORDER BY a, b""".stripMargin.replace("\n", " ")),
 
+      // linear keeper form: keeper = min doc_id per sorted-lowercased-token-
+      // multiset class. The engine partitions on a sha2 digest of the
+      // space-joined sorted list (tokens contain no whitespace ⇒ injective
+      // encoding); the oracle partitions on the joined string itself —
+      // identical equivalence classes.
+      "dedup_simhash_keepers" ->
+        ("""WITH p AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0),
+          |s AS (
+          |  SELECT doc_id, array_to_string(list_sort(list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')), ' ') AS key
+          |  FROM p)
+          |SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keeper_id,
+          |       doc_id <> min(doc_id) OVER (PARTITION BY key) AS is_dup
+          |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // keeper per distinct-shingle-SET class (the threshold-1.0 minhash
+      // relation): key = newline-joined sorted distinct shingles (shingles
+      // contain spaces but no other whitespace ⇒ injective)
+      "dedup_minhash_keepers" ->
+        ("""WITH p AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0),
+          |s AS (
+          |  SELECT doc_id,
+          |         array_to_string(list_sort(list_distinct(
+          |           CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+          |                ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)] END)), chr(10)) AS key
+          |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM p))
+          |SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keeper_id,
+          |       doc_id <> min(doc_id) OVER (PARTITION BY key) AS is_dup
+          |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // conversation near-dup at the exact regime: pairs = equal rolled-up
+      // conversation texts. Exact 'D' copies pair; one-turn-edited 'E'
+      // near-copies must NOT (their presence proves the verify step bites).
+      "conv_dedup_near" ->
+        (s"$cte, conv AS (SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text " +
+          "FROM turns GROUP BY conv_id), " +
+          "convE AS (SELECT conv_id || 'E' AS conv_id, " +
+          "string_agg(CASE WHEN turn_idx = 1 THEN text || ' edited' ELSE text END, chr(10) ORDER BY turn_idx) AS text " +
+          "FROM turns WHERE CAST(conv_id AS BIGINT) % 11 = 0 GROUP BY conv_id), " +
+          "p AS (SELECT conv_id, text FROM conv " +
+          "UNION ALL SELECT conv_id || 'D', text FROM conv WHERE CAST(conv_id AS BIGINT) % 7 = 0 " +
+          "UNION ALL SELECT conv_id, text FROM convE) " +
+          "SELECT l.conv_id AS a, r.conv_id AS b FROM p l JOIN p r " +
+          "ON l.text = r.text AND l.conv_id < r.conv_id ORDER BY a, b"),
+
       // every twin-having query's nearest neighbor is its planted twin
       // (cosine exactly 1.0 vs ~0.51 natural max; twins collide in every
       // LSH table)
@@ -1417,6 +1545,55 @@ object SparkEntry {
           "('PASSPORT','PASSPORT'),('PHONE','PHONE')," +
           "('UNIFIED_BUSINESS_NO','UNIFIED_BUSINESS_NO')) AS v(raw_type, canonical) " +
           "ORDER BY raw_type"),
+
+      // eval-metric core over the placeholderized output: the oracle
+      // REBUILDS the prediction text per variant ('<TYPE>' splices at the
+      // resolved spans; prefix UBN modeled for 8-15-digit keys exactly as
+      // deid_replace) and then replays each metric's arithmetic generically
+      // in SQL — leak check = contains() over the variant's originals, G5 =
+      // regexp counts, G6 = the separator/markup predicate, G7 = char
+      // 3-gram repeated-mass via unnest+group (exact integer counts, one
+      // double division — bit-identical to the engine's)
+      "deid_eval_metrics" -> {
+        val htmlPh = "<html><head><title>T</title><style>p{color:red}</style>" +
+          "</head><body><nav><a href=\"/\">home</a> <a href=\"/x\">about</a>" +
+          "</nav><p>Contact <EMAIL> for order details now.</p>" +
+          "<script>var x=1;</script></body></html>"
+        (s"$cte, v(variant, vph, origs) AS (VALUES " +
+          "(0, 'Hi, my ID is <ID> and phone <PHONE>.', ['A123456789','0912-345-678'])," +
+          "(1, 'Email me at <EMAIL> or call <PHONE>.', ['test@example.com','0912345678'])," +
+          "(2, 'Med record <PASSPORT> at <ADDRESS>.', ['M1234567','台北市信義路1號'])," +
+          s"(3, '$htmlPh', ['alice@example.com'])," +
+          "(4, 'Passport <PASSPORT> UBN <UNIFIED_BUSINESS_NO> contract CN-000123.', ['PA1234567','12345678'])," +
+          "(5, 'Nothing sensitive in this routine confirmation turn.', []::VARCHAR[])," +
+          "(6, 'SSN 123-45-6789 call +1-555-123-4567 at 123 Main Street.', []::VARCHAR[])," +
+          "(7, 'Tool output: stats ok, rows=42, status=200.', []::VARCHAR[])), " +
+          "b AS (SELECT t.conv_id, t.turn_idx, " +
+          "CASE WHEN length(t.conv_id) BETWEEN 8 AND 15 " +
+          "THEN 'turn ' || CAST(t.turn_idx AS VARCHAR) || ' of order <UNIFIED_BUSINESS_NO>' || substr(t.conv_id, 9) || ': ' || v.vph " +
+          "ELSE 'turn ' || CAST(t.turn_idx AS VARCHAR) || ' of order ' || t.conv_id || ': ' || v.vph END AS ph, " +
+          "CASE WHEN length(t.conv_id) BETWEEN 8 AND 15 " +
+          "THEN list_append(v.origs, substr(t.conv_id, 1, 8)) ELSE v.origs END AS origs " +
+          "FROM (SELECT conv_id, turn_idx, " +
+          "CAST((CAST(conv_id AS BIGINT) * 7 + turn_idx * 5) % 8 AS INTEGER) AS variant " +
+          "FROM turns) t JOIN v USING (variant)), " +
+          "g AS (SELECT conv_id, turn_idx, unnest([substring(ph, i, 3) for i in range(1, length(ph) - 1)]) AS gram " +
+          "FROM b WHERE length(ph) >= 3), " +
+          "gc AS (SELECT conv_id, turn_idx, gram, count(*) AS c FROM g GROUP BY conv_id, turn_idx, gram), " +
+          "rep AS (SELECT conv_id, turn_idx, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS repeated FROM gc GROUP BY conv_id, turn_idx) " +
+          "SELECT b.conv_id, b.turn_idx, b.ph, " +
+          "CAST(len(b.origs) AS INTEGER) AS pii_total, " +
+          "CAST(len(list_filter(b.origs, o -> NOT contains(b.ph, o))) AS INTEGER) AS pii_removed, " +
+          "CAST(len(regexp_extract_all(b.ph, '<[A-Z_]+>')) AS INTEGER) AS n_placeholders, " +
+          "CAST(len(regexp_extract_all(b.ph, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email_pat, " +
+          "CASE WHEN length(b.ph) < 3 THEN 0.0 ELSE CAST(coalesce(rep.repeated, 0) AS DOUBLE) / (length(b.ph) - 2) END AS repetition_3gram_rate, " +
+          "(length(lower(b.ph)) > 0 AND NOT (contains(lower(b.ph), 'input:') OR contains(lower(b.ph), 'output:') " +
+          "OR contains(lower(b.ph), 'analysis:') OR contains(lower(b.ph), 'explanation:') " +
+          "OR contains(lower(b.ph), 'step') OR contains(lower(b.ph), 'reason:')) " +
+          "AND NOT (contains(lower(b.ph), '<pii') OR contains(lower(b.ph), '[/'))) AS format_compliant " +
+          "FROM b LEFT JOIN rep USING (conv_id, turn_idx) " +
+          "ORDER BY conv_id, turn_idx")
+      },
 
       // format round trips: the planted PII is fixed, so the per-doc
       // invariants (entity/rect counts, pii-absent booleans) are constants

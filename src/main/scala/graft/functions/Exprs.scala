@@ -939,6 +939,40 @@ case class ShinglesExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** The sorted lowercased token MULTISET of a text — EXACTLY the feature
+  * multiset [[SimHash64Expr]] signs: `wsTokenPattern` tokens of the
+  * `Locale.ROOT`-lowercased text, sorted. This is the verify key for the
+  * signature-equality dedup path ([[graft.ops.Dedup.simhashExactDups]]) and
+  * the grouping key of its linear keeper form
+  * ([[graft.ops.Dedup.multisetKeepers]]): deriving the key with the SAME
+  * lowering as the signature makes "equal key ⇒ equal signature" hold for
+  * ALL text (Spark's `lower()` falls back to default-locale
+  * `String.toLowerCase` for non-ASCII, which can disagree with ROOT on
+  * e.g. Turkish dotted-İ — a latent sig/key divergence this expression
+  * removes). DuckDB oracles lower with utf8proc simple mappings, so oracle
+  * agreement is pinned on ASCII/caseless fixtures only.
+  */
+case class TokenMultisetKeyExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_multiset_key"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = GraftSchemas.wsTokenPattern.matcher(
+      text.toLowerCase(java.util.Locale.ROOT))
+    while (m.find()) toks += m.group()
+    val arr = toks.toArray
+    java.util.Arrays.sort(arr, java.util.Comparator.naturalOrder[String]())
+    new GenericArrayData(arr.map(s => UTF8String.fromString(s): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenMultisetKeyExpr =
+    copy(child = newChild)
+}
+
 /** All k-token windows of a text in ONE pass: `\S+` tokens with code-point
   * offsets, then per window the token span, char span, and the sha2-256 hex
   * digest of the space-joined window text — the engine form of the

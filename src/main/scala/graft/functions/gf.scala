@@ -143,4 +143,10 @@ object gf {
     */
   def shingles(text: Column, k: Int): Column =
     column(ShinglesExpr(expression(text), k))
+
+  /** sorted ROOT-lowercased token multiset — the SimHash verify/keeper key
+    * (same lowering as the signature; see [[TokenMultisetKeyExpr]]).
+    */
+  def tokenMultisetKey(text: Column): Column =
+    column(TokenMultisetKeyExpr(expression(text)))
 }

@@ -32,6 +32,66 @@ object Dedup {
         (col(idCol) =!= col("keeper_id")).as("is_dup"))
   }
 
+  /** Linear KEEPER form of the token-multiset duplicate relation — the
+    * scale-safe twin of [[simhashExactDups]]: instead of emitting all pairs
+    * of each duplicate class (m docs ⇒ m(m−1)/2 rows — quadratic for the
+    * million-member empty/boilerplate classes real 100-TB corpora contain),
+    * group directly by the VERIFIED key (sha2 digest of the sorted
+    * ROOT-lowercased token multiset, [[graft.functions.TokenMultisetKeyExpr]]
+    * — the same key the pair path verifies with, so both paths decide the
+    * same relation) and keep the min id per class. One digest-keyed window
+    * shuffle, output linear in the corpus, no candidate join, no connected
+    * components (exact classes ARE the components). Same output shape as
+    * [[exact]]: (idCol, keeper_id, is_dup).
+    *
+    * Quality-aware keepers compose through [[qualityKeepers]]: rename
+    * `keeper_id` to `component` and pass a score frame — the class key is
+    * already a component assignment.
+    *
+    * Tokens contain no whitespace (they are `\S+` matches), so the
+    * space-join is an injective encoding of the sorted token list and the
+    * digest collides only at sha2-256 odds.
+    */
+  def multisetKeepers(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("dup_key",
+        sha2(array_join(graft.functions.gf.tokenMultisetKey(col(textCol)), " "), 256))
+      .withColumn("keeper_id",
+        min(col(idCol)).over(Window.partitionBy(col("dup_key"))))
+      .select(col(idCol), col("keeper_id"),
+        (col(idCol) =!= col("keeper_id")).as("is_dup"))
+  }
+
+  /** Linear KEEPER form of the distinct-shingle-SET duplicate relation —
+    * the scale-safe twin of [[minhashNearDups]] at threshold 1.0 (Jaccard
+    * ≥ 1 ⇔ equal distinct-shingle sets): group by the sha2 digest of the
+    * sorted distinct shingle set and keep the min id per class. Shingles
+    * contain spaces but no other whitespace (tokens are `\s`-split), so the
+    * newline-join is an injective encoding of the sorted set. One
+    * digest-keyed window shuffle; output linear; no bands, no candidate
+    * join. Same shape as [[exact]].
+    */
+  def shingleSetKeepers(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("dup_key",
+        sha2(array_join(sort_array(array_distinct(shingles(col(textCol), k))), "\n"), 256))
+      .withColumn("keeper_id",
+        min(col(idCol)).over(Window.partitionBy(col("dup_key"))))
+      .select(col(idCol), col("keeper_id"),
+        (col(idCol) =!= col("keeper_id")).as("is_dup"))
+  }
+
   /** k-word shingles (lowercased, whitespace-tokenized) — a compact custom
     * expression ([[graft.functions.ShinglesExpr]], pinned bit-equal to the
     * HOF formulation in OpsSpec). The HOF form's printed tree is huge and
@@ -92,10 +152,32 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      maxBucketFreq: Int = 1000
   ): DataFrame = {
     val b = minhashBands(docs, idCol, textCol, numHashes, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hot-bucket guard (the ngramJaccardCounts maxDocFreq discipline applied
+    // to LSH buckets): one (band, band_hash) bucket holding m docs produces
+    // O(m²) candidate rows BEFORE verification can prune — at corpus scale a
+    // million-member exact-duplicate class (empty docs, boilerplate) lands in
+    // one bucket of EVERY band. Pair output for such a class is itself
+    // quadratic, so no pair-emitting scheme can do better than refuse: fail
+    // loudly and point at the linear keeper forms ([[shingleSetKeepers]] for
+    // the threshold-1.0 regime) instead of silently running an m² join.
+    if (maxBucketFreq > 0) {
+      val hot = b.groupBy("band", "band_hash").agg(count(lit(1)).as("bf"))
+        .where(col("bf") > maxBucketFreq).limit(1).collect()
+      if (hot.nonEmpty) {
+        b.unpersist()
+        throw new IllegalStateException(
+          s"minhashNearDups: LSH bucket (band=${hot.head.getInt(0)}) holds " +
+            s"${hot.head.getLong(2)} docs > maxBucketFreq=$maxBucketFreq — a " +
+            "duplicate class this size has quadratic pair output. Use the " +
+            "linear keeper form (Dedup.shingleSetKeepers / multisetKeepers) " +
+            "for exact-regime classes, or raise maxBucketFreq deliberately.")
+      }
+    }
     val candidates = b.as("l")
       .join(b.as("r"),
         col("l.band") === col("r.band") &&
@@ -384,9 +466,13 @@ object Dedup {
     * id) instead of the arbitrary min-id doc. Returns
     * (idCol, component, keeper_id, is_dup).
     *
-    * Scale shape: one inner join on the id key plus one window shuffle on
-    * the component key; `first_value` over the (score desc, id asc)
-    * ordering resolves the arg-max without a second self-join.
+    * Scale shape: one LEFT join on the id key plus one window shuffle on
+    * the component key; `first_value` over the (score desc nulls last,
+    * id asc) ordering resolves the arg-max without a second self-join.
+    * Component members with no quality row are RETAINED and rank last
+    * (null score) — they stay in the output and can only become keeper of
+    * an entirely score-less component, never silently vanish from the
+    * keep/drop decision.
     */
   def qualityKeepers(
       components: DataFrame,
@@ -395,11 +481,12 @@ object Dedup {
       scoreCol: String = "quality_score"
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val j = components.join(quality.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val j = components.join(
+      quality.select(col(idCol), col(scoreCol)), Seq(idCol), "left_outer")
     // default frame (unbounded preceding .. current row): first() is the
     // partition's top-ranked row for EVERY row of the component
     val w = Window.partitionBy(col("component"))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
     j.select(col(idCol), col("component"),
         first(col(idCol)).over(w).as("keeper_id"))
       .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
@@ -483,6 +570,19 @@ object Dedup {
     * TBs), so the 100-TB side is one narrow scan + broadcast-hash
     * semi-join with NO shuffle. Set `broadcastReference = false` for a
     * large reference (falls back to a digest-keyed shuffle join).
+    *
+    * ==Broadcast size guard== An unconditional broadcast of a HUGE
+    * benchmark suite would blow the driver/broadcast limits, so the
+    * broadcast is gated on `refRowsHint` (approximate count of reference
+    * k-token WINDOWS ≈ total reference tokens, from catalog stats /
+    * footer-derived size — same no-job discipline as
+    * [[graft.ops.Similarity.lshTopK]]'s `nHint`): when the
+    * hint exceeds `maxBroadcastRows` (default 4M windows ≈ a few hundred
+    * MB of 64-byte digest rows — inside Spark's 8 GB broadcast ceiling
+    * with headroom), the join falls back to the digest-keyed shuffle path
+    * regardless of `broadcastReference`. `refRowsHint = 0` (no hint)
+    * trusts the caller's `broadcastReference` — the documented
+    * assume-benchmarks-are-small default.
     */
   def contaminatedSpans(
       corpus: DataFrame,
@@ -490,11 +590,22 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 8,
-      broadcastReference: Boolean = true
+      broadcastReference: Boolean = true,
+      refRowsHint: Long = 0L,
+      maxBroadcastRows: Long = 4_000_000L
   ): DataFrame = {
     require(k >= 1, "window size k must be >= 1")
     val refW = tokenWindows(reference, idCol, textCol, k).select("w").distinct()
-    val refSide = if (broadcastReference) broadcast(refW) else refW
+    val doBroadcast = broadcastReference &&
+      (refRowsHint <= 0L || refRowsHint <= maxBroadcastRows)
+    // over the cap the shuffle path is pinned with an explicit hint —
+    // Catalyst's size ESTIMATE for the distinct-digest aggregate cannot see
+    // the true distinct count and could still auto-broadcast a frame the
+    // caller just declared driver-hostile
+    val refSide =
+      if (doBroadcast) broadcast(refW)
+      else if (refRowsHint > maxBroadcastRows) refW.hint("shuffle_hash")
+      else refW
     tokenWindows(corpus, idCol, textCol, k)
       .join(refSide, Seq("w"), "left_semi")
       .select(col("id").as(idCol), col("tok_start"), col("tok_end"),
@@ -547,7 +658,8 @@ object Dedup {
   def simhashExactDups(
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"
+      textCol: String = "text",
+      maxSigFreq: Int = 1000
   ): DataFrame = {
     // at distance 0 the pigeonhole machinery reduces to ONE equality join
     // on the full 64-bit signature — built directly here so the signature
@@ -563,6 +675,27 @@ object Dedup {
     val sigs = docs
       .select(col(idCol).as("id"), graft.functions.gf.simhash64(col(textCol)).as("sig"))
       .persist(lvl)
+    // Hot-signature guard (mirrors ngramJaccardCounts' maxDocFreq and
+    // minhashNearDups' maxBucketFreq): a corpus where m docs collapse to one
+    // signature (empty/near-empty texts at real-corpus scale) makes this
+    // equality self-join emit O(m²) rows BEFORE the verify step can prune —
+    // and for a true m-member duplicate class the PAIR output is itself
+    // quadratic, so the honest contract is to refuse and point at the
+    // linear keeper form rather than silently run the m² join. One cheap
+    // aggregation over the persisted narrow (id, sig) frame.
+    if (maxSigFreq > 0) {
+      val hot = sigs.groupBy("sig").agg(count(lit(1)).as("sf"))
+        .where(col("sf") > maxSigFreq).limit(1).collect()
+      if (hot.nonEmpty) {
+        sigs.unpersist()
+        throw new IllegalStateException(
+          s"simhashExactDups: signature ${hot.head.getLong(0)} is shared by " +
+            s"${hot.head.getLong(1)} docs > maxSigFreq=$maxSigFreq — pair " +
+            "output for a class this size is quadratic. Use the linear " +
+            "keeper form (Dedup.multisetKeepers) for exact-duplicate " +
+            "classes, or raise maxSigFreq deliberately.")
+      }
+    }
     val cand = sigs.as("l").join(sigs.as("r"),
         col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
@@ -571,13 +704,14 @@ object Dedup {
     val candidateIds = cand.select(col("a").as(idCol))
       .union(cand.select(col("b").as(idCol)))
       .distinct()
-    // the token-multiset key, Spark-side lower() (locale-independent simple
-    // case mapping, same as the signature's Locale.ROOT lowercasing) —
-    // recomputed only for docs in a candidate pair (left-semi prune)
+    // the token-multiset key via [[graft.functions.TokenMultisetKeyExpr]] —
+    // the SAME Locale.ROOT lowering the signature uses, so "equal key ⇒
+    // equal signature" holds for all text (Spark's lower() would fall back
+    // to default-locale String.toLowerCase on non-ASCII, a latent sig/key
+    // divergence). Recomputed only for docs in a candidate pair (left-semi
+    // prune).
     val keys = docs.join(candidateIds, Seq(idCol), "left_semi")
-      .select(col(idCol),
-        sort_array(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
-          .as("key"))
+      .select(col(idCol), graft.functions.gf.tokenMultisetKey(col(textCol)).as("key"))
     val result = cand
       .join(keys.withColumnRenamed(idCol, "a").withColumnRenamed("key", "key_a"), "a")
       .join(keys.withColumnRenamed(idCol, "b").withColumnRenamed("key", "key_b"), "b")
@@ -586,6 +720,92 @@ object Dedup {
       .persist(lvl)
     result.count()
     sigs.unpersist(); cand.unpersist()
+    result
+  }
+
+  /** Conversation-level duplicate pairs over a TURNS table — MinHash-LSH
+    * banding over each conversation's per-turn fingerprint set, candidates
+    * verified by exact multiset-fingerprint equality. The transcripts-native
+    * near-dup composition, built ENTIRELY from aggregations: no conversation
+    * text is ever rolled up, so per-group state is O(1) and a 10⁹-turn
+    * mega-conversation costs the same group memory as a 3-turn one (the
+    * [[graft.ops.TextStats.multisetFingerprint]] discipline, extended from
+    * exact dedup to LSH candidates).
+    *
+    *  - per-turn fingerprint `h = xxhash64(turn_idx, text)` — the ordinal
+    *    makes the tuple set determine the ORDERED conversation;
+    *  - conversation signature element j = `min(xxhash64(h, j))` — a MinHash
+    *    of the turn-fingerprint set as `numHashes` plain `min` aggregates;
+    *  - LSH bands over the signature → band-keyed candidate self-join
+    *    (equal conversations collide in EVERY band ⇒ recall 1 for exact
+    *    copies; a conversation differing in one turn has Jaccard
+    *    (n−1)/(n+1) and is caught per normal LSH collision odds);
+    *  - verification: exact equality of `(bit_xor(h), count)` — equal
+    *    multisets always agree; unequal multisets disagree except at
+    *    structured 64-bit xor collisions, which the fixture-scale corpora
+    *    pin out (OpsSpec asserts fp-distinctness == conversation-
+    *    distinctness on the oracle corpus) and which a production deploy
+    *    would close with a 128-bit fingerprint.
+    *
+    * Returns verified (a, b) pairs, a < b. Shuffles: one turn→conversation
+    * aggregation keyed on `convCol`, one band-keyed candidate join over
+    * narrow (id, band, hash) rows, one id-keyed verify join. Same
+    * eager-materialization contract as [[minhashNearDups]] (result
+    * persisted + materialized; caller owns `unpersist()`); same hot-bucket
+    * guard (the linear alternative for exact classes is the
+    * `multisetFingerprint` window — `conv_dedup_fp`'s shape — not pairs).
+    */
+  def conversationDupPairs(
+      turns: DataFrame,
+      convCol: String = "conv_id",
+      turnIdxCol: String = "turn_idx",
+      textCol: String = "text",
+      numHashes: Int = 16,
+      bands: Int = 8,
+      maxBucketFreq: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val h = xxhash64(col(turnIdxCol), col(textCol))
+    val sigAggs = (0 until numHashes).map(j => min(xxhash64(h, lit(j))).as(s"m$j"))
+    val aggs = sigAggs ++ Seq(bit_xor(h).as("fp"), count(lit(1)).as("n_turns"))
+    val sigs = turns.groupBy(col(convCol).as("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .persist(lvl)
+    val sigArr = array((0 until numHashes).map(j => col(s"m$j")): _*)
+    val banded = sigs.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(sigArr, b * lit(r) + 1, lit(r))))).as(Seq("band", "band_hash")))
+      .persist(lvl)
+    if (maxBucketFreq > 0) {
+      val hot = banded.groupBy("band", "band_hash").agg(count(lit(1)).as("bf"))
+        .where(col("bf") > maxBucketFreq).limit(1).collect()
+      if (hot.nonEmpty) {
+        sigs.unpersist(); banded.unpersist()
+        throw new IllegalStateException(
+          s"conversationDupPairs: LSH bucket (band=${hot.head.getInt(0)}) holds " +
+            s"${hot.head.getLong(2)} conversations > maxBucketFreq=$maxBucketFreq " +
+            "— a duplicate class this size has quadratic pair output. Use the " +
+            "linear multisetFingerprint keeper window (conv_dedup_fp shape) " +
+            "for exact classes, or raise maxBucketFreq deliberately.")
+      }
+    }
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+    val keys = sigs.select(col("id"), col("fp"), col("n_turns"))
+    val result = cand
+      .join(keys.select(col("id").as("a"), col("fp").as("fp_a"), col("n_turns").as("n_a")), "a")
+      .join(keys.select(col("id").as("b"), col("fp").as("fp_b"), col("n_turns").as("n_b")), "b")
+      .where(col("fp_a") === col("fp_b") && col("n_a") === col("n_b"))
+      .select("a", "b")
+      .persist(lvl)
+    result.count()
+    sigs.unpersist(); banded.unpersist()
     result
   }
 

@@ -226,6 +226,14 @@ object Similarity {
     * identical vectors ALWAYS share a centroid, so exact duplicates are
     * found with probability 1 and near-duplicates with high probability
     * when clusters are coarser than the duplicate radius.
+    *
+    * ==Eager-materialization contract== UNIFORM across both the plain and
+    * the sub-split (`maxClusterSize > 0`) paths: this call is an ACTION
+    * returning a persisted (MEMORY_AND_DISK) + materialized pair frame —
+    * the caller owns its `unpersist()` — and every intermediate cache is
+    * released before returning. (Previously the plain path returned a lazy
+    * plan while the sub-split path was eager — cache ownership silently
+    * flipping on a tuning parameter is an easy leak.)
     */
   def semanticNearDups(
       corpus: DataFrame,
@@ -249,9 +257,12 @@ object Similarity {
         .select(col("l.id").as("a"), col("r.id").as("b"),
           cosine(col("l.vec"), col("r.vec")).as("sim"))
     }
-    if (maxClusterSize <= 0)
-      pairsOf(assigned, Seq("cluster")).where(col("sim") >= threshold)
-    else {
+    if (maxClusterSize <= 0) {
+      val out = pairsOf(assigned, Seq("cluster")).where(col("sim") >= threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // uniform eager contract: caller owns out.unpersist()
+      out
+    } else {
       // ==Hot-cluster sub-split== Candidate work is Σ cluster_size², so one
       // popular template cluster IS the workload at corpus scale. Clusters
       // above `maxClusterSize` are salt-banded WITHIN the cluster by

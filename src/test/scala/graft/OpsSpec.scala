@@ -672,6 +672,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF approximate-regime recall gate: sampled-train centroids, floors at nprobe=2,4") {
+    // the bench's ivf_recall block measured as a GATE: same sampled-train
+    // configuration (seeded, deterministic ⇒ the recalls are fixture
+    // constants), floors asserted so a quantizer regression fails a test
+    // rather than only drifting a bench number
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val queries = emb.where($"vec_id" < 20)
+    val centroids = graft.ops.Ivf.train(emb, k = 16, iters = 2, sampleCap = 4096)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = graft.ops.Ivf.topK(emb, queries, centroids, k = 5, nprobe = nprobe)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val r2 = recallAt(2)
+    val r4 = recallAt(4)
+    assert(r2 >= 0.25, s"nprobe=2 recall $r2 below floor")
+    assert(r4 >= 0.40, s"nprobe=4 recall $r4 below floor")
+    assert(r4 >= r2, s"recall must not degrade with more probes: $r2 -> $r4")
+  }
+
   test("brute force topK is deterministic and self-excluding") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where($"vec_id" < 5)
@@ -735,5 +757,141 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 30L -> 30L, 31L -> 30L, 32L -> 30L, 33L -> 30L), got)
+  }
+
+  // ---- round 6: linear keeper forms, hot-key guards, conversation dedup ----
+
+  test("multisetKeepers == CC over simhashExactDups pairs (same relation, linear form)") {
+    // the keeper form must decide the SAME duplicate relation as the
+    // pair-emitting path: classes are cliques, so CC's min-reachable-id
+    // over the verified pairs equals the keeper per class
+    val pairs = Dedup.simhashExactDups(planted)
+    val comps = Dedup.connectedComponents(pairs, planted.select("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.unpersist()
+    val keepers = Dedup.multisetKeepers(planted)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(keepers == comps)
+  }
+
+  test("shingleSetKeepers == CC over minhash threshold-1.0 pairs") {
+    val pairs = Dedup.minhashNearDups(planted, threshold = 1.0)
+    val comps = Dedup.connectedComponents(pairs, planted.select("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.unpersist()
+    val keepers = Dedup.shingleSetKeepers(planted)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(keepers == comps)
+  }
+
+  test("keeper classes compose with qualityKeepers (keeper_id is a component key)") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val comps = Dedup.multisetKeepers(d)
+      .select($"doc_id", $"keeper_id".as("component"))
+    val qual = Seq(1L -> 0.25, 2L -> 0.75, 3L -> 0.5).toDF("doc_id", "quality_score")
+    val got = Dedup.qualityKeepers(comps, qual)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    // class {1,2}: higher-quality 2 keeps even though 1 is the min id
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L), got)
+  }
+
+  test("qualityKeepers retains score-less members and ranks them last") {
+    val comps = Seq(1L -> 10L, 2L -> 10L, 5L -> 5L).toDF("doc_id", "component")
+    val qual = Seq(2L -> 0.5).toDF("doc_id", "quality_score") // 1 and 5 unscored
+    val got = Dedup.qualityKeepers(comps, qual)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keeper_id"), r.getAs[Boolean]("is_dup")))).toMap
+    // 1 (null score) ranks below 2 (0.5) but STAYS in the output; a fully
+    // score-less component keeps its min id
+    assert(got == Map(1L -> ((2L, true)), 2L -> ((2L, false)), 5L -> ((5L, false))), got)
+  }
+
+  test("hot-key guards fail loudly and point at the linear keeper forms") {
+    val hot = (1L to 6L).map(i => (i, "identical text body here")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalStateException](
+      Dedup.simhashExactDups(hot, maxSigFreq = 3))
+    assert(e1.getMessage.contains("multisetKeepers"), e1.getMessage)
+    val e2 = intercept[IllegalStateException](
+      Dedup.minhashNearDups(hot, threshold = 1.0, maxBucketFreq = 3))
+    assert(e2.getMessage.contains("Keepers"), e2.getMessage)
+    // the keeper forms handle the same corpus linearly
+    assert(Dedup.multisetKeepers(hot).where($"is_dup").count() == 5)
+    assert(Dedup.shingleSetKeepers(hot).where($"is_dup").count() == 5)
+  }
+
+  test("conversationDupPairs: exact copies pair, one-turn edits do not, all aggregation-only") {
+    val t = Seq(
+      ("a", 0, "hello there"), ("a", 1, "how are you"), ("a", 2, "goodbye"),
+      ("a2", 0, "hello there"), ("a2", 1, "how are you"), ("a2", 2, "goodbye"),
+      ("b", 0, "hello there"), ("b", 1, "how are you EDITED"), ("b", 2, "goodbye"),
+      ("c", 0, "totally different"), ("c", 1, "conversation"), ("c", 2, "entirely")
+    ).toDF("conv_id", "turn_idx", "text")
+    val pairs = Dedup.conversationDupPairs(t)
+    val got = pairs.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    pairs.unpersist()
+    // a==a2 exactly; b differs in ONE turn (turn-fp Jaccard 2/4) and must
+    // NOT pair at the exact regime; c is unrelated
+    assert(got == Set(("a", "a2")), got)
+    // hot-bucket guard: many identical conversations refuse pair emission
+    val many = (1 to 8).flatMap(i =>
+      Seq((s"x$i", 0, "same"), (s"x$i", 1, "conv"))).toDF("conv_id", "turn_idx", "text")
+    val e = intercept[IllegalStateException](
+      Dedup.conversationDupPairs(many, maxBucketFreq = 3))
+    assert(e.getMessage.contains("multisetFingerprint"), e.getMessage)
+  }
+
+  test("fingerprint collision pins: fp-distinctness == key-distinctness on the oracle corpora") {
+    // conv_dedup_fp / conv_dedup_near rest on 64-bit xor fingerprints being
+    // collision-free ON THE FIXTURE CORPUS; a corpus change that introduces
+    // a collision must fail here loudly instead of silently passing a wrong
+    // dedup. Corpus = the driver query's planted construction at sf0.001.
+    val t = graft.pipeline.TurnsGen.turns(spark, sfDir)
+      .select($"conv_id", $"turn_idx", $"text")
+    val planted = t.union(
+      t.where($"conv_id".cast("long") % 7 === 0)
+        .select(concat($"conv_id", lit("D")).as("conv_id"), $"turn_idx", $"text"))
+    val conv = planted.groupBy($"conv_id").agg(
+      TextStats.multisetFingerprint($"turn_idx", $"text").as("fp"),
+      array_join(transform(array_sort(collect_list(struct($"turn_idx", $"text"))),
+        x => x.getField("text")), "\n").as("rolled"))
+    val r = conv.agg(countDistinct($"fp").as("nfp"),
+      countDistinct($"rolled").as("nkey")).first()
+    assert(r.getLong(0) == r.getLong(1),
+      s"multiset-fingerprint collision on the fixture corpus: ${r.getLong(0)} fps vs ${r.getLong(1)} texts")
+    // doc_fingerprint_pairs: fingerprint64 distinctness == normalized-text
+    // distinctness over the planted whitespace-variant corpus
+    val base = docs.select($"doc_id", $"text")
+    val ws = base.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 300000).as("doc_id"),
+        concat(lit("  "), regexp_replace($"text", " ", "\t "), lit("  ")).as("text"))
+    val fpr = base.union(ws).agg(
+      countDistinct(TextStats.fingerprint64($"text")).as("nfp"),
+      countDistinct(regexp_replace(trim($"text"), "\\s+", " ")).as("nnorm")).first()
+    assert(fpr.getLong(0) == fpr.getLong(1),
+      s"fingerprint64 collision on the fixture corpus: ${fpr.getLong(0)} vs ${fpr.getLong(1)}")
+  }
+
+  test("TokenMultisetKeyExpr: signature-consistent lowering, sorted multiset semantics") {
+    val df = Seq(
+      (1L, "B a b A"), (2L, "a A b B"),          // equal multisets, mixed case
+      (3L, "a a b"), (4L, "a b b"),              // different multisets
+      (5L, ""), (6L, "  \t "), (7L, "xİy") // empty, ws-only, Turkish İ
+    ).toDF("doc_id", "text")
+      .withColumn("key", graft.functions.gf.tokenMultisetKey($"text"))
+    val keys = df.select($"doc_id", $"key").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(keys(1L) == keys(2L) && keys(1L) == Seq("a", "a", "b", "b"))
+    assert(keys(3L) != keys(4L))
+    assert(keys(5L).isEmpty && keys(6L).isEmpty)
+    // ROOT lowering = Java full mapping: İ (U+0130) lowers to i + combining
+    // dot (U+0307) — the SAME feature SimHash64Expr signs, so equal key
+    // still implies equal signature on such text
+    assert(keys(7L) == Seq("xi" + "\u0307" + "y"))
+    // and the digest key used by multisetKeepers groups 1 with 2
+    val k = Dedup.multisetKeepers(df.select($"doc_id", $"text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(k(2L) == 1L && k(1L) == 1L)
+    assert(k(5L) == 5L && k(6L) == 5L) // token-less docs share the empty multiset
   }
 }

@@ -125,6 +125,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!ps.contains("CartesianProduct"), ps)
   }
 
+  test("decontamination broadcast-size guard: oversized reference hint falls back to shuffle join") {
+    // a reference whose window-count hint exceeds the broadcast cap must NOT
+    // be planned as a broadcast build (driver-memory safety at huge
+    // benchmark suites) — the semi-join keys on the digest instead. AQE can
+    // still re-plan a small shuffle at runtime, so pin the STATIC plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ref = docs.where(col("doc_id") % 7 === 3)
+      val pBig = plan(graft.ops.Dedup.contaminatedSpans(
+        docs, ref, refRowsHint = 10_000_000L))
+      assert(!pBig.contains("BroadcastHashJoin"), pBig)
+      assert(pBig.contains("ShuffledHashJoin") && pBig.contains("LeftSemi"), pBig)
+      // under the cap the hint keeps the broadcast path
+      val pSmall = plan(graft.ops.Dedup.contaminatedSpans(
+        docs, ref, refRowsHint = 1000L))
+      assert(pSmall.contains("BroadcastHashJoin") || pSmall.contains("BroadcastExchange"), pSmall)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("round-5 ops: keeper window on component key; sub-split and verified simhash no cartesian") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

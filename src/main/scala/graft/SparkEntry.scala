@@ -403,6 +403,21 @@ object SparkEntry {
     "dedup_minhash_keepers" -> ((s, dir) =>
       Dedup.shingleSetKeepers(plantedDocs(s, dir)).orderBy("doc_id")),
 
+    // the production keep/drop decision at FULL corpus scale through the
+    // LINEAR path: multiset keeper classes (keeper_id doubles as a
+    // dialect-free component label — the class min id, no digest in the
+    // output) composed with quality-aware keeper selection. Three shuffles
+    // total (digest window, id join, component window) — no pair graph,
+    // no CC, output linear.
+    "dedup_keepers_linear" -> ((s, dir) => {
+      val d = plantedDocs(s, dir)
+      Dedup.qualityKeepers(
+          Dedup.multisetKeepers(d)
+            .select(col("doc_id"), col("keeper_id").as("component")),
+          TextStats.qualityScore(d).select("doc_id", "quality_score"))
+        .orderBy("doc_id")
+    }),
+
     // near-dup pairs -> CLUSTER ASSIGNMENT (connected components, min-label
     // propagation): the keep/drop decision of a dedup pipeline. Exact-pair
     // edges so the DuckDB recursive-CTE oracle reproduces the whole graph.
@@ -1221,6 +1236,37 @@ object SparkEntry {
           |SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS keeper_id,
           |       doc_id <> min(doc_id) OVER (PARTITION BY key) AS is_dup
           |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // linear quality-aware keepers: component = min doc_id per multiset
+      // class (dialect-free label), keeper = arg-max quality (ties min id)
+      "dedup_keepers_linear" ->
+        ("""WITH p AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 100000, text || ' extra' FROM documents WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0),
+          |s AS (
+          |  SELECT doc_id, array_to_string(list_sort(list_filter(
+          |    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')), ' ') AS key
+          |  FROM p),
+          |comp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY key) AS component FROM s),
+          |f AS (SELECT doc_id, length(text) AS n_chars,
+          |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          |  len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+          |    x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stopwords,
+          |  len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct,
+          |  len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS n_distinct_tokens
+          |  FROM p),
+          |q AS (SELECT doc_id,
+          |  (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 0.25 ELSE 0.0 END +
+          |   CASE WHEN n_stopwords > 0 THEN 0.25 ELSE 0.0 END +
+          |   CASE WHEN n_tokens > 0 AND CAST(n_distinct_tokens AS DOUBLE) / n_tokens > 0.3 THEN 0.25 ELSE 0.0 END +
+          |   CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2 THEN 0.25 ELSE 0.0 END) AS qs
+          |  FROM f),
+          |k AS (SELECT comp.doc_id, comp.component,
+          |  first_value(comp.doc_id) OVER (PARTITION BY comp.component ORDER BY q.qs DESC, comp.doc_id) AS keeper_id
+          |  FROM comp JOIN q USING (doc_id))
+          |SELECT doc_id, component, keeper_id, doc_id <> keeper_id AS is_dup
+          |FROM k ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       // conversation near-dup at the exact regime: pairs = equal rolled-up
       // conversation texts. Exact 'D' copies pair; one-turn-edited 'E'

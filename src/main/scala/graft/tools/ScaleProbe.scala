@@ -71,7 +71,20 @@ object ScaleProbe {
       val tTrain = best3 {
         graft.ops.Ivf.train(e, k = 16, iters = 2, sampleCap = 4096); ()
       }
-      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs")
+      // linear keeper forms: one digest-keyed window shuffle each
+      val tKeepM = best3(force(Dedup.multisetKeepers(d)))
+      val tKeepS = best3(force(Dedup.shingleSetKeepers(d)))
+      // conversation near-dup over a synthetic turns view of the doc corpus
+      // (3 turns per doc): aggregation + band join, no text roll-up
+      val tConv = best3 {
+        val t = d.crossJoin(spark.range(3).select(col("id").cast("int").as("turn_idx")))
+          .select(col("doc_id").cast("string").as("conv_id"), col("turn_idx"),
+            concat(col("text"), lit(" t"), col("turn_idx")).as("text"))
+        val pairs = Dedup.conversationDupPairs(t)
+        force(pairs)
+        pairs.unpersist()
+      }
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs")
     }
     spark.stop()
   }

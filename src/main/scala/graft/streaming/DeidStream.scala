@@ -68,6 +68,65 @@ object DeidStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  final case class TurnKey(conv_id: String, turn_idx: Int, text: String)
+  final case class ConvSigState(fp: Long, n: Long)
+  final case class ConvSig(conv_id: String, fp: Long, n_turns: Long)
+
+  /** Streaming conversation multiset fingerprints — the streaming twin of
+    * the `conv_dedup_fp` aggregation path: per conversation, state is ONE
+    * (xor, count) pair folded incrementally over arriving turns
+    * (`fp ^= xxhash64(turn_idx, text)` — bit-exact with the batch
+    * [[graft.ops.TextStats.multisetFingerprint]] via the same XXH64 running
+    * hash, seed 42, int-then-UTF8 order), so a 10⁹-turn mega-conversation
+    * costs 16 bytes of store state. Each micro-batch that touches a
+    * conversation emits its CURRENT `(conv_id, fp, n_turns)` — n_turns is
+    * monotone, so downstream keeps the max-n row per conversation ("latest
+    * wins"); idle conversations age out of the state store after
+    * `closeAfter` (processing-time timeout), bounding total state by the
+    * active-conversation horizon. The dedup DECISION is fp equality
+    * downstream (the `conv_dedup_fp` window or
+    * [[graft.ops.Dedup.conversationDupPairs]]' verify — same collision
+    * caveat, pinned by the OpsSpec fixture assert).
+    *
+    * Contract: `turn_idx` must be int32 (the input_hint schema) — xxhash64
+    * of an int64 differs, so a long column would silently diverge from the
+    * batch fingerprint; the cast below normalizes and the spec pins parity.
+    */
+  def conversationFingerprints(
+      turns: DataFrame,
+      closeAfter: String = "30 minutes"
+  )(implicit spark: SparkSession): org.apache.spark.sql.Dataset[ConvSig] = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import org.apache.spark.unsafe.types.UTF8String
+    turns
+      .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
+        col("text"))
+      .as[TurnKey]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvSigState, ConvSig](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (id, it, state) =>
+          if (state.hasTimedOut) {
+            // latest signature was already emitted when last touched;
+            // timeout only reclaims the 16-byte state
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(ConvSigState(0L, 0L))
+            it.foreach { t =>
+              val h = XXH64.hashUTF8String(UTF8String.fromString(t.text),
+                XXH64.hashInt(t.turn_idx, 42L))
+              s = ConvSigState(s.fp ^ h, s.n + 1)
+            }
+            state.update(s)
+            state.setTimeoutDuration(closeAfter)
+            Iterator.single(ConvSig(id, s.fp, s.n))
+          }
+      }
+  }
+
   /** Streaming benchmark decontamination — the same broadcast-digest
     * semi-join as [[graft.ops.Dedup.contaminatedSpans]], applied to each
     * micro-batch: the static reference (benchmark/eval) side reduces to

@@ -119,4 +119,51 @@ class StreamingSpec extends AnyFunSuite {
     val mWant = graft.ops.Dedup.mergeTokenSpans(want)
     assert(mGot.count() == mWant.count() && h(mGot) == h(mWant))
   }
+
+  test("streaming conversation fingerprints: incremental state across batches == batch aggregation") {
+    import org.apache.spark.sql.functions._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream5").toString
+    val turns = TurnsGen.turns(spark, "/root/testdata/sf0.001")
+      .where(col("conv_id").cast("long") < 900)
+      .select("conv_id", "turn_idx", "text").cache()
+
+    // batch 1: turns 0-1 of every conversation; batch 2: turn 2 — every
+    // conversation SPANS both micro-batches, so the fold must carry state
+    // through the checkpoint across two separate availableNow drains
+    turns.where(col("turn_idx") < 2).write.mode("overwrite").parquet(s"$dir/in")
+    val in = spark.readStream.schema("conv_id string, turn_idx int, text string")
+      .parquet(s"$dir/in")
+    def drain(): Unit = {
+      val q = DeidStream.conversationFingerprints(in)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    turns.where(col("turn_idx") === 2).write.mode("append").parquet(s"$dir/in")
+    drain()
+
+    // n_turns is monotone: the final signature per conversation is its
+    // max-n emission ("latest wins")
+    val got = spark.read.parquet(s"$dir/out")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+          .orderBy(desc("n_turns"))))
+      .where(col("rk") === 1)
+      .select("conv_id", "fp", "n_turns")
+    val want = turns.groupBy("conv_id").agg(
+      graft.ops.TextStats.multisetFingerprint(col("turn_idx"), col("text")).as("fp"),
+      count(lit(1)).as("n_turns"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed conversation fingerprints must be bit-equal to the batch aggregation")
+    // partial emissions from batch 1 exist (n=2) — the stream really did
+    // fold incrementally rather than seeing each conversation whole
+    assert(spark.read.parquet(s"$dir/out").where(col("n_turns") === 2).count() > 0)
+    turns.unpersist()
+  }
 }

@@ -120,7 +120,7 @@ object Bench {
       if (!isBig || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(smallDir)))
         "null"
       else {
-        val (small, _) = queryTimes(spark, smallDir)
+        val (small, _) = queryTimes(spark, smallDir, probes = false)
         val ratios = results.collect {
           case (k, v) if small.contains(k) && small(k) > 0 =>
             "\"" + k + "\":" + f"${v / small(k)}%.2f"
@@ -203,12 +203,26 @@ object Bench {
       val script = new java.io.File("tools/run_ref_bench.py")
       if (!script.exists) "null"
       else {
-        val p = new ProcessBuilder("python3", script.getPath, "20").start()
-        val out = new String(p.getInputStream.readAllBytes,
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        p.waitFor()
-        val lastLine = out.linesIterator.toSeq.lastOption.getOrElse("")
-        if (p.exitValue() == 0 && lastLine.startsWith("{")) lastLine else "null"
+        // stdout to a file and stderr discarded: piping either and reading
+        // after waitFor can deadlock once the child fills the ~64 KB pipe
+        // buffer (stderr chatter from the stubbed imports would do it), and
+        // a bounded waitFor keeps a wedged child from hanging the bench
+        val outFile = java.io.File.createTempFile("graft_ref_bench", ".out")
+        val pb = new ProcessBuilder("python3", script.getPath, "20")
+        pb.redirectOutput(outFile)
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+        val res =
+          if (!done) { p.destroyForcibly(); "null" }
+          else {
+            val out = new String(java.nio.file.Files.readAllBytes(outFile.toPath),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            val lastLine = out.linesIterator.toSeq.lastOption.getOrElse("")
+            if (p.exitValue() == 0 && lastLine.startsWith("{")) lastLine else "null"
+          }
+        outFile.delete()
+        res
       }
     } catch { case _: Exception => "null" }
     val ratio =
@@ -294,7 +308,8 @@ object Bench {
       spark: SparkSession,
       sfDir: String,
       ctx: scala.collection.mutable.LinkedHashMap[String, QCtx] =
-        scala.collection.mutable.LinkedHashMap.empty
+        scala.collection.mutable.LinkedHashMap.empty,
+      probes: Boolean = true
   ): (scala.collection.mutable.LinkedHashMap[String, Double], Long) = {
     import org.apache.spark.sql.functions._
 
@@ -313,7 +328,9 @@ object Bench {
     // run carries its own probe + timestamp in the ctx block.
     def onePass(name: String)(f: => Unit): Unit = {
       val c = ctx.getOrElseUpdate(name, new QCtx)
-      c.probeMops += quickProbe()
+      // the ~0.1 s probe spin only pays off when the caller keeps the ctx
+      // (the headline pass); the sf-scale pass passes probes=false
+      if (probes) c.probeMops += quickProbe()
       c.startEpoch += System.currentTimeMillis() / 1000.0
       val t0 = System.nanoTime()
       f

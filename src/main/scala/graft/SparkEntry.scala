@@ -510,6 +510,25 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // SemDeDup END-TO-END decision: cluster-partitioned near-dup pairs →
+    // connected components → min-id keeper per semantic class — the linear
+    // keep/drop output a production SemDeDup pass ships (the pairs above
+    // are the evidence; this is the decision). Same planted corpus and
+    // threshold as semantic_dedup_pairs, so the DuckDB oracle replays the
+    // whole chain exactly (brute-force cosine pairs + recursive transitive
+    // closure), pinning clusters → pairs → CC → keeper in one row set.
+    "semantic_dedup_keepers" -> ((s, dir) => {
+      val planted = plantedEmbeddings(s, dir)
+      val pairs = Similarity.semanticNearDups(planted,
+          trainedCentroids(s, dir).map(_.toSeq).toSeq, threshold = 0.9,
+          maxClusterSize = 2000)
+      Dedup.connectedComponents(pairs.select("a", "b"),
+          planted.select(col("vec_id").as("doc_id")))
+        .select(col("doc_id").as("vec_id"), col("component").as("keeper_id"),
+          (col("doc_id") =!= col("component")).as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
     // ---- similarity (embeddings) -------------------------------------------
     "knn_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(embeddings(s, dir),
@@ -737,17 +756,26 @@ object SparkEntry {
     // ('D', %7 — must pair) and near-copies with ONE turn edited ('E',
     // %11 — must NOT pair at the exact regime), so the oracle proves both
     // recall and that the threshold bites.
-    "conv_dedup_near" -> ((s, dir) => {
-      val t = turns(s, dir).select(col("conv_id"), col("turn_idx"), col("text"))
-      val exactCopies = t.where(col("conv_id").cast("long") % 7 === 0)
-        .select(concat(col("conv_id"), lit("D")).as("conv_id"),
-          col("turn_idx"), col("text"))
-      val nearCopies = t.where(col("conv_id").cast("long") % 11 === 0)
-        .select(concat(col("conv_id"), lit("E")).as("conv_id"), col("turn_idx"),
-          when(col("turn_idx") === 1, concat(col("text"), lit(" edited")))
-            .otherwise(col("text")).as("text"))
-      Dedup.conversationDupPairs(t.union(exactCopies).union(nearCopies))
-        .orderBy("a", "b")
+    "conv_dedup_near" -> ((s, dir) =>
+      Dedup.conversationDupPairs(plantedConvTurns(s, dir))
+        .orderBy("a", "b")),
+
+    // conversation pairs → connected components → min-conv_id keeper: the
+    // transcripts-native END-TO-END dedup decision (which conversations to
+    // keep), linear output. The verify relation is exact turn-multiset
+    // equality, so the keeper classes are exactly the rolled-text equality
+    // groups — the DuckDB oracle is one window over the rolled-up planted
+    // corpus (min conv_id per identical conversation), pinning
+    // LSH → verify → CC → keeper in one row set. String min/least agree
+    // between engines (both binary/byte-wise ordering on these ASCII ids).
+    "conv_dedup_near_keepers" -> ((s, dir) => {
+      val t = plantedConvTurns(s, dir)
+      val pairs = Dedup.conversationDupPairs(t)
+      Dedup.connectedComponents(pairs.select("a", "b"),
+          t.select(col("conv_id").as("doc_id")).distinct())
+        .select(col("doc_id").as("conv_id"), col("component").as("keeper_id"),
+          (col("doc_id") =!= col("component")).as("is_dup"))
+        .orderBy("conv_id")
     }),
 
     "sessionize" -> ((s, dir) => {
@@ -840,8 +868,7 @@ object SparkEntry {
           Metrics.repetition3gramRate(col("text")).as("repetition_3gram_rate"),
           Metrics.formatCompliant(col("text")).as("format_compliant"),
           gf.seqRatio(col("orig"), col("text")).as("similarity"))
-      Metrics.aggregateReports(perTurn)
-        .crossJoin(perTurn.agg(avg(col("similarity")).as("mean_similarity")))
+      Metrics.aggregateReports(perTurn, avg(col("similarity")).as("mean_similarity"))
     }),
 
     "overwrite_similarity" -> ((s, dir) => {
@@ -905,6 +932,24 @@ object SparkEntry {
     base.union(
       base.where(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  /** turns ∪ planted conversation copies: every conv_id % 7 == 0 gets an
+    * exact copy (suffix 'D' — must pair/merge) and every conv_id % 11 == 0
+    * a one-turn-edited near copy (suffix 'E' — must NOT pair at the exact
+    * verify). Shared by `conv_dedup_near` and `conv_dedup_near_keepers`;
+    * same construction in the DuckDB oracles.
+    */
+  private def plantedConvTurns(s: SparkSession, dir: String): DataFrame = {
+    val t = turns(s, dir).select(col("conv_id"), col("turn_idx"), col("text"))
+    val exactCopies = t.where(col("conv_id").cast("long") % 7 === 0)
+      .select(concat(col("conv_id"), lit("D")).as("conv_id"),
+        col("turn_idx"), col("text"))
+    val nearCopies = t.where(col("conv_id").cast("long") % 11 === 0)
+      .select(concat(col("conv_id"), lit("E")).as("conv_id"), col("turn_idx"),
+        when(col("turn_idx") === 1, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+    t.union(exactCopies).union(nearCopies)
   }
 
   /** documents ∪ deterministic near/exact duplicate copies — the dedup
@@ -1166,6 +1211,25 @@ object SparkEntry {
       "dedup_embedding_pairs" -> embeddingPairsOracle,
       "semantic_dedup_pairs" -> embeddingPairsOracle,
 
+      // exact pairs (same construction as embeddingPairsOracle) + the
+      // recursive transitive closure → min reachable id per vector: the
+      // SemDeDup keeper decision, replayed end-to-end
+      "semantic_dedup_keepers" ->
+        """WITH RECURSIVE pe AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 0),
+          |e AS (
+          |  SELECT l.vec_id AS a, r.vec_id AS b FROM pe l JOIN pe r ON l.vec_id < r.vec_id
+          |  WHERE list_cosine_similarity(l.v, r.v) >= 0.9),
+          |e2 AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+          |reach(id, r) AS (
+          |  SELECT vec_id, vec_id FROM pe
+          |  UNION
+          |  SELECT e2.b, reach.r FROM reach JOIN e2 ON e2.a = reach.id)
+          |SELECT id AS vec_id, min(r) AS keeper_id, id <> min(r) AS is_dup
+          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin.replace("\n", " "),
+
       // MinHash at threshold 1.0 == exact shingle-SET-equality pairs (equal
       // sets -> equal signatures -> collide in every band; Jaccard >= 1
       // admits nothing else). The join keys on the sorted distinct shingle
@@ -1282,6 +1346,23 @@ object SparkEntry {
           "UNION ALL SELECT conv_id, text FROM convE) " +
           "SELECT l.conv_id AS a, r.conv_id AS b FROM p l JOIN p r " +
           "ON l.text = r.text AND l.conv_id < r.conv_id ORDER BY a, b"),
+
+      // keeper classes == rolled-text equality groups (the verify relation
+      // is exact turn-multiset equality), so the end-to-end
+      // pairs → CC → keeper decision reduces to one window: min conv_id
+      // per identical rolled conversation
+      "conv_dedup_near_keepers" ->
+        (s"$cte, conv AS (SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text " +
+          "FROM turns GROUP BY conv_id), " +
+          "convE AS (SELECT conv_id || 'E' AS conv_id, " +
+          "string_agg(CASE WHEN turn_idx = 1 THEN text || ' edited' ELSE text END, chr(10) ORDER BY turn_idx) AS text " +
+          "FROM turns WHERE CAST(conv_id AS BIGINT) % 11 = 0 GROUP BY conv_id), " +
+          "p AS (SELECT conv_id, text FROM conv " +
+          "UNION ALL SELECT conv_id || 'D', text FROM conv WHERE CAST(conv_id AS BIGINT) % 7 = 0 " +
+          "UNION ALL SELECT conv_id, text FROM convE) " +
+          "SELECT conv_id, min(conv_id) OVER (PARTITION BY text) AS keeper_id, " +
+          "conv_id <> min(conv_id) OVER (PARTITION BY text) AS is_dup " +
+          "FROM p ORDER BY conv_id"),
 
       // every twin-having query's nearest neighbor is its planted twin
       // (cosine exactly 1.0 vs ~0.51 natural max; twins collide in every

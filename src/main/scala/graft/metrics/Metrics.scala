@@ -180,10 +180,14 @@ object Metrics {
       .orderBy(desc("cnt"), asc("kind"))
 
   /** G8 — `aggregate_reports` (`deid_eval.py:307-337`) over a per-example
-    * report table with integer facet columns.
+    * report table with integer facet columns. Extra aggregates (e.g. the
+    * G4 similarity mean) fold into the SAME single-scan `.agg` — two
+    * separate aggregations over the same per-turn plan cannot share their
+    * partial-agg exchanges, so a crossJoin of two aggs executes the
+    * expensive upstream (full redaction + difflib ratio) twice.
     */
-  def aggregateReports(reports: DataFrame): DataFrame =
-    reports.agg(
+  def aggregateReports(reports: DataFrame, extra: Column*): DataFrame = {
+    val base = Seq(
       count(lit(1)).as("count"),
       avg(when(col("pii_total") > 0,
         col("pii_removed").cast("double") / col("pii_total")).otherwise(1.0))
@@ -195,4 +199,6 @@ object Metrics {
       avg(col("repetition_3gram_rate")).as("repetition_3gram_rate"),
       avg(col("format_compliant").cast("double")).as("format_compliance_rate")
     )
+    reports.agg(base.head, (base.tail ++ extra): _*)
+  }
 }

@@ -19,18 +19,67 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact duplicates: every doc mapped to the smallest doc_id sharing its
-    * text. One shuffle (window over text hash).
+  /** Shared keeper-form body: min-id per duplicate-class key, one window
+    * shuffle on the key, output (idCol, keeper_id, is_dup) linear in the
+    * corpus. All three keeper entry points ([[exact]], [[multisetKeepers]],
+    * [[shingleSetKeepers]]) differ only in the class-key expression.
     */
-  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  private def keepersByKey(docs: DataFrame, idCol: String, key: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs
-      .withColumn("text_hash", sha2(col(textCol), 256))
+      .withColumn("dup_key", key)
       .withColumn("keeper_id",
-        min(col(idCol)).over(Window.partitionBy(col("text_hash"))))
+        min(col(idCol)).over(Window.partitionBy(col("dup_key"))))
       .select(col(idCol), col("keeper_id"),
         (col(idCol) =!= col("keeper_id")).as("is_dup"))
   }
+
+  /** A class key that leaves null-text docs as SINGLETONS (each its own
+    * class, keyed by its own id) instead of letting `Window.partitionBy`
+    * group every NULL key into one giant bogus duplicate class. This is the
+    * pair-path semantics: a null signature/shingle set fails the candidate
+    * equality join, so [[simhashExactDups]]/[[minhashNearDups]] emit no
+    * pairs for null texts and CC leaves them singletons — the keeper twins
+    * must decide the same relation.
+    */
+  private def nullSafeKey(key: Column, idCol: String): Column =
+    coalesce(key, concat(lit("null#"), col(idCol).cast("string")))
+
+  /** Shared hot-key guard for the pair-emitting paths: if any key of
+    * `keyed` occurs more than `maxFreq` times, release `cleanup` and throw
+    * with the caller's message (built from a `k=v, …` description of the
+    * hot key and its frequency). For a true m-member duplicate class the
+    * PAIR output is itself Θ(m²), so no pair-emitting scheme can do better
+    * than refuse and point at the linear keeper form — the
+    * `ngramJaccardCounts` maxDocFreq discipline, shared by all three
+    * callers. One cheap aggregation over the (already persisted) narrow
+    * keyed frame; lookups by field NAME so a schema tweak fails loudly
+    * instead of silently reading the wrong ordinal.
+    */
+  private def guardHotKey(
+      keyed: DataFrame,
+      keyCols: Seq[String],
+      maxFreq: Int,
+      cleanup: () => Unit)(
+      msg: (String, Long) => String): Unit =
+    if (maxFreq > 0) {
+      val hot = keyed.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("freq"))
+        .where(col("freq") > maxFreq).limit(1).collect()
+      if (hot.nonEmpty) {
+        cleanup()
+        val row = hot.head
+        val keyDesc = keyCols.map(c => s"$c=${row.getAs[Any](c)}").mkString(", ")
+        throw new IllegalStateException(msg(keyDesc, row.getAs[Long]("freq")))
+      }
+    }
+
+  /** Exact duplicates: every doc mapped to the smallest doc_id sharing its
+    * text. One shuffle (window over text hash). Null texts follow SQL
+    * GROUP BY semantics (all NULLs one class) — matching the
+    * `dedup_exact` DuckDB window oracle, which partitions the same way.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    keepersByKey(docs, idCol, sha2(col(textCol), 256))
 
   /** Linear KEEPER form of the token-multiset duplicate relation — the
     * scale-safe twin of [[simhashExactDups]]: instead of emitting all pairs
@@ -50,22 +99,17 @@ object Dedup {
     *
     * Tokens contain no whitespace (they are `\S+` matches), so the
     * space-join is an injective encoding of the sorted token list and the
-    * digest collides only at sha2-256 odds.
+    * digest collides only at sha2-256 odds. Null-text docs are singletons
+    * (own class), matching the pair path — see [[nullSafeKey]].
     */
   def multisetKeepers(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"
-  ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs
-      .withColumn("dup_key",
-        sha2(array_join(graft.functions.gf.tokenMultisetKey(col(textCol)), " "), 256))
-      .withColumn("keeper_id",
-        min(col(idCol)).over(Window.partitionBy(col("dup_key"))))
-      .select(col(idCol), col("keeper_id"),
-        (col(idCol) =!= col("keeper_id")).as("is_dup"))
-  }
+  ): DataFrame =
+    keepersByKey(docs, idCol, nullSafeKey(
+      sha2(array_join(graft.functions.gf.tokenMultisetKey(col(textCol)), " "), 256),
+      idCol))
 
   /** Linear KEEPER form of the distinct-shingle-SET duplicate relation —
     * the scale-safe twin of [[minhashNearDups]] at threshold 1.0 (Jaccard
@@ -74,23 +118,18 @@ object Dedup {
     * contain spaces but no other whitespace (tokens are `\s`-split), so the
     * newline-join is an injective encoding of the sorted set. One
     * digest-keyed window shuffle; output linear; no bands, no candidate
-    * join. Same shape as [[exact]].
+    * join. Same shape as [[exact]]; null-text docs are singletons
+    * (pair-path semantics — see [[nullSafeKey]]).
     */
   def shingleSetKeepers(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3
-  ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs
-      .withColumn("dup_key",
-        sha2(array_join(sort_array(array_distinct(shingles(col(textCol), k))), "\n"), 256))
-      .withColumn("keeper_id",
-        min(col(idCol)).over(Window.partitionBy(col("dup_key"))))
-      .select(col(idCol), col("keeper_id"),
-        (col(idCol) =!= col("keeper_id")).as("is_dup"))
-  }
+  ): DataFrame =
+    keepersByKey(docs, idCol, nullSafeKey(
+      sha2(array_join(sort_array(array_distinct(shingles(col(textCol), k))), "\n"), 256),
+      idCol))
 
   /** k-word shingles (lowercased, whitespace-tokenized) — a compact custom
     * expression ([[graft.functions.ShinglesExpr]], pinned bit-equal to the
@@ -165,18 +204,13 @@ object Dedup {
     // quadratic, so no pair-emitting scheme can do better than refuse: fail
     // loudly and point at the linear keeper forms ([[shingleSetKeepers]] for
     // the threshold-1.0 regime) instead of silently running an m² join.
-    if (maxBucketFreq > 0) {
-      val hot = b.groupBy("band", "band_hash").agg(count(lit(1)).as("bf"))
-        .where(col("bf") > maxBucketFreq).limit(1).collect()
-      if (hot.nonEmpty) {
-        b.unpersist()
-        throw new IllegalStateException(
-          s"minhashNearDups: LSH bucket (band=${hot.head.getInt(0)}) holds " +
-            s"${hot.head.getLong(2)} docs > maxBucketFreq=$maxBucketFreq — a " +
-            "duplicate class this size has quadratic pair output. Use the " +
-            "linear keeper form (Dedup.shingleSetKeepers / multisetKeepers) " +
-            "for exact-regime classes, or raise maxBucketFreq deliberately.")
-      }
+    guardHotKey(b, Seq("band", "band_hash"), maxBucketFreq, () => b.unpersist()) {
+      (key, freq) =>
+        s"minhashNearDups: LSH bucket ($key) holds $freq docs > " +
+          s"maxBucketFreq=$maxBucketFreq — a duplicate class this size has " +
+          "quadratic pair output. Use the linear keeper form " +
+          "(Dedup.shingleSetKeepers / multisetKeepers) for exact-regime " +
+          "classes, or raise maxBucketFreq deliberately."
     }
     val candidates = b.as("l")
       .join(b.as("r"),
@@ -675,26 +709,15 @@ object Dedup {
     val sigs = docs
       .select(col(idCol).as("id"), graft.functions.gf.simhash64(col(textCol)).as("sig"))
       .persist(lvl)
-    // Hot-signature guard (mirrors ngramJaccardCounts' maxDocFreq and
-    // minhashNearDups' maxBucketFreq): a corpus where m docs collapse to one
-    // signature (empty/near-empty texts at real-corpus scale) makes this
-    // equality self-join emit O(m²) rows BEFORE the verify step can prune —
-    // and for a true m-member duplicate class the PAIR output is itself
-    // quadratic, so the honest contract is to refuse and point at the
-    // linear keeper form rather than silently run the m² join. One cheap
-    // aggregation over the persisted narrow (id, sig) frame.
-    if (maxSigFreq > 0) {
-      val hot = sigs.groupBy("sig").agg(count(lit(1)).as("sf"))
-        .where(col("sf") > maxSigFreq).limit(1).collect()
-      if (hot.nonEmpty) {
-        sigs.unpersist()
-        throw new IllegalStateException(
-          s"simhashExactDups: signature ${hot.head.getLong(0)} is shared by " +
-            s"${hot.head.getLong(1)} docs > maxSigFreq=$maxSigFreq — pair " +
-            "output for a class this size is quadratic. Use the linear " +
-            "keeper form (Dedup.multisetKeepers) for exact-duplicate " +
-            "classes, or raise maxSigFreq deliberately.")
-      }
+    // Hot-signature guard: a corpus where m docs collapse to one signature
+    // (empty/near-empty texts at real-corpus scale) makes this equality
+    // self-join emit O(m²) rows BEFORE the verify step can prune.
+    guardHotKey(sigs, Seq("sig"), maxSigFreq, () => sigs.unpersist()) {
+      (key, freq) =>
+        s"simhashExactDups: signature ($key) is shared by $freq docs > " +
+          s"maxSigFreq=$maxSigFreq — pair output for a class this size is " +
+          "quadratic. Use the linear keeper form (Dedup.multisetKeepers) " +
+          "for exact-duplicate classes, or raise maxSigFreq deliberately."
     }
     val cand = sigs.as("l").join(sigs.as("r"),
         col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
@@ -778,18 +801,13 @@ object Dedup {
         transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(sigArr, b * lit(r) + 1, lit(r))))).as(Seq("band", "band_hash")))
       .persist(lvl)
-    if (maxBucketFreq > 0) {
-      val hot = banded.groupBy("band", "band_hash").agg(count(lit(1)).as("bf"))
-        .where(col("bf") > maxBucketFreq).limit(1).collect()
-      if (hot.nonEmpty) {
-        sigs.unpersist(); banded.unpersist()
-        throw new IllegalStateException(
-          s"conversationDupPairs: LSH bucket (band=${hot.head.getInt(0)}) holds " +
-            s"${hot.head.getLong(2)} conversations > maxBucketFreq=$maxBucketFreq " +
-            "— a duplicate class this size has quadratic pair output. Use the " +
-            "linear multisetFingerprint keeper window (conv_dedup_fp shape) " +
-            "for exact classes, or raise maxBucketFreq deliberately.")
-      }
+    guardHotKey(banded, Seq("band", "band_hash"), maxBucketFreq,
+      () => { sigs.unpersist(); banded.unpersist() }) { (key, freq) =>
+      s"conversationDupPairs: LSH bucket ($key) holds $freq conversations > " +
+        s"maxBucketFreq=$maxBucketFreq — a duplicate class this size has " +
+        "quadratic pair output. Use the linear multisetFingerprint keeper " +
+        "window (conv_dedup_fp shape) for exact classes, or raise " +
+        "maxBucketFreq deliberately."
     }
     val cand = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") &&

@@ -77,16 +77,30 @@ object DeidStream {
     * (xor, count) pair folded incrementally over arriving turns
     * (`fp ^= xxhash64(turn_idx, text)` — bit-exact with the batch
     * [[graft.ops.TextStats.multisetFingerprint]] via the same XXH64 running
-    * hash, seed 42, int-then-UTF8 order), so a 10⁹-turn mega-conversation
-    * costs 16 bytes of store state. Each micro-batch that touches a
-    * conversation emits its CURRENT `(conv_id, fp, n_turns)` — n_turns is
-    * monotone, so downstream keeps the max-n row per conversation ("latest
-    * wins"); idle conversations age out of the state store after
-    * `closeAfter` (processing-time timeout), bounding total state by the
-    * active-conversation horizon. The dedup DECISION is fp equality
-    * downstream (the `conv_dedup_fp` window or
+    * hash, seed 42, int-then-UTF8 order; a null text contributes
+    * `hashInt(turn_idx)` alone — Spark's XxHash64 skips null children, so
+    * the stream matches the batch fingerprint instead of throwing), so a
+    * 10⁹-turn mega-conversation costs 16 bytes of store state. Each
+    * micro-batch that touches a conversation emits its CURRENT
+    * `(conv_id, fp, n_turns)` — n_turns is monotone, so downstream keeps
+    * the max-n row per conversation ("latest wins"). The dedup DECISION is
+    * fp equality downstream (the `conv_dedup_fp` window or
     * [[graft.ops.Dedup.conversationDupPairs]]' verify — same collision
     * caveat, pinned by the OpsSpec fixture assert).
+    *
+    * State retention: with the default `closeAfter = "never"` the 16-byte
+    * state is kept for every conversation ever seen — total state is
+    * bounded by the number of DISTINCT conversations (not turns), the
+    * honest bound for a corpus where conversations never formally close. A
+    * finite `closeAfter` is a CORRECTNESS horizon, not mere memory tuning
+    * (exactly a sessionization watermark's contract): it must exceed the
+    * maximum idle gap within one conversation, because a conversation
+    * resuming AFTER its state timed out restarts the fold from zero — the
+    * resumed emission carries a partial-suffix fingerprint with a SMALLER
+    * n_turns, which the max-n rule downstream would discard in favor of
+    * the stale full-prefix row, silently mis-deduping that conversation.
+    * Downstream can detect the violation (n_turns regressed for a
+    * conv_id) and route the conversation to batch re-aggregation.
     *
     * Contract: `turn_idx` must be int32 (the input_hint schema) — xxhash64
     * of an int64 differs, so a long column would silently diverge from the
@@ -94,34 +108,41 @@ object DeidStream {
     */
   def conversationFingerprints(
       turns: DataFrame,
-      closeAfter: String = "30 minutes"
+      closeAfter: String = "never"
   )(implicit spark: SparkSession): org.apache.spark.sql.Dataset[ConvSig] = {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import org.apache.spark.unsafe.types.UTF8String
+    val useTimeout = closeAfter != "never"
+    val timeout =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     turns
       .select(col("conv_id"), col("turn_idx").cast("int").as("turn_idx"),
         col("text"))
       .as[TurnKey]
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState[ConvSigState, ConvSig](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeout) {
         case (id, it, state) =>
           if (state.hasTimedOut) {
-            // latest signature was already emitted when last touched;
-            // timeout only reclaims the 16-byte state
+            // latest signature was already emitted when last touched; the
+            // closeAfter contract (scaladoc) says the conversation is over,
+            // so the 16-byte state can be reclaimed
             state.remove()
             Iterator.empty
           } else {
             var s = state.getOption.getOrElse(ConvSigState(0L, 0L))
             it.foreach { t =>
-              val h = XXH64.hashUTF8String(UTF8String.fromString(t.text),
-                XXH64.hashInt(t.turn_idx, 42L))
+              val base = XXH64.hashInt(t.turn_idx, 42L)
+              val h =
+                if (t.text == null) base // XxHash64 skips null children
+                else XXH64.hashUTF8String(UTF8String.fromString(t.text), base)
               s = ConvSigState(s.fp ^ h, s.n + 1)
             }
             state.update(s)
-            state.setTimeoutDuration(closeAfter)
+            if (useTimeout) state.setTimeoutDuration(closeAfter)
             Iterator.single(ConvSig(id, s.fp, s.n))
           }
       }

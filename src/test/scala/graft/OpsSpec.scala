@@ -784,6 +784,32 @@ class OpsSpec extends AnyFunSuite {
     assert(keepers == comps)
   }
 
+  test("keeper forms leave null-text docs as singletons (pair-path semantics)") {
+    // pair paths emit no pairs for null texts (null signature fails the
+    // equality join ⇒ CC singletons); the keeper twins must not let
+    // Window.partitionBy fold every NULL dup_key into one bogus class
+    val d = Seq(
+      (1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "same text body"), (4L, "same text body"))
+      .toDF("doc_id", "text")
+    for (k <- Seq(Dedup.multisetKeepers(d), Dedup.shingleSetKeepers(d))) {
+      val got = k.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("keeper_id"), r.getAs[Boolean]("is_dup")))).toMap
+      assert(got == Map(
+        1L -> ((1L, false)), 2L -> ((2L, false)),
+        3L -> ((3L, false)), 4L -> ((3L, true))), got)
+    }
+    // and the keeper==CC invariant survives a null-text corpus
+    val pairs = Dedup.simhashExactDups(d)
+    val comps = Dedup.connectedComponents(pairs, d.select("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.unpersist()
+    val keepers = Dedup.multisetKeepers(d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(keepers == comps)
+  }
+
   test("keeper classes compose with qualityKeepers (keeper_id is a component key)") {
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other text"))
       .toDF("doc_id", "text")

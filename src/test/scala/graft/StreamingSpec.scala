@@ -166,4 +166,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").where(col("n_turns") === 2).count() > 0)
     turns.unpersist()
   }
+
+  test("streaming conversation fingerprints: null text matches batch (XxHash64 null-skip)") {
+    import org.apache.spark.sql.functions._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream6").toString
+    // conversation "a" has a NULL-text turn; batch xxhash64 skips the null
+    // child (contribution = hashInt(turn_idx) only) and the stream must
+    // match bit-for-bit instead of NPE-ing the query
+    val turns = Seq(
+      ("a", 0, "hello"), ("a", 1, null.asInstanceOf[String]), ("a", 2, "bye"),
+      ("b", 0, "hello"), ("b", 1, ""), ("b", 2, "bye"))
+      .toDF("conv_id", "turn_idx", "text")
+    turns.write.mode("overwrite").parquet(s"$dir/in")
+    val in = spark.readStream.schema("conv_id string, turn_idx int, text string")
+      .parquet(s"$dir/in")
+    val q = DeidStream.conversationFingerprints(in)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$dir/out").select("conv_id", "fp", "n_turns")
+    val want = turns.groupBy("conv_id").agg(
+      graft.ops.TextStats.multisetFingerprint(col("turn_idx"), col("text")).as("fp"),
+      count(lit(1)).as("n_turns"))
+    assert(got.count() == 2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "null-text turn must hash as hashInt(turn_idx) alone, like batch xxhash64")
+    // and null ≠ empty string: the two conversations' fingerprints differ
+    val fps = got.select("fp").collect().map(_.getLong(0)).toSet
+    assert(fps.size == 2)
+  }
 }

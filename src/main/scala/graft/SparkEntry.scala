@@ -587,6 +587,27 @@ object SparkEntry {
         .select("doc_id", "quality_score")
         .orderBy("doc_id")),
 
+    // Gopher hard-filter signals + keep decision (Rae et al. 2021) — the
+    // standard pretraining filter; integer numerators + IEEE divisions so
+    // DuckDB replays every comparison exactly. Token window 20..80 so the
+    // rule visibly bites on this corpus (doc lengths span 10..99)
+    "gopher_filter" -> ((s, dir) =>
+      TextStats.gopherSignals(docs(s, dir).select("doc_id", "text"))
+        .withColumn("keep", TextStats.gopherKeep(minTokens = 20, maxTokens = 80))
+        .select("doc_id", "n_tokens", "n_word_chars", "mean_word_len",
+          "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+          "n_alpha_tokens", "n_stopwords", "keep")
+        .orderBy("doc_id")),
+
+    // per-doc top-3 distinctive terms by tf·idf (division idf N/df — no
+    // transcendental, so the oracle is bit-exact; ties rank by term):
+    // two partial-agg shuffles + one unique-key term join + one doc window;
+    // N from the parquet footer, no extra scan job
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextStats.tfIdfTopTerms(docs(s, dir).select("doc_id", "text"),
+          nDocs = parquetRowCount(s, s"$dir/documents.parquet"), k = 3)
+        .orderBy("doc_id", "rank")),
+
     // deterministic greedy sequence packing (pretraining batch prep): the
     // (bucket, pack) assignment is a pure fold over id order, so DuckDB
     // replays it exactly with a recursive CTE
@@ -1438,6 +1459,57 @@ object SparkEntry {
           "CASE WHEN n_tokens > 0 AND CAST(n_distinct_tokens AS DOUBLE) / n_tokens > 0.3 THEN 0.25 ELSE 0.0 END + " +
           "CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE) / n_chars < 0.2 THEN 0.25 ELSE 0.0 END) AS quality_score " +
           "FROM f ORDER BY doc_id"),
+
+      // Gopher signals: every numerator an integer count, the two ratios
+      // one IEEE division each; keep = the conjunction of the published
+      // thresholds (line ratios guarded by n_lines >= 1 always; the
+      // n_tokens window fails first for empty docs, so the /0 branches of
+      // the ratio comparisons are unreachable under AND in both engines)
+      "gopher_filter" ->
+        ("""WITH f AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          |    length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars,
+          |    len(regexp_extract_all(text, '[#…]')) AS n_symbols,
+          |    len(regexp_split_to_array(text, '\n')) AS n_lines,
+          |    len(list_filter(regexp_split_to_array(text, '\n'), x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS n_bullet_lines,
+          |    len(list_filter(regexp_split_to_array(text, '\n'), x -> regexp_matches(x, '(\.\.\.|…)$'))) AS n_ellipsis_lines,
+          |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> regexp_matches(x, '\p{L}'))) AS n_alpha_tokens,
+          |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stopwords
+          |  FROM documents)
+          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+          |  CAST(n_word_chars AS INTEGER) AS n_word_chars,
+          |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS mean_word_len,
+          |  CAST(n_symbols AS INTEGER) AS n_symbols,
+          |  CAST(n_lines AS INTEGER) AS n_lines,
+          |  CAST(n_bullet_lines AS INTEGER) AS n_bullet_lines,
+          |  CAST(n_ellipsis_lines AS INTEGER) AS n_ellipsis_lines,
+          |  CAST(n_alpha_tokens AS INTEGER) AS n_alpha_tokens,
+          |  CAST(n_stopwords AS INTEGER) AS n_stopwords,
+          |  ((n_tokens BETWEEN 20 AND 80)
+          |   AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END BETWEEN 3.0 AND 10.0)
+          |   AND (CAST(n_symbols AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.1)
+          |   AND (CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9)
+          |   AND (CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3)
+          |   AND (CAST(n_alpha_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.8)
+          |   AND (n_stopwords >= 2)) AS keep
+          |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // tf·idf with division idf: explode → tf → df → join → window,
+      // replayed term-for-term; score arithmetic is one multiply + one
+      // divide in the same operand order as the engine
+      "tfidf_top_terms" ->
+        ("""WITH t AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM t WHERE term <> '' GROUP BY doc_id, term),
+          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+          |    CAST(tf.tf AS DOUBLE) * n.n / CAST(dfreq.df AS DOUBLE) AS score
+          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+          |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, score
+          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replace("\n", " ")),
 
       // the same greedy first-fit fold as a recursive CTE: each iteration
       // advances every bucket by one row, carrying (acc, pack)

@@ -86,6 +86,102 @@ object TextStats {
               col("n_punct").cast("double") / col("n_chars") < 0.2, 0.25)
             .otherwise(0.0)))
 
+  /** Gopher-style hard-filter signals (Rae et al. 2021, §A1.1) — the
+    * standard pretraining corpus filter, as per-doc integer numerators plus
+    * the two derived double ratios both engines compute with one IEEE
+    * division (exactly oracle-replayable; no transcendentals):
+    *
+    *  - `n_tokens`, `n_word_chars` (non-whitespace chars — so
+    *    `mean_word_len = n_word_chars / n_tokens` without any per-token
+    *    pass), `mean_word_len`
+    *  - `n_symbols` (`#`/`…` — Gopher's symbol-to-word signal)
+    *  - `n_lines`, `n_bullet_lines` (lines starting `-`/`*`/`•`),
+    *    `n_ellipsis_lines` (lines ending `...`/`…`)
+    *  - `n_alpha_tokens` (tokens containing at least one letter)
+    *  - `n_stopwords` (the en stopword set — Gopher keeps docs with ≥ 2
+    *    hits)
+    *
+    * Pure per-row projection — no shuffle; runs inside the scan stage at
+    * any corpus size.
+    */
+  def gopherSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val sw = array(stopwords("en").map(lit): _*)
+    val lines = split(col(textCol), "\n")
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_word_chars",
+        length(regexp_replace(col(textCol), "\\s+", "")))
+      .withColumn("mean_word_len",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_word_chars").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("n_symbols",
+        size(regexp_extract_all(col(textCol), lit("[#…]"), lit(0))))
+      .withColumn("n_lines", size(lines))
+      .withColumn("n_bullet_lines",
+        size(filter(lines, l => l.rlike("^[ \\t]*[-*•]"))))
+      .withColumn("n_ellipsis_lines",
+        size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))))
+      .withColumn("n_alpha_tokens",
+        size(filter(toks, t => t.rlike("\\p{L}"))))
+      .withColumn("n_stopwords",
+        size(filter(toks, t => array_contains(sw, t))))
+  }
+
+  /** The Gopher keep decision over [[gopherSignals]] columns: token-count
+    * window, mean-word-length window [3, 10], symbol ratio ≤ 0.1, bullet
+    * lines ≤ 90%, ellipsis lines ≤ 30%, ≥ 80% alphabetic tokens, ≥ 2
+    * stopword hits. Ratio comparisons are one IEEE division each (exact in
+    * the DuckDB oracle).
+    */
+  def gopherKeep(minTokens: Int = 50, maxTokens: Int = 100000): Column =
+    col("n_tokens").between(minTokens, maxTokens) &&
+      col("mean_word_len").between(3.0, 10.0) &&
+      (col("n_symbols").cast("double") / col("n_tokens").cast("double") <= 0.1) &&
+      (col("n_bullet_lines").cast("double") / col("n_lines").cast("double") <= 0.9) &&
+      (col("n_ellipsis_lines").cast("double") / col("n_lines").cast("double") <= 0.3) &&
+      (col("n_alpha_tokens").cast("double") / col("n_tokens").cast("double") >= 0.8) &&
+      col("n_stopwords") >= 2
+
+  /** Per-doc top-k DISTINCTIVE terms by tf·idf with the division idf
+    * `N / df` (no logarithm: one IEEE multiply + divide is bit-identical
+    * in the DuckDB oracle, where `ln` need not be) — the
+    * keyword-extraction / topic-fingerprint pass of a corpus pipeline.
+    *
+    * Scale shape: explode → partial-agg groupBy (id, term) for tf →
+    * partial-agg groupBy term for df (hot stopword terms are absorbed
+    * map-side by the partial aggregation) → join tf⋈df on term — the df
+    * side has ONE row per term (unique build key), so a hot term means
+    * many probe rows but no row explosion; broadcast the df frame when the
+    * vocabulary fits, else AQE handles the shuffle join — → one window
+    * shuffle on the doc id for top-k. `nDocs` comes from the caller
+    * (parquet footer count — no extra scan job).
+    *
+    * Ties rank by term ascending, so the output is fully deterministic.
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      nDocs: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** 64-bit polynomial rolling fingerprint of the whitespace-normalized
     * text — built from xxhash64 over 8-token windows folded together, so it
     * is stable under leading/trailing whitespace but sensitive to content.

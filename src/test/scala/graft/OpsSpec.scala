@@ -784,6 +784,43 @@ class OpsSpec extends AnyFunSuite {
     assert(keepers == comps)
   }
 
+  test("gopherSignals: bullet/ellipsis/symbol/alpha paths on crafted docs") {
+    // the parquet fixture has single-line symbol-free docs, so these
+    // signal paths need a crafted corpus to prove they fire
+    val d = Seq(
+      (1L, "- first bullet\n- second bullet\nplain line ends here..."),
+      (2L, "the #tag count 12 34 … trailing…"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val got = TextStats.gopherSignals(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val b = got(1L)
+    assert(b.getAs[Int]("n_lines") == 3 && b.getAs[Int]("n_bullet_lines") == 2)
+    assert(b.getAs[Int]("n_ellipsis_lines") == 1)
+    val sym = got(2L)
+    assert(sym.getAs[Int]("n_symbols") == 3) // '#', '…', '…'
+    // tokens: the #tag count 12 34 … trailing… — alpha: the,#tag,count,trailing…
+    assert(sym.getAs[Int]("n_tokens") == 7 && sym.getAs[Int]("n_alpha_tokens") == 4)
+    assert(sym.getAs[Int]("n_stopwords") == 1)
+    val ws = got(3L)
+    assert(ws.getAs[Int]("n_tokens") == 0 && ws.getAs[Double]("mean_word_len") == 0.0)
+  }
+
+  test("tfIdfTopTerms: deterministic tie-break and division idf") {
+    val d = Seq(
+      (1L, "alpha alpha beta shared"),
+      (2L, "beta gamma shared"),
+      (3L, "gamma delta shared")).toDF("doc_id", "text")
+    val got = TextStats.tfIdfTopTerms(d, nDocs = 3L, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[String]("term"), r.getAs[Double]("score")))).toMap
+    // doc 1: alpha tf=2 df=1 score=6.0 beats beta (1*3/2=1.5) and shared (1*3/3=1)
+    assert(got((1L, 1)) == (("alpha", 6.0)))
+    assert(got((1L, 2)) == (("beta", 1.5)))
+    // doc 3: delta (3.0) first; gamma (1.5) second — shared (1.0) excluded
+    assert(got((3L, 1)) == (("delta", 3.0)))
+    assert(got((3L, 2)) == (("gamma", 1.5)))
+  }
+
   test("keeper forms leave null-text docs as singletons (pair-path semantics)") {
     // pair paths emit no pairs for null texts (null signature fails the
     // equality join ⇒ CC singletons); the keeper twins must not let

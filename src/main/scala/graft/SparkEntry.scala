@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.gf
 import graft.metrics.Metrics
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.pipeline.{Deid, TurnsGen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -608,6 +608,17 @@ object SparkEntry {
           nDocs = parquetRowCount(s, s"$dir/documents.parquet"), k = 3)
         .orderBy("doc_id", "rank")),
 
+    // deterministic hash-holdout mixture sampling (pure map-only scan-stage
+    // projection — no shuffle, no RNG state; re-runs and incremental loads
+    // make identical keep/drop decisions): explicit permille rates for
+    // three sources, default 250 for the rest
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir).select("doc_id", "source"),
+          "source", col("doc_id"),
+          Map("src0" -> 900, "src1" -> 500, "src2" -> 100),
+          defaultPermille = 250)
+        .orderBy("doc_id")),
+
     // deterministic greedy sequence packing (pretraining batch prep): the
     // (bucket, pack) assignment is a pure fold over id order, so DuckDB
     // replays it exactly with a recursive CTE
@@ -798,6 +809,19 @@ object SparkEntry {
           (col("doc_id") =!= col("component")).as("is_dup"))
         .orderBy("conv_id")
     }),
+
+    // CCNet-style turn-level dedup (lowercase + digit→0 normalization): the
+    // transcripts twin of paragraph dedup — template turns differing only in
+    // embedded order ids/counters collapse into one class; first occurrence
+    // in (conv_id, turn_idx) string order is kept, and the class size feeds
+    // the boilerplate rule (is_boilerplate = normalized text recurs > 100
+    // times corpus-wide). groupBy-agg + unique-key join back — no window
+    // sort over the (huge) boilerplate classes.
+    "turn_dedup_ccnet" -> ((s, dir) =>
+      Dedup.ccnetDedup(turns(s, dir),
+          Seq("conv_id" -> col("conv_id"), "turn_idx" -> col("turn_idx")))
+        .withColumn("is_boilerplate", col("n_copies") > 100)
+        .orderBy("conv_id", "turn_idx")),
 
     "sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1465,6 +1489,17 @@ object SparkEntry {
       // thresholds (line ratios guarded by n_lines >= 1 always; the
       // n_tokens window fails first for empty docs, so the /0 branches of
       // the ratio comparisons are unreachable under AND in both engines)
+      // the Knuth multiplicative bucket is pure BIGINT arithmetic (bounded
+      // residue keeps the product ~2.8e15, inside int64 for both engines);
+      // doc_id >= 0 so % == pmod
+      "stratified_sample" ->
+        ("WITH b AS (SELECT doc_id, source, " +
+          "((doc_id % 1048573) * 2654435761) % 1000 AS bucket FROM documents) " +
+          "SELECT doc_id, source, bucket, " +
+          "bucket < (CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500 " +
+          "WHEN 'src2' THEN 100 ELSE 250 END) AS kept " +
+          "FROM b ORDER BY doc_id"),
+
       "gopher_filter" ->
         ("""WITH f AS (
           |  SELECT doc_id,
@@ -1897,6 +1932,22 @@ object SparkEntry {
           "SELECT conv_id, min(conv_id) OVER (PARTITION BY text) AS keeper_id, " +
           "conv_id <> min(conv_id) OVER (PARTITION BY text) AS is_dup " +
           "FROM p ORDER BY conv_id"),
+
+      // CCNet normalization replayed verbatim (DuckDB regexp_replace needs
+      // the 'g' flag; Spark is global by default); classes partition on the
+      // normalized text where the engine groups on its sha2 digest —
+      // identical classes absent a 256-bit collision. row_number()==1 in
+      // (conv_id, turn_idx) string order == the engine's min-struct keeper
+      // (unique key; both engines compare ASCII ids byte-wise).
+      "turn_dedup_ccnet" ->
+        (s"$cte, n AS (SELECT conv_id, turn_idx, " +
+          "lower(regexp_replace(text, '[0-9]', '0', 'g')) AS norm FROM turns), " +
+          "r AS (SELECT conv_id, turn_idx, " +
+          "count(*) OVER (PARTITION BY norm) AS n_copies, " +
+          "row_number() OVER (PARTITION BY norm ORDER BY conv_id, turn_idx) AS rn FROM n) " +
+          "SELECT conv_id, turn_idx, CAST(n_copies AS BIGINT) AS n_copies, " +
+          "rn > 1 AS is_dup, n_copies > 100 AS is_boilerplate " +
+          "FROM r ORDER BY conv_id, turn_idx"),
 
       "sessionize" ->
         ("WITH g AS (SELECT user_id, ts, " +

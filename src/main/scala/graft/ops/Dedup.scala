@@ -850,4 +850,60 @@ object Dedup {
       .where(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** CCNet-style text-unit normalization (Wenzek et al. 2020: lowercase,
+    * unify digits) for paragraph/turn-level dedup: lowercasing plus mapping
+    * every ASCII digit to '0', so text units that differ only in embedded
+    * numbers (order ids, timestamps, counters) collapse into one class —
+    * the normalization that makes template boilerplate detectable in
+    * machine-generated corpora. ASCII-scoped lowering caveat as elsewhere
+    * (the fixture corpus has no cased non-ASCII letters); both engines
+    * treat `[0-9]` identically.
+    */
+  def ccnetNormalize(text: Column): Column =
+    lower(regexp_replace(text, "[0-9]", "0"))
+
+  /** CCNet/RefinedWeb-style duplicate-text-unit removal over a corpus of
+    * small text units (paragraphs, lines, transcript turns): group units by
+    * [[ccnetNormalize]]d text, keep the FIRST occurrence in `orderKey`
+    * order, mark the rest duplicates, and report the class size
+    * (`n_copies`) so a frequency threshold (boilerplate filter — drop units
+    * whose normalized text recurs more than k times corpus-wide) composes
+    * as one extra comparison downstream.
+    *
+    * Scale shape — deliberately NOT [[keepersByKey]]'s window form: a
+    * boilerplate class at web scale has millions of members, and a window
+    * sorts each class into one task. Here the class reduce is a
+    * `groupBy(norm-digest)` aggregation (hot keys absorbed map-side by
+    * partial aggregation) producing ONE row per class, then a join back on
+    * the unique-key digest frame — hot classes mean many probe rows but no
+    * build-side explosion. Two shuffles on the digest, both linear.
+    * Null-text units are singletons keyed by their own order key
+    * ([[nullSafeKey]] semantics).
+    *
+    * Output: `orderKey` columns (as `okN` if unnamed), `n_copies`,
+    * `is_dup`. The keeper tuple min is over the `orderKey` struct
+    * (lexicographic), so with a unique key the decision equals
+    * `row_number() == 1` in key order — the exact relation a DuckDB window
+    * oracle replays.
+    */
+  def ccnetDedup(
+      units: DataFrame,
+      orderKey: Seq[(String, Column)],
+      textCol: String = "text"
+  ): DataFrame = {
+    val okCols = orderKey.map { case (n, c) => c.as(n) }
+    val okNames = orderKey.map(_._1)
+    val keyed = units.select(
+      (okCols :+ coalesce(sha2(ccnetNormalize(col(textCol)), 256),
+        concat(lit("null#"), concat_ws("#", okNames.map(col): _*)))
+        .as("norm_key")): _*)
+      .select(col("norm_key"), struct(okNames.map(col): _*).as("ok"))
+    val classes = keyed.groupBy("norm_key")
+      .agg(count(lit(1)).as("n_copies"), min(col("ok")).as("keeper"))
+    keyed.join(classes, "norm_key")
+      .select(okNames.map(n => col(s"ok.$n").as(n)) ++ Seq(
+        col("n_copies"),
+        (col("ok") =!= col("keeper")).as("is_dup")): _*)
+  }
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic (hash-holdout) sampling for corpus mixture construction —
+  * the pretraining step that downsamples over-represented sources to hit
+  * target mixture weights (reference analogue: the per-dataset `limit` /
+  * shuffle mix of `training/data_pipeline.py`; here generalized to
+  * per-stratum rates the way web-scale pipelines weight crawl vs curated
+  * sources).
+  *
+  * Everything is a map-only projection — no shuffle, no RNG state: at
+  * 100 TB this runs inside the scan stage and the same row always gets the
+  * same keep/drop decision (re-runs, retries and incremental loads agree),
+  * which is why hash-holdout beats `rand()` sampling for corpus builds.
+  */
+object Sampling {
+
+  /** Deterministic per-row bucket in `[0, buckets)` from an integer id: a
+    * Knuth multiplicative congruential hash over a bounded residue —
+    * `((id mod 1048573) * 2654435761) mod buckets` — pure BIGINT arithmetic
+    * (max intermediate ≈ 2.8e15, far inside int64), so a SQL oracle replays
+    * it bit-for-bit with `%` and `*`. The prime residue keeps arithmetic
+    * id patterns (every-kth id) from aliasing into bucket stripes for
+    * k < 1048573. Production swap: `pmod(xxhash64(id), buckets)` gives a
+    * stronger mix with identical plumbing when oracle replay isn't needed.
+    */
+  def mulHashBucket(id: Column, buckets: Int = 1000): Column =
+    pmod(pmod(id.cast("long"), lit(1048573L)) * lit(2654435761L), lit(buckets.toLong))
+
+  /** Stratified deterministic sampling: per-stratum keep-rate in permille
+    * (`ratePermille`), rows of unlisted strata get `defaultPermille`. A row
+    * is kept iff its [[mulHashBucket]] < its stratum's rate, so the kept
+    * fraction converges to rate/1000 per stratum while staying a pure
+    * function of the id. Returns the input columns plus `bucket` and
+    * `kept` (callers filter on `kept`; emitting the decision keeps both
+    * branches auditable).
+    */
+  /** Square-root temperature source-balancing rates (the α = 0.5 sampling
+    * temperature of multilingual/multi-source pretraining mixes): keep the
+    * LARGEST stratum whole and downsample every other stratum toward
+    * balance, `rate_s = ⌊1000·√(n_s / n_max)⌋` permille. Relative-to-max
+    * normalization (not sum-normalized) keeps every step a correctly
+    * rounded IEEE op — one divide, one sqrt, one multiply, one floor — so
+    * a SQL oracle replays the rates bit-for-bit; a Σ√n_j normalizer would
+    * hang the result on float summation ORDER, which neither engine pins.
+    *
+    * Driver-side on per-stratum counts (rows bounded by #distinct sources —
+    * the same driver-bounded-collect contract as IVF's k×dim centroids);
+    * feed the result straight into [[stratifiedSample]].
+    */
+  def sqrtTemperatureRates(counts: Map[String, Long]): Map[String, Int] = {
+    require(counts.nonEmpty, "sqrtTemperatureRates: no strata")
+    require(counts.values.forall(_ > 0), "sqrtTemperatureRates: empty stratum")
+    val nMax = counts.values.max.toDouble
+    counts.map { case (s, n) =>
+      s -> math.floor(1000.0 * math.sqrt(n.toDouble / nMax)).toInt
+    }
+  }
+
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: Column,
+      ratePermille: Map[String, Int],
+      defaultPermille: Int = 0
+  ): DataFrame = {
+    val rate = ratePermille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, permille)) =>
+        when(col(stratumCol) === stratum, lit(permille)).otherwise(acc)
+    }
+    df.withColumn("bucket", mulHashBucket(idCol))
+      .withColumn("kept", col("bucket") < rate.cast("long"))
+  }
+}

@@ -182,6 +182,68 @@ object TextStats {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** CCNet-style language-model quality scoring, model-free analogue
+    * (Wenzek et al. 2020 rank documents by a KenLM 5-gram perplexity and
+    * split the corpus into head/middle/tail thirds; a real LM is an
+    * environment hole here — no KenLM/ONNX runtime in the sandbox — so the
+    * score column is the corpus-trained UNIGRAM frequency analogue:
+    * documents made of common tokens score high / fluent-ish, documents of
+    * rare tokens score low, the same selection SHAPE with the LM swapped
+    * behind this one column).
+    *
+    * Emits, per input document: `n_tokens`, `sum_cnt` (sum over the doc's
+    * token occurrences of each token's corpus-wide occurrence count) and
+    * `mean_cnt = sum_cnt / n_tokens` — ONE IEEE division on integer
+    * operands, so a SQL oracle replays it bit-for-bit (a true mean log
+    * probability would need `ln` and an order-sensitive float sum, neither
+    * of which is bit-stable across engines). Token-less documents
+    * (empty/null text) survive with `n_tokens = 0` and null score.
+    *
+    * Scale shape: explode → the token frame shuffles on `term` ONCE (the
+    * count build and the join probe hash-partition identically, so
+    * ReuseExchange dedupes the exchange); count frame has one row per
+    * distinct term (hot stopword terms absorbed map-side by partial agg;
+    * unique build key ⇒ no join explosion) → one per-doc shuffle on the id
+    * for the final aggregation. Everything linear in corpus tokens.
+    */
+  def unigramFreqScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val scored = toks.join(cnt, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("cnt").as("sum_cnt"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("sum_cnt"),
+        (col("sum_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_cnt"))
+  }
+
+  /** The CCNet head/middle/tail bucket decision over [[unigramFreqScore]]'s
+    * `mean_cnt`: high mean corpus frequency ≈ low perplexity ≈ `head`
+    * (fluent, over-represented), low ≈ `tail`. Thresholds are
+    * caller-supplied constants — at 100 TB you take them from an exact
+    * percentile over a driver-bounded SAMPLE of scores (the sampled-IVF
+    * idiom) or a prior corpus study; a global `ntile` window would funnel
+    * the whole corpus through one task. Token-less docs (null score) rank
+    * `tail`.
+    */
+  def freqBucket(meanCnt: Column, headMin: Double, tailMax: Double): Column = {
+    require(headMin > tailMax, s"headMin $headMin must exceed tailMax $tailMax")
+    when(meanCnt.isNull, lit("tail"))
+      .when(meanCnt >= headMin, lit("head"))
+      .when(meanCnt <= tailMax, lit("tail"))
+      .otherwise(lit("middle"))
+  }
+
   /** 64-bit polynomial rolling fingerprint of the whitespace-normalized
     * text — built from xxhash64 over 8-token windows folded together, so it
     * is stable under leading/trailing whitespace but sensitive to content.

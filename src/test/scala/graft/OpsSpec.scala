@@ -821,6 +821,45 @@ class OpsSpec extends AnyFunSuite {
     assert(got((3L, 2)) == (("gamma", 1.5)))
   }
 
+  test("ccnetDedup: digit-collapsed classes, first-occurrence keeper, null singleton") {
+    import graft.ops.Sampling
+    val units = Seq(
+      ("c1", 0, "Order 123 shipped"),
+      ("c2", 0, "order 999 SHIPPED"), // same class after lower + digit→0
+      ("c1", 1, "order 12 shipped"),  // digit RUN length differs → own class
+      ("c3", 0, null.asInstanceOf[String]),
+      ("c4", 0, null.asInstanceOf[String])) // nulls: singletons, NOT one class
+      .toDF("conv_id", "turn_idx", "text")
+    val got = Dedup.ccnetDedup(units,
+        Seq("conv_id" -> $"conv_id", "turn_idx" -> $"turn_idx")).collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Boolean]("is_dup")))).toMap
+    assert(got(("c1", 0)) == ((2L, false))) // keeper: "c1" < "c2"
+    assert(got(("c2", 0)) == ((2L, true)))
+    assert(got(("c1", 1)) == ((1L, false)))
+    assert(got(("c3", 0)) == ((1L, false)) && got(("c4", 0)) == ((1L, false)))
+
+    // sampling: bucket is a pure function of the id, stratum rates resolve,
+    // and the kept fraction lands near rate/1000 on a contiguous id range
+    val ids = spark.range(0, 2000)
+      .select($"id".as("doc_id"),
+        when($"id" % 2 === 0, "a").otherwise("b").as("source"))
+    val s = Sampling.stratifiedSample(ids, "source", $"doc_id",
+      Map("a" -> 800, "b" -> 100), defaultPermille = 0).cache()
+    val kept = s.groupBy("source").agg(
+      sum(when($"kept", 1).otherwise(0)).as("k"), count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("k").toDouble / r.getAs[Long]("n"))).toMap
+    assert(math.abs(kept("a") - 0.8) < 0.05, s"a kept ${kept("a")}")
+    assert(math.abs(kept("b") - 0.1) < 0.05, s"b kept ${kept("b")}")
+    // deterministic: same ids → identical buckets on re-evaluation
+    val b1 = s.select("doc_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b2 = Sampling.stratifiedSample(ids, "source", $"doc_id", Map("a" -> 800), 0)
+      .select("doc_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b1 == b2)
+    s.unpersist()
+  }
+
   test("keeper forms leave null-text docs as singletons (pair-path semantics)") {
     // pair paths emit no pairs for null texts (null signature fails the
     // equality join ⇒ CC singletons); the keeper twins must not let

@@ -608,6 +608,41 @@ object SparkEntry {
           nDocs = parquetRowCount(s, s"$dir/documents.parquet"), k = 3)
         .orderBy("doc_id", "rank")),
 
+    // Gopher repetition filter (the paper's §A1.1 repetition half):
+    // duplicate-line fraction > 0.30 OR top word-bigram share > threshold
+    // drops the doc. The fixture corpus is single-line, so multi-line
+    // boilerplate twins (text repeated 3×, id+300000) are planted to make
+    // the dup-line branch visibly bite; the bigram threshold 0.05 bites on
+    // the natural corpus at every scale (share spans ~0.02–0.22).
+    "repetition_filter" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val planted = base.where(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat_ws("\n", col("text"), col("text"), col("text")).as("text"))
+      TextStats.repetitionSignals(base.unionAll(planted))
+        .withColumn("keep", TextStats.repetitionKeep(maxTopBigramFrac = 0.05))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style LM quality bucketing, model-free analogue (Wenzek et al.
+    // 2020 rank by KenLM perplexity and split head/middle/tail; no LM
+    // runtime in this sandbox, so the score is the corpus-trained UNIGRAM
+    // frequency analogue — same selection shape, the LM swapped behind one
+    // column). score = (sum_cnt / n_tokens) / N keeps the thresholds
+    // scale-stable (mean token count grows ~linearly with corpus size);
+    // integer aggregates + two correctly-rounded IEEE divisions, so DuckDB
+    // replays the bucket decision bit-for-bit. Thresholds 1.815/1.80
+    // populate all three buckets at all three driver scales (probed:
+    // 490/6/4 at sf0.001, 153/262/85 at sf0.01, 15/4096/889 at sf0.1).
+    "lm_quality_buckets" -> ((s, dir) => {
+      val n = parquetRowCount(s, s"$dir/documents.parquet")
+      TextStats.unigramFreqScore(docs(s, dir).select("doc_id", "text"))
+        .withColumn("score", col("mean_cnt") / lit(n.toDouble))
+        .withColumn("bucket",
+          TextStats.freqBucket(col("score"), headMin = 1.815, tailMax = 1.80))
+        .orderBy("doc_id")
+    }),
+
     // deterministic hash-holdout mixture sampling (pure map-only scan-stage
     // projection — no shuffle, no RNG state; re-runs and incremental loads
     // make identical keep/drop decisions): explicit permille rates for
@@ -618,6 +653,23 @@ object SparkEntry {
           Map("src0" -> 900, "src1" -> 500, "src2" -> 100),
           defaultPermille = 250)
         .orderBy("doc_id")),
+
+    // data-derived multilingual mixture (mT5/XLM-R-style α=0.5 temperature
+    // balancing): per-language counts (driver-bounded collect — #languages
+    // rows, the IVF-centroid contract) → ⌊1000·√(n_lang/n_max)⌋ permille —
+    // largest language kept whole, the rest downsampled toward balance;
+    // one divide + sqrt + multiply + floor, all correctly-rounded IEEE, so
+    // the oracle recomputes the rates in SQL and agrees bit-for-bit — then
+    // the same map-only hash-holdout decision as stratified_sample.
+    "mixture_sqrt_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+      val counts = d.groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Sampling.stratifiedSample(d, "lang_pred", col("doc_id"),
+          Sampling.sqrtTemperatureRates(counts))
+        .orderBy("doc_id")
+    }),
 
     // deterministic greedy sequence packing (pretraining batch prep): the
     // (bucket, pack) assignment is a pure fold over id order, so DuckDB
@@ -1494,11 +1546,102 @@ object SparkEntry {
       // doc_id >= 0 so % == pmod
       "stratified_sample" ->
         ("WITH b AS (SELECT doc_id, source, " +
-          "((doc_id % 1048573) * 2654435761) % 1000 AS bucket FROM documents) " +
-          "SELECT doc_id, source, bucket, " +
-          "bucket < (CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500 " +
-          "WHEN 'src2' THEN 100 ELSE 250 END) AS kept " +
+          "((doc_id % 1048573) * 2654435761) % 1000 AS bucket, " +
+          "CAST((CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500 " +
+          "WHEN 'src2' THEN 100 ELSE 250 END) AS BIGINT) AS rate FROM documents) " +
+          "SELECT doc_id, source, bucket, rate, bucket < rate AS kept " +
           "FROM b ORDER BY doc_id"),
+
+      // Gopher repetition signals: line multiset arithmetic per row, bigram
+      // adjacency replayed with a 1-based list comprehension (pairs with an
+      // empty member filtered AFTER pairing, same as the engine's
+      // post-lead filter); top bigram = row_number over (cnt DESC, bigram)
+      // == the engine's min(struct(-cnt, bigram))
+      "repetition_filter" ->
+        ("""WITH dd AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 300000, text || chr(10) || text || chr(10) || text
+          |  FROM documents WHERE doc_id % 97 = 0),
+          |L AS (SELECT doc_id,
+          |    len(regexp_split_to_array(text, '\n')) AS n_lines,
+          |    len(regexp_split_to_array(text, '\n')) - len(list_distinct(regexp_split_to_array(text, '\n'))) AS n_dup_lines
+          |  FROM dd),
+          |t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM dd),
+          |bg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks)) if toks[i] <> '' and toks[i+1] <> '']) AS bigram FROM t),
+          |c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+          |r AS (SELECT doc_id, bigram, cnt,
+          |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn FROM c),
+          |top AS (SELECT doc_id, bigram AS top_bigram, CAST(cnt AS BIGINT) AS top_bigram_cnt, n_bigrams FROM r WHERE rn = 1)
+          |SELECT L.doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+          |  CAST(n_dup_lines AS INTEGER) AS n_dup_lines,
+          |  CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
+          |  top.top_bigram, top.top_bigram_cnt,
+          |  CAST(coalesce(top.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          |  CAST(top.top_bigram_cnt AS DOUBLE) / CAST(top.n_bigrams AS DOUBLE) AS top_bigram_frac,
+          |  ((CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)) <= 0.30
+          |   AND coalesce(CAST(top.top_bigram_cnt AS DOUBLE) / CAST(top.n_bigrams AS DOUBLE) <= 0.05, TRUE)) AS keep
+          |FROM L LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // unigram-LM quality buckets: token frame → per-term corpus counts →
+      // per-doc (n_tokens, sum_cnt) → two IEEE divisions in the engine's
+      // operand order; N from count(*) == the engine's footer count
+      "lm_quality_buckets" ->
+        ("""WITH t AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+          |t2 AS (SELECT doc_id, term FROM t WHERE term <> ''),
+          |c AS (SELECT term, count(*) AS cnt FROM t2 GROUP BY term),
+          |sc AS (SELECT t2.doc_id, count(*) AS n_tokens, sum(c.cnt) AS sum_cnt
+          |  FROM t2 JOIN c USING (term) GROUP BY t2.doc_id),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          |j AS (SELECT d.doc_id, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |    CAST(sc.sum_cnt AS BIGINT) AS sum_cnt,
+          |    CAST(sc.sum_cnt AS DOUBLE) / CAST(sc.n_tokens AS DOUBLE) AS mean_cnt
+          |  FROM documents d LEFT JOIN sc USING (doc_id)),
+          |j2 AS (SELECT j.*, j.mean_cnt / nn.n AS score FROM j CROSS JOIN nn)
+          |SELECT doc_id, n_tokens, sum_cnt, mean_cnt, score,
+          |  CASE WHEN score IS NULL THEN 'tail'
+          |       WHEN score >= 1.815 THEN 'head'
+          |       WHEN score <= 1.80 THEN 'tail'
+          |       ELSE 'middle' END AS bucket
+          |FROM j2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // sqrt-temperature mixture: lang-id CTE (identical to lang_id's), per-
+      // language counts, rate = floor(1000·sqrt(cnt/max)) — the same IEEE op
+      // order as Sampling.sqrtTemperatureRates — then the multiplicative-
+      // hash holdout decision
+      "mixture_sqrt_sample" ->
+        ("""WITH f AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / length(text) END AS cjk,
+          |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id, cjk,
+          |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS hen,
+          |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS hes,
+          |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf'))) AS hde,
+          |    len(list_filter(toks, x -> x IN ('le','la','de','et','est','un','une','les','pour','dans'))) AS hfr
+          |  FROM f),
+          |l AS (SELECT doc_id,
+          |  CASE WHEN cjk > 0.2 THEN 'zh'
+          |       WHEN greatest(hen, hes, hde, hfr) = 0 THEN 'unknown'
+          |       WHEN hfr = greatest(hen, hes, hde, hfr) THEN 'fr'
+          |       WHEN hes = greatest(hen, hes, hde, hfr) THEN 'es'
+          |       WHEN hen = greatest(hen, hes, hde, hfr) THEN 'en'
+          |       ELSE 'de' END AS lang_pred FROM h),
+          |c AS (SELECT lang_pred, count(*) AS cnt FROM l GROUP BY lang_pred),
+          |m AS (SELECT max(cnt) AS mx FROM c),
+          |r AS (SELECT lang_pred,
+          |    CAST(floor(1000.0 * sqrt(CAST(cnt AS DOUBLE) / CAST(mx AS DOUBLE))) AS BIGINT) AS rate
+          |  FROM c CROSS JOIN m),
+          |b AS (SELECT l.doc_id, l.lang_pred,
+          |    ((l.doc_id % 1048573) * 2654435761) % 1000 AS bucket, r.rate
+          |  FROM l JOIN r USING (lang_pred))
+          |SELECT doc_id, lang_pred, bucket, rate, bucket < rate AS kept
+          |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       "gopher_filter" ->
         ("""WITH f AS (

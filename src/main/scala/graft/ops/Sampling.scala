@@ -21,10 +21,14 @@ object Sampling {
     * Knuth multiplicative congruential hash over a bounded residue —
     * `((id mod 1048573) * 2654435761) mod buckets` — pure BIGINT arithmetic
     * (max intermediate ≈ 2.8e15, far inside int64), so a SQL oracle replays
-    * it bit-for-bit with `%` and `*`. The prime residue keeps arithmetic
-    * id patterns (every-kth id) from aliasing into bucket stripes for
-    * k < 1048573. Production swap: `pmod(xxhash64(id), buckets)` gives a
-    * stronger mix with identical plumbing when oracle replay isn't needed.
+    * it bit-for-bit with `%` and `*`. Caveat: mod-extraction keeps the map
+    * LINEAR in the id below the prime residue, so an arithmetic id sequence
+    * (every k-th id) walks evenly spaced bucket stripes of stride
+    * `761·k mod 1000` — per-stratum kept fractions still converge to
+    * rate/1000 with granularity `gcd(761·k, 1000)/1000`, but a SMALL
+    * arithmetic stratum can skew (ids 0,4,…,36 all land below bucket 400).
+    * Production swap: `pmod(xxhash64(id), buckets)` gives a full-avalanche
+    * mix with identical plumbing when oracle replay isn't needed.
     */
   def mulHashBucket(id: Column, buckets: Int = 1000): Column =
     pmod(pmod(id.cast("long"), lit(1048573L)) * lit(2654435761L), lit(buckets.toLong))
@@ -33,9 +37,9 @@ object Sampling {
     * (`ratePermille`), rows of unlisted strata get `defaultPermille`. A row
     * is kept iff its [[mulHashBucket]] < its stratum's rate, so the kept
     * fraction converges to rate/1000 per stratum while staying a pure
-    * function of the id. Returns the input columns plus `bucket` and
-    * `kept` (callers filter on `kept`; emitting the decision keeps both
-    * branches auditable).
+    * function of the id. Returns the input columns plus `bucket`, the
+    * applied `rate`, and `kept` (callers filter on `kept`; emitting the
+    * decision and the rate keeps both branches auditable).
     */
   /** Square-root temperature source-balancing rates (the α = 0.5 sampling
     * temperature of multilingual/multi-source pretraining mixes): keep the
@@ -71,6 +75,7 @@ object Sampling {
         when(col(stratumCol) === stratum, lit(permille)).otherwise(acc)
     }
     df.withColumn("bucket", mulHashBucket(idCol))
-      .withColumn("kept", col("bucket") < rate.cast("long"))
+      .withColumn("rate", rate.cast("long"))
+      .withColumn("kept", col("bucket") < col("rate"))
   }
 }

@@ -182,6 +182,81 @@ object TextStats {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Gopher repetition signals (Rae et al. 2021 §A1.1 — the repetition
+    * half of the Gopher filter, complementing [[gopherSignals]]'
+    * quality half): per document,
+    *
+    *  - `n_lines` / `n_dup_lines` (occurrences beyond each line's first —
+    *    `size(lines) − size(array_distinct(lines))`) and
+    *    `dup_line_frac` (Gopher drops > 0.30),
+    *  - `top_bigram` / `top_bigram_cnt` / `n_bigrams` and
+    *    `top_bigram_frac`, the most frequent word 2-gram's share (Gopher
+    *    drops > 0.18); ties pick the lexicographically smallest bigram so
+    *    the output is fully deterministic.
+    *
+    * Integer numerators + one IEEE division per ratio — a SQL oracle
+    * replays every comparison exactly. Token-less and single-token docs
+    * survive with `n_bigrams = 0` and null bigram share.
+    *
+    * Scale shape: the line signals are a pure per-row projection; the
+    * bigram counts explode to (doc, pos, term) rows, form the 2-gram with
+    * a `lead` window inside the doc partition (documents bound the
+    * partition — no global sort), then two partial-agg shuffles
+    * (doc × bigram, then doc). Everything linear in corpus tokens; a hot
+    * boilerplate bigram lives inside its doc's partition, so there is no
+    * corpus-wide hot key at all.
+    */
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = split(col(textCol), "\n")
+    val lineSig = docs.select(
+      col(idCol),
+      size(lines).as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).as("n_dup_lines"))
+    // split(trim) never yields interior empties; a leading tab keeps its
+    // leading "" token (the pinned ShinglesExpr semantics) — both engines
+    // see the identical token sequence, so no filter step that would
+    // re-index adjacency
+    val toks = docs.select(col(idCol),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .toDF(idCol, "pos", "term")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bigrams = toks
+      .withColumn("nxt", lead(col("term"), 1).over(w))
+      .where(col("nxt").isNotNull && col("term") =!= "" && col("nxt") =!= "")
+      .select(col(idCol), concat(col("term"), lit(" "), col("nxt")).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      // min over (−cnt, bigram): max count, ties → smallest bigram
+      .agg(min(struct((-col("cnt")).as("ncnt"), col("bigram"))).as("top"),
+        sum("cnt").as("n_bigrams"))
+      .select(col(idCol),
+        col("top.bigram").as("top_bigram"),
+        (-col("top.ncnt")).as("top_bigram_cnt"),
+        col("n_bigrams"))
+    lineSig.join(bigrams, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        (col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"),
+        col("top_bigram"), col("top_bigram_cnt"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("top_bigram_cnt").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"))
+  }
+
+  /** The Gopher repetition keep decision over [[repetitionSignals]]
+    * columns (null bigram share — 0- or 1-token docs — passes the bigram
+    * test vacuously, mirroring the quality filter's window-first ordering).
+    */
+  def repetitionKeep(maxDupLineFrac: Double = 0.30,
+      maxTopBigramFrac: Double = 0.18): Column =
+    (col("dup_line_frac") <= maxDupLineFrac) &&
+      coalesce(col("top_bigram_frac") <= maxTopBigramFrac, lit(true))
+
   /** CCNet-style language-model quality scoring, model-free analogue
     * (Wenzek et al. 2020 rank documents by a KenLM 5-gram perplexity and
     * split the corpus into head/middle/tail thirds; a real LM is an

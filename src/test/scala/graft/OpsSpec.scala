@@ -860,6 +860,61 @@ class OpsSpec extends AnyFunSuite {
     s.unpersist()
   }
 
+  test("unigramFreqScore: corpus-count arithmetic, token-less docs, buckets, sqrt rates") {
+    import graft.ops.{Sampling, TextStats}
+    val d = Seq((1L, "a A b"), (2L, "a c"), (3L, " "),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // corpus counts after lowering: a=3, b=1, c=1
+    val got = TextStats.unigramFreqScore(d).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+    }.toMap
+    assert(got(1L) == ((3L, Some(7L), Some(7.0 / 3.0)))) // 3+3+1
+    assert(got(2L) == ((2L, Some(4L), Some(4.0 / 2.0)))) // 3+1
+    assert(got(3L) == ((0L, None, None))) // whitespace-only: no tokens
+    assert(got(4L) == ((0L, None, None))) // null text survives with nulls
+
+    // bucket decision incl. the null branch
+    val b = Seq((1, Some(1.9)), (2, Some(1.81)), (3, Some(1.5)),
+      (4, None: Option[Double])).toDF("id", "score")
+      .select($"id", TextStats.freqBucket($"score", 1.815, 1.80).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(b == Map(1 -> "head", 2 -> "middle", 3 -> "tail", 4 -> "tail"))
+
+    // sqrt-temperature rates: largest stratum whole, floor semantics
+    assert(Sampling.sqrtTemperatureRates(Map("en" -> 400L, "unk" -> 100L)) ==
+      Map("en" -> 1000, "unk" -> 500))
+    // 1000*sqrt(1/3) = 577.35… → 577 (floor, not round)
+    assert(Sampling.sqrtTemperatureRates(Map("a" -> 3L, "b" -> 1L))("b") == 577)
+    intercept[IllegalArgumentException] {
+      Sampling.sqrtTemperatureRates(Map("a" -> 0L))
+    }
+  }
+
+  test("repetitionSignals: dup lines, bigram tie-break, degenerate docs") {
+    import graft.ops.TextStats
+    val d = Seq(
+      (1L, "a b a b a b"), // "a b"×3, "b a"×2 → top "a b" 3/5
+      (2L, "x\nx\ny"),     // 3 lines, 1 dup; "x x","x y" tie → smallest
+      (3L, "solo"),        // one token → no bigrams
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextStats.repetitionSignals(d)
+      .withColumn("keep", TextStats.repetitionKeep())
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+          Option(r.get(4)), Option(r.get(5)), r.getLong(6),
+          Option(r.get(7)), r.getBoolean(8)))
+      }.toMap
+    assert(got(1L) == ((1, 0, Some("a b"), Some(3L), 5L, Some(0.6), false)))
+    assert(got(2L) == ((3, 1, Some("x x"), Some(1L), 2L, Some(0.5), false)))
+    assert(got(3L) == ((1, 0, None, None, 0L, None, true))) // vacuous bigram pass
+    assert(got(4L) == ((1, 0, None, None, 0L, None, true)))
+    // dup-line branch: 4 lines, 2 occurrences beyond first → frac 0.5 > 0.30
+    val multi = Seq((9L, "l1\nl1\nl1\nl2")).toDF("doc_id", "text")
+    val m = TextStats.repetitionSignals(multi)
+      .withColumn("keep", TextStats.repetitionKeep()).collect().head
+    assert(m.getInt(1) == 4 && m.getInt(2) == 2 && !m.getBoolean(8))
+  }
+
   test("keeper forms leave null-text docs as singletons (pair-path semantics)") {
     // pair paths emit no pairs for null texts (null signature fails the
     // equality join ⇒ CC singletons); the keeper twins must not let

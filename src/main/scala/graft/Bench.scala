@@ -412,6 +412,16 @@ object Bench {
       force(SparkEntry.queries("percentile_exact")(spark, sfDir)))
     results("sessionize") = timed("sessionize")(
       force(SparkEntry.queries("sessionize")(spark, sfDir)))
+    // round-6 corpus-pipeline additions; ccnet runs over the SAME
+    // materialized turns parquet (SparkEntry's version re-derives turns
+    // through the generator cross-join, which would time the fixture)
+    results("turn_dedup_ccnet") = timed("turn_dedup_ccnet")(force(
+      graft.ops.Dedup.ccnetDedup(turns.select("conv_id", "turn_idx", "text"),
+        Seq("conv_id" -> col("conv_id"), "turn_idx" -> col("turn_idx")))))
+    results("lm_quality_buckets") = timed("lm_quality_buckets")(
+      force(SparkEntry.queries("lm_quality_buckets")(spark, sfDir)))
+    results("repetition_filter") = timed("repetition_filter")(
+      force(SparkEntry.queries("repetition_filter")(spark, sfDir)))
     (results, nTurns)
   }
 

@@ -33,14 +33,6 @@ object Sampling {
   def mulHashBucket(id: Column, buckets: Int = 1000): Column =
     pmod(pmod(id.cast("long"), lit(1048573L)) * lit(2654435761L), lit(buckets.toLong))
 
-  /** Stratified deterministic sampling: per-stratum keep-rate in permille
-    * (`ratePermille`), rows of unlisted strata get `defaultPermille`. A row
-    * is kept iff its [[mulHashBucket]] < its stratum's rate, so the kept
-    * fraction converges to rate/1000 per stratum while staying a pure
-    * function of the id. Returns the input columns plus `bucket`, the
-    * applied `rate`, and `kept` (callers filter on `kept`; emitting the
-    * decision and the rate keeps both branches auditable).
-    */
   /** Square-root temperature source-balancing rates (the α = 0.5 sampling
     * temperature of multilingual/multi-source pretraining mixes): keep the
     * LARGEST stratum whole and downsample every other stratum toward
@@ -63,6 +55,14 @@ object Sampling {
     }
   }
 
+  /** Stratified deterministic sampling: per-stratum keep-rate in permille
+    * (`ratePermille`), rows of unlisted strata get `defaultPermille`. A row
+    * is kept iff its [[mulHashBucket]] < its stratum's rate, so the kept
+    * fraction converges to rate/1000 per stratum while staying a pure
+    * function of the id. Returns the input columns plus `bucket`, the
+    * applied `rate`, and `kept` (callers filter on `kept`; emitting the
+    * decision and the rate keeps both branches auditable).
+    */
   def stratifiedSample(
       df: DataFrame,
       stratumCol: String,

@@ -671,6 +671,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the other half of the α=0.5 mix: sqrt-temperature UP-sampling
+    // (largest language whole at 1000‰, smaller languages boosted by
+    // ⌊1000·√(n_max/n_s)⌋ — mT5's low-resource boost). n_copies =
+    // ⌊rate/1000⌋ + (bucket < rate mod 1000), fanned out map-only with a
+    // deterministic copy_idx — re-runs and task retries emit the identical
+    // multiset, which rand()-based upsampling loses.
+    "mixture_upsample" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+      val counts = d.groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Sampling.resampleCopies(d, "lang_pred", col("doc_id"),
+          Sampling.sqrtUpsampleRates(counts))
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     // deterministic greedy sequence packing (pretraining batch prep): the
     // (bucket, pack) assignment is a pure fold over id order, so DuckDB
     // replays it exactly with a recursive CTE
@@ -1583,6 +1599,43 @@ object SparkEntry {
           |  ((CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)) <= 0.30
           |   AND coalesce(CAST(top.top_bigram_cnt AS DOUBLE) / CAST(top.n_bigrams AS DOUBLE) <= 0.05, TRUE)) AS keep
           |FROM L LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // sqrt-temperature upsampling: same lang/rate scaffolding with the
+      // inverted ratio, copy fan-out replayed via unnest(range(n_copies))
+      "mixture_upsample" ->
+        ("""WITH f AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / length(text) END AS cjk,
+          |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id, cjk,
+          |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS hen,
+          |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS hes,
+          |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf'))) AS hde,
+          |    len(list_filter(toks, x -> x IN ('le','la','de','et','est','un','une','les','pour','dans'))) AS hfr
+          |  FROM f),
+          |l AS (SELECT doc_id,
+          |  CASE WHEN cjk > 0.2 THEN 'zh'
+          |       WHEN greatest(hen, hes, hde, hfr) = 0 THEN 'unknown'
+          |       WHEN hfr = greatest(hen, hes, hde, hfr) THEN 'fr'
+          |       WHEN hes = greatest(hen, hes, hde, hfr) THEN 'es'
+          |       WHEN hen = greatest(hen, hes, hde, hfr) THEN 'en'
+          |       ELSE 'de' END AS lang_pred FROM h),
+          |c AS (SELECT lang_pred, count(*) AS cnt FROM l GROUP BY lang_pred),
+          |m AS (SELECT max(cnt) AS mx FROM c),
+          |r AS (SELECT lang_pred,
+          |    CAST(floor(1000.0 * sqrt(CAST(mx AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT) AS rate
+          |  FROM c CROSS JOIN m),
+          |b AS (SELECT l.doc_id, l.lang_pred,
+          |    ((l.doc_id % 1048573) * 2654435761) % 1000 AS bucket, r.rate
+          |  FROM l JOIN r USING (lang_pred)),
+          |n AS (SELECT *, CAST(floor(CAST(rate AS DOUBLE) / 1000.0) AS BIGINT)
+          |    + (CASE WHEN bucket < rate % 1000 THEN 1 ELSE 0 END) AS n_copies FROM b)
+          |SELECT doc_id, lang_pred, bucket, rate, n_copies,
+          |  CAST(unnest(range(n_copies)) AS INTEGER) AS copy_idx
+          |FROM n ORDER BY doc_id, copy_idx""".stripMargin.replace("\n", " ")),
 
       // unigram-LM quality buckets: token frame → per-term corpus counts →
       // per-doc (n_tokens, sum_cnt) → two IEEE divisions in the engine's

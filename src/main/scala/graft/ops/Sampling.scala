@@ -55,6 +55,64 @@ object Sampling {
     }
   }
 
+  /** Square-root temperature UP-sampling rates — the other half of the
+    * α = 0.5 mix: keep the largest stratum whole and boost every smaller
+    * stratum toward balance, `rate_s = ⌊1000·√(n_max / n_s)⌋ ≥ 1000`
+    * permille (mT5's low-resource-language boost). Same IEEE-exact op
+    * chain as [[sqrtTemperatureRates]]; feed into [[resampleCopies]].
+    */
+  def sqrtUpsampleRates(counts: Map[String, Long]): Map[String, Int] = {
+    require(counts.nonEmpty, "sqrtUpsampleRates: no strata")
+    require(counts.values.forall(_ > 0), "sqrtUpsampleRates: empty stratum")
+    val nMax = counts.values.max.toDouble
+    counts.map { case (s, n) =>
+      s -> math.floor(1000.0 * math.sqrt(nMax / n.toDouble)).toInt
+    }
+  }
+
+  /** Deterministic stratified RE-sampling, unifying down- and up-sampling:
+    * a rate of r permille emits `⌊r/1000⌋` whole copies of every row plus
+    * one more iff `bucket < r mod 1000` — so r = 500 keeps half the rows
+    * once (the [[stratifiedSample]] decision), r = 2500 emits 2 copies
+    * always and a 3rd for half the rows; per-stratum output size converges
+    * to `n_s · r/1000` while staying a pure function of the id (re-runs
+    * and retries emit the identical multiset — the property `rand()`-based
+    * upsampling loses on task retry at 100 TB). Still map-only: the copy
+    * fan-out is a generate inside the scan stage, no shuffle.
+    *
+    * Output: input columns + `bucket`, `rate`, `n_copies`, `copy_idx`
+    * (one row per copy, `0 ≤ copy_idx < n_copies`; rows with
+    * `n_copies = 0` disappear). Copy-count arithmetic is integer + one
+    * exact floor-division, so a SQL oracle replays it bit-for-bit with
+    * `unnest(range(n_copies))`. The per-row generate materializes
+    * `⌈r/1000⌉` array slots, so cap extreme boosts upstream (real mixes
+    * cap the factor anyway — mT5 uses ~100× max; a 10⁶‰ rate would build
+    * a 1000-element array per row).
+    */
+  def resampleCopies(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: Column,
+      ratePermille: Map[String, Int],
+      defaultPermille: Int = 1000
+  ): DataFrame = {
+    val rate = ratePermille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, permille)) =>
+        when(col(stratumCol) === stratum, lit(permille)).otherwise(acc)
+    }
+    val withCopies = df
+      .withColumn("bucket", mulHashBucket(idCol))
+      .withColumn("rate", rate.cast("long"))
+      .withColumn("n_copies",
+        floor(col("rate").cast("double") / 1000.0).cast("long") +
+          when(col("bucket") < pmod(col("rate"), lit(1000L)), 1L).otherwise(0L))
+    withCopies
+      .select(withCopies.columns.map(col) :+
+        posexplode(array_repeat(lit(true), col("n_copies").cast("int"))): _*)
+      .withColumnRenamed("pos", "copy_idx")
+      .drop("col")
+  }
+
   /** Stratified deterministic sampling: per-stratum keep-rate in permille
     * (`ratePermille`), rows of unlisted strata get `defaultPermille`. A row
     * is kept iff its [[mulHashBucket]] < its stratum's rate, so the kept

@@ -274,12 +274,16 @@ object TextStats {
     * of which is bit-stable across engines). Token-less documents
     * (empty/null text) survive with `n_tokens = 0` and null score.
     *
-    * Scale shape: explode → the token frame shuffles on `term` ONCE (the
-    * count build and the join probe hash-partition identically, so
-    * ReuseExchange dedupes the exchange); count frame has one row per
-    * distinct term (hot stopword terms absorbed map-side by partial agg;
-    * unique build key ⇒ no join explosion) → one per-doc shuffle on the id
-    * for the final aggregation. Everything linear in corpus tokens.
+    * Scale shape: the corpus tokens are exploded TWICE — once under the
+    * count build's partial aggregation, once as the join probe (plan-
+    * checked: the two exchanges sit on different subtrees, so ReuseExchange
+    * cannot dedupe them; at 100 TB recomputing the explode beats persisting
+    * a corpus-sized token frame). Both passes are linear; the count frame
+    * has one row per distinct term (hot stopword terms absorbed map-side by
+    * partial agg; unique build key ⇒ no join explosion — Catalyst
+    * broadcasts it when the vocabulary is small, else both sides hash-
+    * partition on `term`), then one per-doc shuffle for the final
+    * aggregation.
     */
   def unigramFreqScore(
       docs: DataFrame,

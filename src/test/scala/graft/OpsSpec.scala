@@ -890,6 +890,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleCopies: whole copies + fractional remainder, zero-copy drop, upsample rates") {
+    import graft.ops.Sampling
+    val ids = spark.range(0, 2000)
+      .select($"id".as("doc_id"),
+        when($"id" % 2 === 0, "big").otherwise("small").as("src"))
+    // big 500‰ (0 or 1 copy), small 2500‰ (2 or 3 copies)
+    val out = Sampling.resampleCopies(ids, "src", $"doc_id",
+      Map("big" -> 500, "small" -> 2500)).cache()
+    val perRow = out.groupBy("doc_id").agg(count(lit(1)).as("k"),
+        first("src").as("src"), first("n_copies").as("nc"))
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3)))
+    perRow.foreach { case (_, src, k, nc) =>
+      assert(k == nc) // copy_idx fan-out matches the declared count
+      if (src == "big") assert(k == 1) else assert(k == 2 || k == 3)
+    }
+    // zero-copy big rows disappear entirely
+    val bigKept = perRow.count(_._2 == "big")
+    assert(math.abs(bigKept / 1000.0 - 0.5) < 0.05, s"big kept $bigKept")
+    val smallRows = out.where($"src" === "small").count()
+    assert(math.abs(smallRows / 1000.0 - 2.5) < 0.15, s"small rows $smallRows")
+    // copy_idx is a dense 0..n-1 per id
+    val idx = out.where($"doc_id" === perRow.find(_._2 == "small").get._1)
+      .select("copy_idx").collect().map(_.getInt(0)).sorted
+    assert(idx.head == 0 && idx.last == idx.length - 1)
+    out.unpersist()
+
+    assert(Sampling.sqrtUpsampleRates(Map("en" -> 400L, "unk" -> 100L)) ==
+      Map("en" -> 1000, "unk" -> 2000))
+    // 1000*sqrt(3) = 1732.05… → 1732 (floor)
+    assert(Sampling.sqrtUpsampleRates(Map("a" -> 3L, "b" -> 1L))("b") == 1732)
+  }
+
   test("repetitionSignals: dup lines, bigram tie-break, degenerate docs") {
     import graft.ops.TextStats
     val d = Seq(

@@ -162,6 +162,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!psim.contains("CartesianProduct") && !psim.contains("BroadcastNestedLoopJoin"), psim)
   }
 
+  test("round-6 ops: sampling map-only in the scan stage; ccnet has no window; bigram window stays inside the doc") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // hash-holdout decision: ZERO exchanges — it runs inside the scan stage
+    val ps = plan(graft.ops.Sampling.stratifiedSample(
+      docs.select("doc_id", "source"), "source", col("doc_id"),
+      Map("src0" -> 500), defaultPermille = 250))
+    assert(!ps.contains("Exchange"), ps)
+    // copy fan-out: a Generate, still no exchange
+    val pr = plan(graft.ops.Sampling.resampleCopies(
+      docs.select("doc_id", "source"), "source", col("doc_id"),
+      Map("src0" -> 2500)))
+    assert(!pr.contains("Exchange"), pr)
+    assert(pr.contains("Generate"), pr)
+    // ccnet dedup: agg + unique-key join back — NO Window anywhere (a
+    // window would sort each boilerplate-sized class in one task)
+    val pc = plan(graft.ops.Dedup.ccnetDedup(
+      docs.select("doc_id", "text"), Seq("doc_id" -> col("doc_id"))))
+    assert(!pc.contains("Window"), pc)
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"), pc)
+    // repetition bigrams: the lead window hash-partitions on the DOC id —
+    // never a global range sort
+    val pb = plan(graft.ops.TextStats.repetitionSignals(
+      docs.select("doc_id", "text")))
+    assert(pb.contains("Window"), pb)
+    assert(!pb.contains("rangepartitioning"), pb)
+  }
+
   test("connected components shuffles on the id key only (no cartesian)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")

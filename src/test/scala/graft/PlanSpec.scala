@@ -189,6 +189,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!pb.contains("rangepartitioning"), pb)
   }
 
+  test("corpus-build decision: five signal frames join on the doc key, no cartesian") {
+    val p = plan(SparkEntry.queries("corpus_build_decision")(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the one nested-loop join allowed is the turns generator's cross join
+    // with its 9-row literal turn-index table — absent here (documents only)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("connected components shuffles on the id key only (no cartesian)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")

@@ -33,6 +33,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == want.count())
   }
 
+  test("streaming stratified sampling makes the identical keep/drop decisions as batch") {
+    // the map-only hash-holdout needs no state, so the SAME transform runs
+    // unchanged on a stream — and because the decision is a pure function
+    // of the id, the streamed multiset equals the batch multiset even
+    // across restarts/retries (the property rand() sampling loses)
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_samp").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val rates = Map("src0" -> 900, "src1" -> 100)
+    val streamed = graft.ops.Sampling.stratifiedSample(
+      spark.readStream.schema(docs.schema).parquet(s"$dir/in"),
+      "source", col("doc_id"), rates, defaultPermille = 500)
+    val q = streamed.writeStream
+      .format("memory").queryName("samp_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT * FROM samp_stream WHERE kept")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val want = graft.ops.Sampling.stratifiedSample(
+        docs, "source", col("doc_id"), rates, defaultPermille = 500)
+      .where(col("kept")).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(want) && want.nonEmpty)
+  }
+
   test("windowed entity counts with watermark produce rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     TurnsGen.turns(spark, "/root/testdata/sf0.001").limit(200)

@@ -422,6 +422,10 @@ object Bench {
       force(SparkEntry.queries("lm_quality_buckets")(spark, sfDir)))
     results("repetition_filter") = timed("repetition_filter")(
       force(SparkEntry.queries("repetition_filter")(spark, sfDir)))
+    // the five-gate composed pipeline decision — the end-to-end cost a
+    // corpus build pays per document batch
+    results("corpus_build_decision") = timed("corpus_build_decision")(
+      force(SparkEntry.queries("corpus_build_decision")(spark, sfDir)))
     (results, nTurns)
   }
 

@@ -196,7 +196,9 @@ object TextStats {
     *
     * Integer numerators + one IEEE division per ratio — a SQL oracle
     * replays every comparison exactly. Token-less and single-token docs
-    * survive with `n_bigrams = 0` and null bigram share.
+    * survive with `n_bigrams = 0` and null bigram share; NULL text yields
+    * null line signals and a null keep decision (three-valued AND — the
+    * consumer's `where(keep)` then drops the row, same as SQL).
     *
     * Scale shape: the line signals are a pure per-row projection; the
     * bigram counts explode to (doc, pos, term) rows, form the 2-gram with

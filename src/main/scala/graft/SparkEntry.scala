@@ -475,6 +475,17 @@ object SparkEntry {
         .orderBy("doc_id", "tok_start")
     }),
 
+    // the audit twin: per-document overlap accounting over the SAME
+    // corpus/benchmark split — window counts, hit counts, overlap fraction
+    // and the GPT-2/3 any-hit scrub decision
+    "decontamination_report" -> ((s, dir) => {
+      val corpus = plantedDocs(s, dir).where(col("doc_id") % 100000 < 50)
+      val benchmark = docs(s, dir).where(col("doc_id") % 7 === 3)
+        .select("doc_id", "text")
+      Dedup.contaminationReport(corpus, benchmark, k = 8)
+        .orderBy("doc_id")
+    }),
+
     // planted copies (base<50 plus their near/exact twins) so the result is
     // non-empty and exactly reproducible by the DuckDB brute-force oracle
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -1332,6 +1343,22 @@ object SparkEntry {
           |spans AS (SELECT w2.doc_id, CAST(w2.i1 - 1 AS INTEGER) AS tok_start, CAST(w2.i1 + 7 AS INTEGER) AS tok_end
           |  FROM w2 WHERE wt IN (SELECT wt FROM bw))""".stripMargin
           + mergeIslandsTail).replace("\n", " "),
+
+      // per-doc window/hit counts over the same corpus/benchmark CTEs; the
+      // fraction is one IEEE division on integer counts
+      "decontamination_report" ->
+        (corpusWindowsCte + """,
+          |btk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents WHERE doc_id % 7 = 3),
+          |bwl AS (SELECT [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] AS ws FROM btk WHERE len(t) >= 8),
+          |bw AS (SELECT DISTINCT unnest(ws) AS wt FROM bwl),
+          |hits AS (SELECT w2.doc_id, count(*) AS n_windows,
+          |    CAST(sum(CASE WHEN w2.wt IN (SELECT wt FROM bw) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+          |  FROM w2 GROUP BY w2.doc_id)
+          |SELECT p.doc_id, CAST(coalesce(h.n_windows, 0) AS BIGINT) AS n_windows,
+          |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+          |  CAST(h.n_hits AS DOUBLE) / CAST(h.n_windows AS DOUBLE) AS contaminated_frac,
+          |  coalesce(h.n_hits, 0) >= 1 AS is_contaminated
+          |FROM p LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       "dedup_ngram_jaccard" ->
         ("""WITH p AS (

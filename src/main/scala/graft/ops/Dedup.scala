@@ -646,6 +646,52 @@ object Dedup {
         col("start"), col("end"))
   }
 
+  /** Doc-level contamination REPORT — the audit twin of
+    * [[contaminatedSpans]] (the GPT-3 appendix-style per-document overlap
+    * accounting): for each corpus document, how many of its k-token
+    * windows occur anywhere in the reference/benchmark set — `n_windows`,
+    * `n_hits`, `contaminated_frac`, and the any-hit flag
+    * `is_contaminated` (the GPT-2/3 scrub decision: one colliding n-gram ⇒
+    * dirty). Same broadcast-or-shuffle reference guard as
+    * [[contaminatedSpans]]; the only addition is one per-doc aggregation
+    * over the window frame — linear, keyed on the doc id. Documents with
+    * fewer than k tokens have no windows: they survive with
+    * `n_windows = 0`, null fraction, `is_contaminated = false`.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      broadcastReference: Boolean = true,
+      refRowsHint: Long = 0L,
+      maxBroadcastRows: Long = 4_000_000L
+  ): DataFrame = {
+    require(k >= 1, "window size k must be >= 1")
+    val refW = tokenWindows(reference, idCol, textCol, k)
+      .select("w").distinct().withColumn("hit", lit(1L))
+    val doBroadcast = broadcastReference &&
+      (refRowsHint <= 0L || refRowsHint <= maxBroadcastRows)
+    val refSide =
+      if (doBroadcast) broadcast(refW)
+      else if (refRowsHint > maxBroadcastRows) refW.hint("shuffle_hash")
+      else refW
+    val agg = tokenWindows(corpus, idCol, textCol, k)
+      .join(refSide, Seq("w"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(agg.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (col("n_hits").cast("double") / col("n_windows").cast("double"))
+          .as("contaminated_frac"),
+        (coalesce(col("n_hits"), lit(0L)) >= 1).as("is_contaminated"))
+  }
+
   /** Merge per-document overlapping/adjacent token spans into maximal
     * islands (classic gaps-and-islands over a doc-partitioned window —
     * no UDF, no driver-side collect). Input needs (idCol, tok_start,

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.gf
 import graft.metrics.Metrics
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.ops.{Conversations, Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.pipeline.{Deid, TurnsGen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -923,6 +923,14 @@ object SparkEntry {
           (col("doc_id") =!= col("component")).as("is_dup"))
         .orderBy("conv_id")
     }),
+
+    // SFT context-assembly over the transcripts: for every assistant turn,
+    // (context = previous up-to-3 turns as "role: text" lines, target =
+    // the turn). Bounded window frame — per-task state is 3 rows whatever
+    // the conversation length; one conv_id shuffle.
+    "sft_context_pairs" -> ((s, dir) =>
+      Conversations.contextPairs(turns(s, dir), nContext = 3)
+        .orderBy("conv_id", "turn_idx")),
 
     // CCNet-style turn-level dedup (lowercase + digit→0 normalization): the
     // transcripts twin of paragraph dedup — template turns differing only in
@@ -2247,6 +2255,17 @@ object SparkEntry {
           "SELECT conv_id, min(conv_id) OVER (PARTITION BY text) AS keeper_id, " +
           "conv_id <> min(conv_id) OVER (PARTITION BY text) AS is_dup " +
           "FROM p ORDER BY conv_id"),
+
+      // bounded-frame context assembly: DuckDB's windowed list() in frame
+      // order == Spark's collect_list over the ordered frame; concat_ws
+      // null-skip agrees; empty frame → coalesce('') matches concat_ws("")
+      "sft_context_pairs" ->
+        (s"$cte, r AS (SELECT conv_id, turn_idx, role, text, " +
+          "coalesce(array_to_string(list(concat_ws(': ', role, text)) OVER " +
+          "(PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), chr(10)), '') AS context " +
+          "FROM turns) " +
+          "SELECT conv_id, turn_idx, context, text AS target FROM r " +
+          "WHERE role = 'assistant' ORDER BY conv_id, turn_idx"),
 
       // CCNet normalization replayed verbatim (DuckDB regexp_replace needs
       // the 'g' flag; Spark is global by default); classes partition on the

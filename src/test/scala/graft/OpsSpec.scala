@@ -890,6 +890,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contextPairs: bounded frame, role filter, empty-context first turn") {
+    import graft.ops.Conversations
+    val t = Seq(
+      ("c1", 0, "assistant", "a0"), // no preceding → empty context
+      ("c1", 1, "user", "u1"),
+      ("c1", 2, "user", "u2"),
+      ("c1", 3, "user", "u3"),
+      ("c1", 4, "user", "u4"),
+      ("c1", 5, "assistant", "a5"), // frame bounded: only turns 2,3,4
+      ("c2", 0, "user", "x"),
+      ("c2", 1, "assistant", "y")) // context never crosses conversations
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val got = Conversations.contextPairs(t, nContext = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3)))).toMap
+    assert(got(("c1", 0)) == (("", "a0")))
+    assert(got(("c1", 5)) == (("user: u2\nuser: u3\nuser: u4", "a5")))
+    assert(got(("c2", 1)) == (("user: x", "y")))
+    assert(got.size == 3)
+  }
+
   test("resampleCopies: whole copies + fractional remainder, zero-copy drop, upsample rates") {
     import graft.ops.Sampling
     val ids = spark.range(0, 2000)

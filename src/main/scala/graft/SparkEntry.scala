@@ -475,6 +475,19 @@ object SparkEntry {
         .orderBy("doc_id", "tok_start")
     }),
 
+    // the scrub itself: drop every token inside a contaminated span and
+    // re-join survivors (token-normalized output — the cut a pipeline
+    // actually applies after the span pass). Dirty docs collapse to
+    // near-empty strings; clean docs come back token-identical.
+    "decontamination_scrub" -> ((s, dir) => {
+      val corpus = plantedDocs(s, dir).where(col("doc_id") % 100000 < 50)
+      val benchmark = docs(s, dir).where(col("doc_id") % 7 === 3)
+        .select("doc_id", "text")
+      Dedup.scrubTokens(corpus,
+          Dedup.contaminatedSpans(corpus, benchmark, k = 8))
+        .orderBy("doc_id")
+    }),
+
     // the audit twin: per-document overlap accounting over the SAME
     // corpus/benchmark split — window counts, hit counts, overlap fraction
     // and the GPT-2/3 any-hit scrub decision
@@ -1351,6 +1364,24 @@ object SparkEntry {
           |spans AS (SELECT w2.doc_id, CAST(w2.i1 - 1 AS INTEGER) AS tok_start, CAST(w2.i1 + 7 AS INTEGER) AS tok_end
           |  FROM w2 WHERE wt IN (SELECT wt FROM bw))""".stripMargin
           + mergeIslandsTail).replace("\n", " "),
+
+      // the scrub: cut-position set from the (unmerged) spans, anti-joined
+      // against the indexed token list, survivors re-joined in index order
+      "decontamination_scrub" ->
+        (corpusWindowsCte + """,
+          |btk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM documents WHERE doc_id % 7 = 3),
+          |bwl AS (SELECT [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)] AS ws FROM btk WHERE len(t) >= 8),
+          |bw AS (SELECT DISTINCT unnest(ws) AS wt FROM bwl),
+          |spans AS (SELECT w2.doc_id, CAST(w2.i1 - 1 AS INTEGER) AS tok_start, CAST(w2.i1 + 7 AS INTEGER) AS tok_end
+          |  FROM w2 WHERE wt IN (SELECT wt FROM bw)),
+          |cut AS (SELECT doc_id, unnest(range(tok_start, tok_end)) AS j FROM spans),
+          |tk2 AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t FROM p),
+          |tokj AS (SELECT doc_id, unnest([{'j': i-1, 'tok': t[i]} for i in range(1, len(t)+1)], recursive := true) FROM tk2),
+          |kept AS (SELECT tokj.doc_id, j, tok FROM tokj
+          |  WHERE NOT EXISTS (SELECT 1 FROM cut WHERE cut.doc_id = tokj.doc_id AND cut.j = tokj.j)),
+          |sc AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS s FROM kept GROUP BY doc_id)
+          |SELECT p.doc_id, coalesce(sc.s, '') AS text_scrubbed
+          |FROM p LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       // per-doc window/hit counts over the same corpus/benchmark CTEs; the
       // fraction is one IEEE division on integer counts

@@ -692,6 +692,44 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) >= 1).as("is_contaminated"))
   }
 
+  /** Apply a token-span cut list to the corpus — the SCRUB step that
+    * decontamination / substring-dedup ends with: drop every token whose
+    * index falls inside any `[tok_start, tok_end)` span of its document
+    * and re-join the survivors with single spaces (the token-normalized
+    * output Lee et al.-style pipelines emit, since they operate over token
+    * sequences — char-exact splicing would require recovering original
+    * whitespace runs). Spans need NOT be merged first: overlapping spans
+    * cut the same position set.
+    *
+    * Scale shape: tokens explode to (id, j, tok) rows and cut positions to
+    * (id, j) rows (Σ span lengths ≤ corpus tokens); one anti-join on the
+    * (id, j) key, then a per-doc ordered re-assembly whose state is the
+    * document's own token list — the same order of memory as the text
+    * column itself. Fully-cut and token-less documents come back as the
+    * empty string.
+    */
+  def scrubTokens(
+      docs: DataFrame,
+      spans: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+        .as(Seq("j", "tok")))
+    val cutPos = spans.select(col(idCol),
+      explode(sequence(col("tok_start"), col("tok_end") - 1)).as("j"))
+    val rebuilt = toks.join(cutPos, Seq(idCol, "j"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("j"), col("tok")))),
+        x => x.getField("tok")), " ").as("text_scrubbed"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"))
+  }
+
   /** Merge per-document overlapping/adjacent token spans into maximal
     * islands (classic gaps-and-islands over a doc-partitioned window —
     * no UDF, no driver-side collect). Input needs (idCol, tok_start,

@@ -890,6 +890,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubTokens: cut ranges drop tokens, overlaps idempotent, full cut → empty") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y z"),
+      (3L, " \t "),
+      (4L, "p q")).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 1, 3), (1L, 2, 5), // overlapping cuts: tokens 1..4 go
+      (2L, 0, 3))             // full cut
+      .toDF("doc_id", "tok_start", "tok_end")
+    val got = graft.ops.Dedup.scrubTokens(docs, spans).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a f", 2L -> "", 3L -> "", 4L -> "p q"))
+  }
+
   test("contextPairs: bounded frame, role filter, empty-context first turn") {
     import graft.ops.Conversations
     val t = Seq(

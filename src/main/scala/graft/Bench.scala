@@ -426,6 +426,11 @@ object Bench {
     // corpus build pays per document batch
     results("corpus_build_decision") = timed("corpus_build_decision")(
       force(SparkEntry.queries("corpus_build_decision")(spark, sfDir)))
+    // SFT context assembly over the materialized turns (bounded frame)
+    results("sft_context_pairs") = timed("sft_context_pairs")(force(
+      graft.ops.Conversations.contextPairs(turns, nContext = 3)))
+    results("decontamination_scrub") = timed("decontamination_scrub")(
+      force(SparkEntry.queries("decontamination_scrub")(spark, sfDir)))
     (results, nTurns)
   }
 

@@ -61,6 +61,40 @@ object SparkEntry {
   private def turns(s: SparkSession, dir: String): DataFrame =
     TurnsGen.turns(s, dir)
 
+  /** The five-gate corpus-build decision frame shared by
+    * `corpus_build_decision` (per-doc audit) and `corpus_build_report`
+    * (per-source rollup): Gopher quality ∧ repetition ∧ exact-dedup keeper
+    * ∧ LM tail-drop ∧ mixture holdout, all signal frames joined on the one
+    * doc key, with `source` carried for the rollup.
+    */
+  private def corpusBuildFrame(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, Sampling, TextStats}
+    val d = docs(s, dir).select("doc_id", "source", "text")
+    val n = parquetRowCount(s, s"$dir/documents.parquet")
+    val g = TextStats.gopherSignals(d.select("doc_id", "text"))
+      .withColumn("keep_quality",
+        TextStats.gopherKeep(minTokens = 20, maxTokens = 80))
+      .select("doc_id", "keep_quality")
+    val r = TextStats.repetitionSignals(d.select("doc_id", "text"))
+      .withColumn("keep_repetition",
+        TextStats.repetitionKeep(maxTopBigramFrac = 0.05))
+      .select("doc_id", "keep_repetition")
+    val dup = Dedup.exact(d.select("doc_id", "text")).select("doc_id", "is_dup")
+    val q = TextStats.unigramFreqScore(d.select("doc_id", "text"))
+      .withColumn("bucket",
+        TextStats.freqBucket(col("mean_cnt") / lit(n.toDouble), 1.815, 1.80))
+      .select("doc_id", "bucket")
+    val samp = Sampling.stratifiedSample(d.select("doc_id", "source"),
+        "source", col("doc_id"), Map.empty, defaultPermille = 800)
+      .select(col("doc_id"), col("kept").as("kept_sample"))
+    d.select("doc_id", "source")
+      .join(g, "doc_id").join(r, "doc_id").join(dup, "doc_id")
+      .join(q, "doc_id").join(samp, "doc_id")
+      .withColumn("selected",
+        col("keep_quality") && col("keep_repetition") && !col("is_dup") &&
+          col("bucket") =!= "tail" && col("kept_sample"))
+  }
+
   /** Row count straight from the parquet footer(s) — the caller-side size
     * hint for LSH bucket sizing. No Spark job, no scan: exactly what a
     * production caller would get from catalog stats.
@@ -703,31 +737,26 @@ object SparkEntry {
     // shuffle key end-to-end); each component is the same operator its
     // standalone query oracles, and the composed oracle replays all five
     // in one WITH.
-    "corpus_build_decision" -> ((s, dir) => {
-      val d = docs(s, dir).select("doc_id", "source", "text")
-      val n = parquetRowCount(s, s"$dir/documents.parquet")
-      val g = TextStats.gopherSignals(d.select("doc_id", "text"))
-        .withColumn("keep_quality",
-          TextStats.gopherKeep(minTokens = 20, maxTokens = 80))
-        .select("doc_id", "keep_quality")
-      val r = TextStats.repetitionSignals(d.select("doc_id", "text"))
-        .withColumn("keep_repetition",
-          TextStats.repetitionKeep(maxTopBigramFrac = 0.05))
-        .select("doc_id", "keep_repetition")
-      val dup = Dedup.exact(d.select("doc_id", "text")).select("doc_id", "is_dup")
-      val q = TextStats.unigramFreqScore(d.select("doc_id", "text"))
-        .withColumn("bucket",
-          TextStats.freqBucket(col("mean_cnt") / lit(n.toDouble), 1.815, 1.80))
-        .select("doc_id", "bucket")
-      val samp = Sampling.stratifiedSample(d.select("doc_id", "source"),
-          "source", col("doc_id"), Map.empty, defaultPermille = 800)
-        .select(col("doc_id"), col("kept").as("kept_sample"))
-      d.select("doc_id").join(g, "doc_id").join(r, "doc_id").join(dup, "doc_id")
-        .join(q, "doc_id").join(samp, "doc_id")
-        .withColumn("selected",
-          col("keep_quality") && col("keep_repetition") && !col("is_dup") &&
-            col("bucket") =!= "tail" && col("kept_sample"))
-        .orderBy("doc_id")
+    "corpus_build_decision" -> ((s, dir) =>
+      corpusBuildFrame(s, dir).drop("source").orderBy("doc_id")),
+
+    // the rollup every pipeline run emits: per source, how many documents
+    // each gate dropped and how many survived — one groupBy over the same
+    // five-gate frame (integer counts; the oracle replays the WITH plus
+    // one GROUP BY)
+    "corpus_build_report" -> ((s, dir) => {
+      val f = corpusBuildFrame(s, dir)
+      def cnt(c: org.apache.spark.sql.Column) =
+        sum(when(c, 1L).otherwise(0L))
+      f.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          cnt(col("selected")).as("n_selected"),
+          cnt(!col("keep_quality")).as("n_fail_quality"),
+          cnt(!col("keep_repetition")).as("n_fail_repetition"),
+          cnt(col("is_dup")).as("n_dup"),
+          cnt(col("bucket") === "tail").as("n_tail"),
+          cnt(!col("kept_sample")).as("n_sampled_out"))
+        .orderBy("source")
     }),
 
     // the other half of the α=0.5 mix: sqrt-temperature UP-sampling
@@ -1191,6 +1220,59 @@ object SparkEntry {
         |dups AS (SELECT wt FROM w2 GROUP BY wt HAVING count(DISTINCT doc_id) >= 2),
         |spans AS (SELECT w2.doc_id, CAST(w2.i1 - 1 AS INTEGER) AS tok_start, CAST(w2.i1 + 7 AS INTEGER) AS tok_end FROM w2 JOIN dups USING (wt))""".stripMargin
     // shared gaps-and-islands tail merging a `spans` CTE to maximal spans
+    // the five-gate corpus-build WITH (Gopher quality, repetition, exact
+    // dedup, LM bucket, holdout) shared by corpus_build_decision and
+    // corpus_build_report — each CTE is the standalone query's oracle body
+    val corpusBuildWith =
+      """WITH gf AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars,
+        |    len(regexp_extract_all(text, '[#…]')) AS n_symbols,
+        |    len(regexp_split_to_array(text, '\n')) AS n_lines,
+        |    len(list_filter(regexp_split_to_array(text, '\n'), x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS n_bullet_lines,
+        |    len(list_filter(regexp_split_to_array(text, '\n'), x -> regexp_matches(x, '(\.\.\.|…)$'))) AS n_ellipsis_lines,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> regexp_matches(x, '\p{L}'))) AS n_alpha_tokens,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stopwords
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |  ((n_tokens BETWEEN 20 AND 80)
+        |   AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END BETWEEN 3.0 AND 10.0)
+        |   AND (CAST(n_symbols AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.1)
+        |   AND (CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9)
+        |   AND (CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3)
+        |   AND (CAST(n_alpha_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.8)
+        |   AND (n_stopwords >= 2)) AS keep_quality FROM gf),
+        |rl AS (SELECT doc_id,
+        |    len(regexp_split_to_array(text, '\n')) AS n_lines,
+        |    len(regexp_split_to_array(text, '\n')) - len(list_distinct(regexp_split_to_array(text, '\n'))) AS n_dup_lines
+        |  FROM documents),
+        |rt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |rbg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks)) if toks[i] <> '' and toks[i+1] <> '']) AS bigram FROM rt),
+        |rc AS (SELECT doc_id, bigram, count(*) AS cnt FROM rbg GROUP BY doc_id, bigram),
+        |rr AS (SELECT doc_id, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn FROM rc),
+        |rtop AS (SELECT doc_id, cnt AS top_cnt, n_bigrams FROM rr WHERE rn = 1),
+        |r AS (SELECT rl.doc_id,
+        |    ((CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)) <= 0.30
+        |     AND coalesce(CAST(top_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE) <= 0.05, TRUE)) AS keep_repetition
+        |  FROM rl LEFT JOIN rtop USING (doc_id)),
+        |dup AS (SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup FROM documents),
+        |ut AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
+        |ut2 AS (SELECT doc_id, term FROM ut WHERE term <> ''),
+        |uc AS (SELECT term, count(*) AS cnt FROM ut2 GROUP BY term),
+        |usc AS (SELECT ut2.doc_id, count(*) AS n_tokens, sum(uc.cnt) AS sum_cnt
+        |  FROM ut2 JOIN uc USING (term) GROUP BY ut2.doc_id),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |q AS (SELECT d.doc_id,
+        |    CASE WHEN usc.doc_id IS NULL THEN 'tail'
+        |         WHEN CAST(usc.sum_cnt AS DOUBLE) / CAST(usc.n_tokens AS DOUBLE) / nn.n >= 1.815 THEN 'head'
+        |         WHEN CAST(usc.sum_cnt AS DOUBLE) / CAST(usc.n_tokens AS DOUBLE) / nn.n <= 1.80 THEN 'tail'
+        |         ELSE 'middle' END AS bucket
+        |  FROM documents d LEFT JOIN usc USING (doc_id) CROSS JOIN nn),
+        |samp AS (SELECT doc_id, ((doc_id % 1048573) * 2654435761) % 1000 < 800 AS kept_sample FROM documents)""".stripMargin
+
     val mergeIslandsTail =
       """,
         |pm AS (SELECT doc_id, tok_start, tok_end,
@@ -1704,59 +1786,26 @@ object SparkEntry {
       // the composed corpus-build decision: all five component oracles in
       // one WITH, joined on the doc key
       "corpus_build_decision" ->
-        ("""WITH gf AS (
-          |  SELECT doc_id,
-          |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-          |    length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars,
-          |    len(regexp_extract_all(text, '[#…]')) AS n_symbols,
-          |    len(regexp_split_to_array(text, '\n')) AS n_lines,
-          |    len(list_filter(regexp_split_to_array(text, '\n'), x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS n_bullet_lines,
-          |    len(list_filter(regexp_split_to_array(text, '\n'), x -> regexp_matches(x, '(\.\.\.|…)$'))) AS n_ellipsis_lines,
-          |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> regexp_matches(x, '\p{L}'))) AS n_alpha_tokens,
-          |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS n_stopwords
-          |  FROM documents),
-          |g AS (SELECT doc_id,
-          |  ((n_tokens BETWEEN 20 AND 80)
-          |   AND (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END BETWEEN 3.0 AND 10.0)
-          |   AND (CAST(n_symbols AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.1)
-          |   AND (CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9)
-          |   AND (CAST(n_ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3)
-          |   AND (CAST(n_alpha_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.8)
-          |   AND (n_stopwords >= 2)) AS keep_quality FROM gf),
-          |rl AS (SELECT doc_id,
-          |    len(regexp_split_to_array(text, '\n')) AS n_lines,
-          |    len(regexp_split_to_array(text, '\n')) - len(list_distinct(regexp_split_to_array(text, '\n'))) AS n_dup_lines
-          |  FROM documents),
-          |rt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
-          |rbg AS (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks)) if toks[i] <> '' and toks[i+1] <> '']) AS bigram FROM rt),
-          |rc AS (SELECT doc_id, bigram, count(*) AS cnt FROM rbg GROUP BY doc_id, bigram),
-          |rr AS (SELECT doc_id, cnt,
-          |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
-          |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) AS rn FROM rc),
-          |rtop AS (SELECT doc_id, cnt AS top_cnt, n_bigrams FROM rr WHERE rn = 1),
-          |r AS (SELECT rl.doc_id,
-          |    ((CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)) <= 0.30
-          |     AND coalesce(CAST(top_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE) <= 0.05, TRUE)) AS keep_repetition
-          |  FROM rl LEFT JOIN rtop USING (doc_id)),
-          |dup AS (SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup FROM documents),
-          |ut AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents),
-          |ut2 AS (SELECT doc_id, term FROM ut WHERE term <> ''),
-          |uc AS (SELECT term, count(*) AS cnt FROM ut2 GROUP BY term),
-          |usc AS (SELECT ut2.doc_id, count(*) AS n_tokens, sum(uc.cnt) AS sum_cnt
-          |  FROM ut2 JOIN uc USING (term) GROUP BY ut2.doc_id),
-          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-          |q AS (SELECT d.doc_id,
-          |    CASE WHEN usc.doc_id IS NULL THEN 'tail'
-          |         WHEN CAST(usc.sum_cnt AS DOUBLE) / CAST(usc.n_tokens AS DOUBLE) / nn.n >= 1.815 THEN 'head'
-          |         WHEN CAST(usc.sum_cnt AS DOUBLE) / CAST(usc.n_tokens AS DOUBLE) / nn.n <= 1.80 THEN 'tail'
-          |         ELSE 'middle' END AS bucket
-          |  FROM documents d LEFT JOIN usc USING (doc_id) CROSS JOIN nn),
-          |samp AS (SELECT doc_id, ((doc_id % 1048573) * 2654435761) % 1000 < 800 AS kept_sample FROM documents)
+        (corpusBuildWith + """
           |SELECT d.doc_id, g.keep_quality, r.keep_repetition, dup.is_dup, q.bucket, samp.kept_sample,
           |  (g.keep_quality AND r.keep_repetition AND NOT dup.is_dup AND q.bucket <> 'tail' AND samp.kept_sample) AS selected
           |FROM documents d JOIN g USING (doc_id) JOIN r USING (doc_id) JOIN dup USING (doc_id)
           |  JOIN q USING (doc_id) JOIN samp USING (doc_id)
           |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // the per-source rollup: same WITH, one GROUP BY of integer counts
+      "corpus_build_report" ->
+        (corpusBuildWith + """
+          |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN (g.keep_quality AND r.keep_repetition AND NOT dup.is_dup AND q.bucket <> 'tail' AND samp.kept_sample) THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+          |  CAST(sum(CASE WHEN NOT g.keep_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_quality,
+          |  CAST(sum(CASE WHEN NOT r.keep_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_repetition,
+          |  CAST(sum(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          |  CAST(sum(CASE WHEN q.bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+          |  CAST(sum(CASE WHEN NOT samp.kept_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled_out
+          |FROM documents d JOIN g USING (doc_id) JOIN r USING (doc_id) JOIN dup USING (doc_id)
+          |  JOIN q USING (doc_id) JOIN samp USING (doc_id)
+          |GROUP BY d.source ORDER BY d.source""".stripMargin.replace("\n", " ")),
 
       // sqrt-temperature upsampling: same lang/rate scaffolding with the
       // inverted ratio, copy fan-out replayed via unnest(range(n_copies))

@@ -130,9 +130,11 @@ object Bench {
     }
 
     val skewJson = skewEvidence(spark, sfDir)
+    val keeperSkewJson = keeperSkewEvidence(spark, sfDir)
     val ckptJson = checkpointResumeEvidence(spark, sfDir)
     val windowJson = tokenWindowsProbe(spark, sfDir)
     val ivfRecallJson = ivfRecallProbe(spark, sfDir)
+    val lshRecallJson = lshRecallProbe(spark, sfDir)
     spark.stop()
 
     val refHeadToHeadJson = refHeadToHead()
@@ -159,8 +161,48 @@ object Bench {
 
     val hostContext =
       f"""{"single_thread_mops_before_queries":$probeBefore%.0f,"single_thread_mops_after_queries":$probeAfter%.0f}"""
+    // full line FIRST (humans read it in the session log) …
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"query_context":$queryContextJson,"skew":$skewJson,"sf_scale":$sfScaleJson,"checkpoint_resume":$ckptJson,"token_windows":$windowJson,"ivf_recall":$ivfRecallJson,"ref_head_to_head":$refHeadToHeadJson,"scaling":$scalingJson}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"query_context":$queryContextJson,"skew":$skewJson,"keeper_skew":$keeperSkewJson,"sf_scale":$sfScaleJson,"checkpoint_resume":$ckptJson,"token_windows":$windowJson,"ivf_recall":$ivfRecallJson,"lsh_recall":$lshRecallJson,"ref_head_to_head":$refHeadToHeadJson,"scaling":$scalingJson}""")
+    // … compact line LAST: the driver keeps only a ~2,000-char stdout TAIL,
+    // and round 6's full line outgrew it — the committed artifact lost its
+    // per-query map (VERDICT r6 #2). The tail-surviving line carries the
+    // headline, the full per-query map, and the scaling/skew/recall/h2h
+    // verdict numbers, dropping only the bulky per-run context blocks.
+    val h2hRatio = """"wall_ratio_p95":([0-9.]+|null)""".r
+      .findFirstMatchIn(refHeadToHeadJson).map(_.group(1)).getOrElse("null")
+    val enginePerQuery = """"p95_ms":([0-9.]+)""".r
+      .findFirstMatchIn(refHeadToHeadJson).map(_.group(1)).getOrElse("null")
+    val effs = """"efficiency_2_to_8":([0-9.]+).*"efficiency_8_to_32":([0-9.]+)""".r
+      .findFirstMatchIn(scalingJson)
+    val scalingCompact = effs
+      .map(m => s"""{"efficiency_2_to_8":${m.group(1)},"efficiency_8_to_32":${m.group(2)}}""")
+      .getOrElse("null")
+    val skewRatio = """"max_over_median":([0-9.]+)""".r
+    val skewCompact = {
+      val rs = skewRatio.findAllMatchIn(skewJson).map(_.group(1)).toSeq
+      if (rs.size >= 2) s"""{"unsalted_max_over_median":${rs(0)},"salted_max_over_median":${rs(1)}}"""
+      else "null"
+    }
+    val keeperCompact = {
+      val rs = skewRatio.findAllMatchIn(keeperSkewJson).map(_.group(1)).toSeq
+      if (rs.size >= 3) s"""{"window_max_over_median":${rs(0)},"agg_join_skew_split":${rs(1)},"agg_join_default":${rs(2)}}"""
+      else "null"
+    }
+    // the 3 worst big/small time ratios — the r6 watch-item readout
+    // (≥10× at 10× data twice in a row ⇒ profile, not host noise)
+    val sfScaleTop = {
+      val rs = """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(
+        """"time_ratio_by_query":\{([^}]*)\}""".r.findFirstMatchIn(sfScaleJson)
+          .map(_.group(1)).getOrElse(""))
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      if (rs.isEmpty) "null"
+      else rs.sortBy(-_._2).take(3)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+    }
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"skew":$skewCompact,"keeper_skew":$keeperCompact,"checkpoint_resume":$ckptJson,"ivf_recall":$ivfRecallJson,"lsh_recall":$lshRecallJson,"sf_scale_top3":$sfScaleTop,"ref_h2h_p95_ms":$enginePerQuery,"ref_h2h_wall_ratio_p95":$h2hRatio,"scaling":$scalingCompact}""")
   }
 
   /** Measured IVF approximate-regime recall (VERDICT r5 #5): recall@k of
@@ -187,6 +229,29 @@ object Bench {
       f""""nprobe_$nprobe":$r%.3f"""
     }
     s"""{"k":5,"n_queries":${brute.size},${recalls.mkString(",")}}"""
+  }
+
+  /** Measured LSH general-regime recall (VERDICT r6 #4), mirroring
+    * [[ivfRecallProbe]]: recall@5 of the banded sign-LSH top-k against
+    * exact brute force on the same fixed query set. Deterministic
+    * (xxhash64-seeded hyperplanes, fixed bits/tables), so the value is a
+    * reproducible constant per fixture; OpsSpec asserts the floor.
+    */
+  private def lshRecallProbe(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nHint = emb.count() // bench-side count, not a library hidden job
+    val queries = emb.where(col("vec_id") < 20)
+    def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val brute = topkSet(graft.ops.Similarity.bruteForceTopK(emb, queries, k = 5))
+    val got = topkSet(graft.ops.Similarity.lshTopK(emb, k = 5, nHint = nHint)
+      .where(col("q_id") < 20))
+    val r = brute.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }.sum / brute.size
+    f"""{"k":5,"n_queries":${brute.size},"recall_at_5":$r%.3f}"""
   }
 
   /** Fresh per-round head-to-head on the reference's own protocol (VERDICT
@@ -231,7 +296,7 @@ object Bench {
         val m = """"p95_ms":\s*([0-9.]+)""".r.findFirstMatchIn(ref)
         m.map(x => f"${p95 / x.group(1).toDouble}%.3f").getOrElse("null")
       }
-    s"""{$engine,"reference":$ref,"wall_ratio_p95":$ratio,"protocol":"benchmark_pipeline 10k-char zh, warmup, 20 runs"}"""
+    s"""{$engine,"reference":$ref,"wall_ratio_p95":$ratio,"protocol":"benchmark_pipeline 10k-char zh, warmup, 20 runs; asymmetry: engine times process() on an in-memory string, reference times its own file-path entry (per-run read + input handling) - ratio slightly flatters the engine"}"""
   }
 
   /** Is the window-dedup path compute-bound (TokenWindowsExpr scan) or
@@ -434,6 +499,96 @@ object Bench {
     (results, nTurns)
   }
 
+  /** Task-time distribution of the LAST stage of `f` (max/median over the
+    * final stage's tasks) — the straggler readout shared by the write-skew
+    * and keeper-skew blocks.
+    */
+  private def taskStats(spark: SparkSession)(f: => Unit): String = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        buf.synchronized { buf += ((t.stageId, t.taskInfo.duration)) }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try f finally {
+      org.apache.spark.sql.graftshim.Bridge.waitListeners(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val all = buf.synchronized(buf.toVector)
+    // the stage of interest (shuffle-read side of the clustering / the
+    // keeper join-probe) is the last one
+    val last = all.map(_._1).max
+    val ts = all.filter(_._1 == last).map(_._2.toDouble).sorted
+    val median = ts(ts.length / 2)
+    val max = ts.last
+    f"""{"n_tasks":${ts.length},"median_ms":$median%.0f,"max_ms":$max%.0f,"max_over_median":${max / math.max(median, 1.0)}%.2f}"""
+  }
+
+  /** Keeper-form straggler evidence (VERDICT r6 #1): a planted hot-class
+    * corpus — 60% of docs share ONE text, replicated ×32 so the hot class
+    * is big enough for task time to dominate scheduling overhead — run
+    * through (a) the OLD `Window.partitionBy(class-key)` keeper shape
+    * (inlined here; the library no longer ships it) and (b) the shipped
+    * [[graft.ops.Dedup.exact]] agg-and-join-back shape, final-stage task
+    * max/median each. The window funnels the hot class into one sorting
+    * task regardless of config; the agg form's hot probe partition is a
+    * stateless lookup AQE's skew-join splits (measured with the broadcast
+    * path disabled and skew thresholds scaled to bench data volume —
+    * production defaults, bench-scale bytes), and with broadcast allowed
+    * the probe never key-shuffles at all.
+    */
+  private def keeperSkewEvidence(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val p = s"/tmp/graft_hotclass_docs_${sfDir.replaceAll("[^0-9.]", "")}"
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    base
+      .select(col("doc_id"), col("text"),
+        explode(array((0 until 32).map(lit): _*)).as("rep"))
+      .select((col("doc_id") * 32 + col("rep")).as("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 6,
+          lit("the planted hot boilerplate class every crawl snapshot carries"))
+          .otherwise(col("text")).as("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(p)
+    val hot = spark.read.parquet(p)
+
+    val windowForm = {
+      import org.apache.spark.sql.expressions.Window
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try taskStats(spark)(force(
+        hot.withColumn("dup_key", sha2(col("text"), 256))
+          .withColumn("keeper_id",
+            min(col("doc_id")).over(Window.partitionBy(col("dup_key"))))
+          .select(col("doc_id"), col("keeper_id"),
+            (col("doc_id") =!= col("keeper_id")).as("is_dup"))))
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // shuffled join-back: broadcast off, AQE skew-join thresholds scaled to
+    // bench-size bytes (defaults are 256 MB / factor 5 — right at production
+    // partition sizes, unreachable with a ~MB bench input)
+    val aggJoin = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16384")
+      try taskStats(spark)(force(graft.ops.Dedup.exact(hot)))
+      finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      }
+    }
+    // default config: the one-row-per-class build side broadcasts and the
+    // probe never leaves its input partitioning
+    val aggBcast = taskStats(spark)(force(graft.ops.Dedup.exact(hot)))
+    s"""{"hot_class_share":0.6,"window_form":$windowForm,"agg_join_skew_split":$aggJoin,"agg_join_default":$aggBcast}"""
+  }
+
   /** Straggler evidence: redact+cluster+write a power-law-skewed turns table
     * (one conversation holds ~30% of rows) with and without the salted
     * clustering, reporting final-stage task-time max/median. The salt bounds
@@ -452,32 +607,11 @@ object Bench {
     // coalesce target and the straggler is real — measure without AQE.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    def taskStats(f: => Unit): String = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          buf.synchronized { buf += ((t.stageId, t.taskInfo.duration)) }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try f finally {
-        org.apache.spark.sql.graftshim.Bridge.waitListeners(spark.sparkContext)
-        spark.sparkContext.removeSparkListener(listener)
-      }
-      val all = buf.synchronized(buf.toVector)
-      // the write stage (shuffle-read side of the clustering) is the last one
-      val last = all.map(_._1).max
-      val ts = all.filter(_._1 == last).map(_._2.toDouble).sorted
-      val median = ts(ts.length / 2)
-      val max = ts.last
-      f"""{"n_tasks":${ts.length},"median_ms":$median%.0f,"max_ms":$max%.0f,"max_over_median":${max / math.max(median, 1.0)}%.2f}"""
-    }
-
     try {
-      val unsalted = taskStats(force(
+      val unsalted = taskStats(spark)(force(
         Deid.redact(sk).repartition(col("conv_id"))
           .sortWithinPartitions("conv_id", "turn_idx")))
-      val salted = taskStats(force(Deid.clusterForWrite(Deid.redact(sk))))
+      val salted = taskStats(spark)(force(Deid.clusterForWrite(Deid.redact(sk))))
       s"""{"unsalted":$unsalted,"salted":$salted}"""
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }

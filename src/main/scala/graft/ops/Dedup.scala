@@ -19,17 +19,36 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Shared keeper-form body: min-id per duplicate-class key, one window
-    * shuffle on the key, output (idCol, keeper_id, is_dup) linear in the
-    * corpus. All three keeper entry points ([[exact]], [[multisetKeepers]],
-    * [[shingleSetKeepers]]) differ only in the class-key expression.
+  /** Shared keeper-form body: min-id per duplicate-class key, realized as
+    * the [[ccnetDedup]] shape — `groupBy(key).agg(min(id))` one row per
+    * class, then a join back on the class key — NOT a
+    * `Window.partitionBy(key)`. The window form sorts every class inside
+    * ONE task, which is exactly wrong at the input these keeper forms
+    * exist for (a million-member boilerplate/empty class at web scale):
+    * a guaranteed straggler holding the whole class in its sort buffer.
+    * Here the class reduce is a partial aggregation (hot keys absorbed
+    * map-side — each map task emits at most one row per class), and the
+    * join back streams probe rows through a stateless hash lookup: a hot
+    * class still hashes its probe rows to one reduce partition, but the
+    * lookup is O(1)-state and order-free, so AQE's skew-join splits that
+    * partition into bounded tasks (replicating the single matching build
+    * row) — a rescue no window sort can get. Demonstrated head-to-head in
+    * the bench `keeper_skew` block on a planted 60%-one-class corpus.
+    *
+    * Null class keys follow SQL GROUP BY semantics (all NULLs one class):
+    * the join back uses null-safe equality `<=>` — still an equi-join
+    * (Catalyst extracts EqualNullSafe keys; no cartesian), matching the
+    * window form's `partitionBy` null grouping. Output
+    * (idCol, keeper_id, is_dup), linear in the corpus. All three keeper
+    * entry points ([[exact]], [[multisetKeepers]], [[shingleSetKeepers]])
+    * differ only in the class-key expression.
     */
   private def keepersByKey(docs: DataFrame, idCol: String, key: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs
-      .withColumn("dup_key", key)
-      .withColumn("keeper_id",
-        min(col(idCol)).over(Window.partitionBy(col("dup_key"))))
+    val keyed = docs.select(col(idCol), key.as("dup_key"))
+    val classes = keyed.groupBy(col("dup_key"))
+      .agg(min(col(idCol)).as("keeper_id"))
+      .withColumnRenamed("dup_key", "class_key")
+    keyed.join(classes, col("dup_key") <=> col("class_key"))
       .select(col(idCol), col("keeper_id"),
         (col(idCol) =!= col("keeper_id")).as("is_dup"))
   }
@@ -500,13 +519,20 @@ object Dedup {
     * id) instead of the arbitrary min-id doc. Returns
     * (idCol, component, keeper_id, is_dup).
     *
-    * Scale shape: one LEFT join on the id key plus one window shuffle on
-    * the component key; `first_value` over the (score desc nulls last,
-    * id asc) ordering resolves the arg-max without a second self-join.
-    * Component members with no quality row are RETAINED and rank last
-    * (null score) — they stay in the output and can only become keeper of
-    * an entirely score-less component, never silently vanish from the
-    * keep/drop decision.
+    * Scale shape: one LEFT join on the id key, then the [[keepersByKey]]
+    * agg-and-join-back form on the component key — NOT a window: the
+    * arg-max is `min(struct(score_missing, −score, id))` under partial
+    * aggregation (one row per component leaves each map task; a
+    * million-member component never sorts inside one task), and the join
+    * back is a stateless probe AQE's skew-join can split. The struct
+    * ordering (score-missing flag asc, negated NUMERIC score asc, id asc)
+    * equals the former window's (score desc nulls last, id asc) rank-1
+    * row exactly — negation needs a numeric score column, which is the
+    * contract ([[TextStats.qualityScore]] emits doubles). Component
+    * members with no quality row are RETAINED and rank last (null score)
+    * — they stay in the output and can only become keeper of an entirely
+    * score-less component, never silently vanish from the keep/drop
+    * decision.
     */
   def qualityKeepers(
       components: DataFrame,
@@ -514,16 +540,22 @@ object Dedup {
       idCol: String = "doc_id",
       scoreCol: String = "quality_score"
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val j = components.join(
       quality.select(col(idCol), col(scoreCol)), Seq(idCol), "left_outer")
-    // default frame (unbounded preceding .. current row): first() is the
-    // partition's top-ranked row for EVERY row of the component
-    val w = Window.partitionBy(col("component"))
-      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
-    j.select(col(idCol), col("component"),
-        first(col(idCol)).over(w).as("keeper_id"))
-      .withColumn("is_dup", col(idCol) =!= col("keeper_id"))
+    // min over (score_missing, −score, id): present scores first, then the
+    // largest score (null −score sorts first WITHIN the missing group only,
+    // where every −score is null and id breaks the tie — same decision as
+    // desc_nulls_last), then the smallest id
+    val best = j.groupBy(col("component"))
+      .agg(min(struct(
+        col(scoreCol).isNull.cast("int").as("score_missing"),
+        (-col(scoreCol)).as("neg_score"),
+        col(idCol).as("id"))).as("top"))
+      .select(col("component").as("best_component"),
+        col("top.id").as("keeper_id"))
+    components.join(best, col("component") <=> col("best_component"))
+      .select(col(idCol), col("component"), col("keeper_id"),
+        (col(idCol) =!= col("keeper_id")).as("is_dup"))
   }
 
   /** Windowed exact substring duplication — the exact-substring dedup

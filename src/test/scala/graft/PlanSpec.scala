@@ -145,15 +145,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("round-5 ops: keeper window on component key; sub-split and verified simhash no cartesian") {
+  test("round-5 ops: keeper family window-free (agg + join-back); sub-split and verified simhash no cartesian") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // qualityKeepers: one hash join + one window exchange on component
+    // qualityKeepers: id join + agg-and-join-back on component — NO Window
+    // anywhere (a window would sort each million-member component in one
+    // task; the agg form partial-aggregates map-side and the join back is
+    // an AQE-skew-splittable stateless probe)
     val comps = Seq(1L -> 1L, 2L -> 1L).toDF("doc_id", "component")
     val qual = Seq(1L -> 0.5, 2L -> 1.0).toDF("doc_id", "quality_score")
     val pk = plan(graft.ops.Dedup.qualityKeepers(comps, qual))
     assert(!pk.contains("CartesianProduct") && !pk.contains("BroadcastNestedLoopJoin"), pk)
-    assert(pk.contains("Window"), pk)
+    assert(!pk.contains("Window"), pk)
+    // the shared keeper body (exact/multiset/shingle keepers): same contract
+    val kdocs = Seq(1L -> "a b", 2L -> "a b", 3L -> "c").toDF("doc_id", "text")
+    for (kf <- Seq(graft.ops.Dedup.exact(kdocs),
+        graft.ops.Dedup.multisetKeepers(kdocs),
+        graft.ops.Dedup.shingleSetKeepers(kdocs))) {
+      val p = plan(kf)
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    }
     // simhash at distance 0: the (lazy) pigeonhole path keys the self-join
     // on the full signature — no cartesian (the VERIFIED operator
     // simhashExactDups is eager, so its shape is pinned here through the

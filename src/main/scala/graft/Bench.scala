@@ -542,10 +542,14 @@ object Bench {
     import org.apache.spark.sql.functions._
     val p = s"/tmp/graft_hotclass_docs_${sfDir.replaceAll("[^0-9.]", "")}"
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    // replicate to ~2M rows regardless of sf so the hot class's single-task
+    // sort dominates the ~50-100 ms fixed per-task overhead (at 160k rows
+    // the straggler hides inside scheduling noise and both shapes read ~1×)
+    val rep = math.max(1L, 2000000L / math.max(1L, base.count())).toInt
     base
       .select(col("doc_id"), col("text"),
-        explode(array((0 until 32).map(lit): _*)).as("rep"))
-      .select((col("doc_id") * 32 + col("rep")).as("doc_id"),
+        explode(array((0 until rep).map(lit): _*)).as("rep"))
+      .select((col("doc_id") * rep + col("rep")).as("doc_id"),
         when(pmod(col("doc_id"), lit(10)) < 6,
           lit("the planted hot boilerplate class every crawl snapshot carries"))
           .otherwise(col("text")).as("text"))

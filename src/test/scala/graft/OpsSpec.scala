@@ -511,6 +511,24 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"ANN recall $recall")
   }
 
+  test("LSH general-regime recall gate: auto-bits (nHint) config floors at 0.8") {
+    // the bench's lsh_recall block measured as a GATE (VERDICT r6 #4): the
+    // same auto-bit-width configuration knn_lsh ships (bits derived from
+    // the corpus-size hint, default tables), deterministic seeded
+    // hyperplanes ⇒ the recall is a fixture constant; the floor fails a
+    // test on a bucketing regression instead of only drifting a bench read
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val n = emb.count()
+    val queries = emb.where($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, k = 5, nHint = n)
+      .where($"q_id" < 20)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.8, s"general-regime ANN recall $recall below floor")
+  }
+
   test("single-pass LshBucketsExpr is bit-identical to the per-plane HOF buckets") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("vec"))

@@ -85,7 +85,8 @@ object SparkEntry {
         TextStats.freqBucket(col("mean_cnt") / lit(n.toDouble), 1.815, 1.80))
       .select("doc_id", "bucket")
     val samp = Sampling.stratifiedSample(d.select("doc_id", "source"),
-        "source", col("doc_id"), Map.empty, defaultPermille = 800)
+        "source", col("doc_id"), Map.empty, defaultPermille = 800,
+        bucketOf = Sampling.mulHashBucket(_)) // oracle-replayable hash
       .select(col("doc_id"), col("kept").as("kept_sample"))
     d.select("doc_id", "source")
       .join(g, "doc_id").join(r, "doc_id").join(dup, "doc_id")
@@ -580,9 +581,14 @@ object SparkEntry {
       val pairs = Similarity.semanticNearDups(planted,
           trainedCentroids(s, dir).map(_.toSeq).toSeq, threshold = 0.9,
           maxClusterSize = 2000)
-      Dedup.connectedComponents(pairs.select("a", "b"),
+      // semanticNearDups' contract hands the caller the eagerly-persisted
+      // pairs frame; CC's result is locally checkpointed (independent of
+      // the pairs lineage), so release the cache before returning instead
+      // of leaking it into the sweep
+      val cc = Dedup.connectedComponents(pairs.select("a", "b"),
           planted.select(col("vec_id").as("doc_id")))
-        .select(col("doc_id").as("vec_id"), col("component").as("keeper_id"),
+      pairs.unpersist()
+      cc.select(col("doc_id").as("vec_id"), col("component").as("keeper_id"),
           (col("doc_id") =!= col("component")).as("is_dup"))
         .orderBy("vec_id")
     }),
@@ -709,7 +715,7 @@ object SparkEntry {
       Sampling.stratifiedSample(docs(s, dir).select("doc_id", "source"),
           "source", col("doc_id"),
           Map("src0" -> 900, "src1" -> 500, "src2" -> 100),
-          defaultPermille = 250)
+          defaultPermille = 250, bucketOf = Sampling.mulHashBucket(_))
         .orderBy("doc_id")),
 
     // data-derived multilingual mixture (mT5/XLM-R-style α=0.5 temperature
@@ -725,7 +731,8 @@ object SparkEntry {
       val counts = d.groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       Sampling.stratifiedSample(d, "lang_pred", col("doc_id"),
-          Sampling.sqrtTemperatureRates(counts))
+          Sampling.sqrtTemperatureRates(counts),
+          bucketOf = Sampling.mulHashBucket(_))
         .orderBy("doc_id")
     }),
 
@@ -771,7 +778,8 @@ object SparkEntry {
       val counts = d.groupBy("lang_pred").agg(count(lit(1)).as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       Sampling.resampleCopies(d, "lang_pred", col("doc_id"),
-          Sampling.sqrtUpsampleRates(counts))
+          Sampling.sqrtUpsampleRates(counts),
+          bucketOf = Sampling.mulHashBucket(_))
         .orderBy("doc_id", "copy_idx")
     }),
 
@@ -1228,7 +1236,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |    length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars,
-        |    len(regexp_extract_all(text, '[#…]')) AS n_symbols,
+        |    len(regexp_extract_all(text, '(\.\.\.|[#…])')) AS n_symbols,
         |    len(regexp_split_to_array(text, '\n')) AS n_lines,
         |    len(list_filter(regexp_split_to_array(text, '\n'), x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS n_bullet_lines,
         |    len(list_filter(regexp_split_to_array(text, '\n'), x -> regexp_matches(x, '(\.\.\.|…)$'))) AS n_ellipsis_lines,
@@ -1908,7 +1916,7 @@ object SparkEntry {
           |  SELECT doc_id,
           |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
           |    length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars,
-          |    len(regexp_extract_all(text, '[#…]')) AS n_symbols,
+          |    len(regexp_extract_all(text, '(\.\.\.|[#…])')) AS n_symbols,
           |    len(regexp_split_to_array(text, '\n')) AS n_lines,
           |    len(list_filter(regexp_split_to_array(text, '\n'), x -> regexp_matches(x, '^[ \t]*[-*•]'))) AS n_bullet_lines,
           |    len(list_filter(regexp_split_to_array(text, '\n'), x -> regexp_matches(x, '(\.\.\.|…)$'))) AS n_ellipsis_lines,

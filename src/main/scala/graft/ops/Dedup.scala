@@ -749,8 +749,14 @@ object Dedup {
     val toks = docs.select(col(idCol),
       posexplode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
         .as(Seq("j", "tok")))
-    val cutPos = spans.select(col(idCol),
-      explode(sequence(col("tok_start"), col("tok_end") - 1)).as("j"))
+    // degenerate spans (tok_end <= tok_start) must cut NOTHING: Spark's
+    // sequence(start, stop) auto-REVERSES when start > stop, so an
+    // unfiltered [5,5) span would explode to positions 5 and 4 — tokens
+    // OUTSIDE the span — while the DuckDB oracle's range() yields empty.
+    // This is a public operator taking arbitrary span frames; filter first.
+    val cutPos = spans.where(col("tok_end") > col("tok_start"))
+      .select(col(idCol),
+        explode(sequence(col("tok_start"), col("tok_end") - 1)).as("j"))
     val rebuilt = toks.join(cutPos, Seq(idCol, "j"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(transform(

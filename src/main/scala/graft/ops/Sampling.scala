@@ -27,11 +27,25 @@ object Sampling {
     * `761·k mod 1000` — per-stratum kept fractions still converge to
     * rate/1000 with granularity `gcd(761·k, 1000)/1000`, but a SMALL
     * arithmetic stratum can skew (ids 0,4,…,36 all land below bucket 400).
-    * Production swap: `pmod(xxhash64(id), buckets)` gives a full-avalanche
-    * mix with identical plumbing when oracle replay isn't needed.
+    * Production swap: [[avalancheBucket]] gives a full-avalanche mix with
+    * identical plumbing when oracle replay isn't needed — and since round
+    * 7 it IS the samplers' default; this multiplicative map is the
+    * explicitly-opted-into oracle-replay variant.
     */
   def mulHashBucket(id: Column, buckets: Int = 1000): Column =
     pmod(pmod(id.cast("long"), lit(1048573L)) * lit(2654435761L), lit(buckets.toLong))
+
+  /** Full-avalanche bucket in `[0, buckets)` — `pmod(xxhash64(id),
+    * buckets)` — the DEFAULT keep/drop hash for [[stratifiedSample]] and
+    * [[resampleCopies]]: every input bit diffuses to every output bit, so
+    * arithmetic id strata (every k-th id) see no bucket stripes and no
+    * stratum-size bias, unlike [[mulHashBucket]]'s linear-below-the-residue
+    * map. Not SQL-replayable (DuckDB has no xxhash64); callers that need a
+    * bit-exact SQL oracle pass [[mulHashBucket]] explicitly and accept its
+    * documented small-arithmetic-stratum caveat.
+    */
+  def avalancheBucket(id: Column, buckets: Int = 1000): Column =
+    pmod(xxhash64(id), lit(buckets.toLong))
 
   /** Square-root temperature source-balancing rates (the α = 0.5 sampling
     * temperature of multilingual/multi-source pretraining mixes): keep the
@@ -84,24 +98,36 @@ object Sampling {
     * (one row per copy, `0 ≤ copy_idx < n_copies`; rows with
     * `n_copies = 0` disappear). Copy-count arithmetic is integer + one
     * exact floor-division, so a SQL oracle replays it bit-for-bit with
-    * `unnest(range(n_copies))`. The per-row generate materializes
-    * `⌈r/1000⌉` array slots, so cap extreme boosts upstream (real mixes
-    * cap the factor anyway — mT5 uses ~100× max; a 10⁶‰ rate would build
-    * a 1000-element array per row).
+    * `unnest(range(n_copies))` when `bucketOf` is SQL-replayable
+    * ([[mulHashBucket]]); the default is the unbiased [[avalancheBucket]].
+    * The per-row generate materializes `⌈r/1000⌉` array slots, so extreme
+    * boosts are REFUSED: every effective rate must stay ≤ `capPermille`
+    * (default 100000‰ = 100×, the mT5-style boost ceiling) — a 10⁶‰ rate
+    * would build a 1000-element array per row; raise the cap explicitly
+    * if a larger boost is truly intended.
     */
   def resampleCopies(
       df: DataFrame,
       stratumCol: String,
       idCol: Column,
       ratePermille: Map[String, Int],
-      defaultPermille: Int = 1000
+      defaultPermille: Int = 1000,
+      bucketOf: Column => Column = avalancheBucket(_),
+      capPermille: Int = 100000
   ): DataFrame = {
+    val over = (ratePermille + ("<default>" -> defaultPermille))
+      .filter(_._2 > capPermille)
+    require(over.isEmpty,
+      s"resampleCopies: rate(s) ${over.map { case (k, v) => s"$k=${v}permille" }
+        .mkString(", ")} exceed capPermille=$capPermille (${capPermille / 1000}x); " +
+        "each output row materializes rate/1000 array slots map-side - raise " +
+        "capPermille explicitly if a larger boost is truly intended")
     val rate = ratePermille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
       case (acc, (stratum, permille)) =>
         when(col(stratumCol) === stratum, lit(permille)).otherwise(acc)
     }
     val withCopies = df
-      .withColumn("bucket", mulHashBucket(idCol))
+      .withColumn("bucket", bucketOf(idCol))
       .withColumn("rate", rate.cast("long"))
       .withColumn("n_copies",
         floor(col("rate").cast("double") / 1000.0).cast("long") +
@@ -115,24 +141,29 @@ object Sampling {
 
   /** Stratified deterministic sampling: per-stratum keep-rate in permille
     * (`ratePermille`), rows of unlisted strata get `defaultPermille`. A row
-    * is kept iff its [[mulHashBucket]] < its stratum's rate, so the kept
+    * is kept iff its `bucketOf(id)` < its stratum's rate, so the kept
     * fraction converges to rate/1000 per stratum while staying a pure
-    * function of the id. Returns the input columns plus `bucket`, the
-    * applied `rate`, and `kept` (callers filter on `kept`; emitting the
-    * decision and the rate keeps both branches auditable).
+    * function of the id. `bucketOf` defaults to the full-avalanche
+    * [[avalancheBucket]] (unbiased on ANY id structure); pass
+    * [[mulHashBucket]] when a bit-exact SQL oracle must replay the
+    * decision, accepting its small-arithmetic-stratum stripe caveat.
+    * Returns the input columns plus `bucket`, the applied `rate`, and
+    * `kept` (callers filter on `kept`; emitting the decision and the rate
+    * keeps both branches auditable).
     */
   def stratifiedSample(
       df: DataFrame,
       stratumCol: String,
       idCol: Column,
       ratePermille: Map[String, Int],
-      defaultPermille: Int = 0
+      defaultPermille: Int = 0,
+      bucketOf: Column => Column = avalancheBucket(_)
   ): DataFrame = {
     val rate = ratePermille.toSeq.sortBy(_._1).foldLeft(lit(defaultPermille)) {
       case (acc, (stratum, permille)) =>
         when(col(stratumCol) === stratum, lit(permille)).otherwise(acc)
     }
-    df.withColumn("bucket", mulHashBucket(idCol))
+    df.withColumn("bucket", bucketOf(idCol))
       .withColumn("rate", rate.cast("long"))
       .withColumn("kept", col("bucket") < col("rate"))
   }

@@ -115,7 +115,10 @@ object TextStats {
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(col("n_word_chars").cast("double") / col("n_tokens").cast("double")))
       .withColumn("n_symbols",
-        size(regexp_extract_all(col(textCol), lit("[#…]"), lit(0))))
+        // Gopher §A1.1 counts '#', '…' AND the ASCII three-dot ellipsis as
+        // symbols; non-overlapping left-to-right matching ("....":1,
+        // "......":2) agrees between Spark and the DuckDB oracle
+        size(regexp_extract_all(col(textCol), lit("(\\.\\.\\.|[#…])"), lit(0))))
       .withColumn("n_lines", size(lines))
       .withColumn("n_bullet_lines",
         size(filter(lines, l => l.rlike("^[ \\t]*[-*•]"))))

@@ -808,7 +808,8 @@ class OpsSpec extends AnyFunSuite {
     val d = Seq(
       (1L, "- first bullet\n- second bullet\nplain line ends here..."),
       (2L, "the #tag count 12 34 … trailing…"),
-      (3L, "   ")).toDF("doc_id", "text")
+      (3L, "   "),
+      (4L, "wait... what....... #")).toDF("doc_id", "text")
     val got = TextStats.gopherSignals(d).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
     val b = got(1L)
@@ -821,6 +822,11 @@ class OpsSpec extends AnyFunSuite {
     assert(sym.getAs[Int]("n_stopwords") == 1)
     val ws = got(3L)
     assert(ws.getAs[Int]("n_tokens") == 0 && ws.getAs[Double]("mean_word_len") == 0.0)
+    // ASCII three-dot ellipses count as symbols (Gopher A1.1, ADVICE r6):
+    // "wait..." -> 1, "......." -> 2 (non-overlapping), '#' -> 1
+    assert(got(4L).getAs[Int]("n_symbols") == 4)
+    // doc 1's trailing "..." now counts as a symbol too
+    assert(got(1L).getAs[Int]("n_symbols") == 1)
   }
 
   test("tfIdfTopTerms: deterministic tie-break and division idf") {
@@ -916,7 +922,10 @@ class OpsSpec extends AnyFunSuite {
       (4L, "p q")).toDF("doc_id", "text")
     val spans = Seq(
       (1L, 1, 3), (1L, 2, 5), // overlapping cuts: tokens 1..4 go
-      (2L, 0, 3))             // full cut
+      (2L, 0, 3),             // full cut
+      (4L, 1, 1), (4L, 1, 0)) // degenerate/inverted spans cut NOTHING
+                              // (sequence() auto-reverses when start>stop;
+                              // the span filter keeps them out - ADVICE r6)
       .toDF("doc_id", "tok_start", "tok_end")
     val got = graft.ops.Dedup.scrubTokens(docs, spans).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -974,6 +983,53 @@ class OpsSpec extends AnyFunSuite {
       Map("en" -> 1000, "unk" -> 2000))
     // 1000*sqrt(3) = 1732.05… → 1732 (floor)
     assert(Sampling.sqrtUpsampleRates(Map("a" -> 3L, "b" -> 1L))("b") == 1732)
+  }
+
+  test("resampleCopies refuses boosts above capPermille (fail-fast, not a 1000-slot array)") {
+    import graft.ops.Sampling
+    val ids = spark.range(0, 10)
+      .select($"id".as("doc_id"), lit("rare").as("src"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.resampleCopies(ids, "src", $"doc_id", Map("rare" -> 1000000))
+    }
+    assert(e.getMessage.contains("capPermille"), e.getMessage)
+    // the cap is a parameter, not a wall: an explicit raise goes through
+    val out = Sampling.resampleCopies(ids, "src", $"doc_id",
+      Map("rare" -> 150000), capPermille = 200000)
+    assert(out.where($"doc_id" === 0).count() >= 150L)
+    // default-rate path is capped too
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.resampleCopies(ids, "src", $"doc_id", Map.empty,
+        defaultPermille = 500000)
+    }
+    assert(e2.getMessage.contains("<default>"), e2.getMessage)
+  }
+
+  test("avalanche default de-stripes arithmetic id strata; mul variant stays oracle-replayable") {
+    import graft.ops.Sampling
+    // the ADVICE-r6 bias case verbatim: the 10-id arithmetic stratum
+    // 0,4,…,36 maps to buckets 44k (k=0..9) ≤ 396 under the multiplicative
+    // hash — EVERY row lands under rate 400, kept fraction 1.0 instead of
+    // ~0.4; the avalanche default shows no such stripe capture. Both
+    // hashes are deterministic, so these reads are fixture constants.
+    val ids = spark.range(0, 10)
+      .select(($"id" * 4).as("doc_id"), lit("s").as("source"))
+    def keptFrac(bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Double =
+      Sampling.stratifiedSample(ids, "source", $"doc_id", Map("s" -> 400),
+          bucketOf = bucketOf)
+        .where($"kept").count() / 10.0
+    val mul = keptFrac(Sampling.mulHashBucket(_))
+    val ava = keptFrac(Sampling.avalancheBucket(_))
+    assert(mul == 1.0, s"mul kept $mul - fixture no longer demonstrates the stripe capture")
+    assert(ava >= 0.1 && ava <= 0.8, s"avalanche kept $ava, want near 0.4")
+    // and the mul variant is a pure function (retry-stable) of the id
+    val b1 = Sampling.stratifiedSample(ids, "source", $"doc_id",
+      Map("s" -> 400), bucketOf = Sampling.mulHashBucket(_))
+      .select("doc_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b2 = Sampling.stratifiedSample(ids, "source", $"doc_id",
+      Map("s" -> 400), bucketOf = Sampling.mulHashBucket(_))
+      .select("doc_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b1 == b2)
   }
 
   test("repetitionSignals: dup lines, bigram tie-break, degenerate docs") {

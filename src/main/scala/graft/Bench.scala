@@ -487,6 +487,8 @@ object Bench {
       force(SparkEntry.queries("lm_quality_buckets")(spark, sfDir)))
     results("repetition_filter") = timed("repetition_filter")(
       force(SparkEntry.queries("repetition_filter")(spark, sfDir)))
+    results("repetition_filter_full") = timed("repetition_filter_full")(
+      force(SparkEntry.queries("repetition_filter_full")(spark, sfDir)))
     // the five-gate composed pipeline decision — the end-to-end cost a
     // corpus build pays per document batch
     results("corpus_build_decision") = timed("corpus_build_decision")(

@@ -688,6 +688,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the FULL Gopher §A1.1 repetition battery (VERDICT r6 #3): dup
+    // line/para fractions + char fractions, top-{2,3,4}-gram char shares,
+    // dup-{5..10}-gram char fractions — 13 signals + the paper's keep
+    // decision, every numerator an exact integer so the oracle replays all
+    // of them. Four plant families make each clause family visibly bite at
+    // every scale: ×3 line repeats (dup-line), a doubled paragraph
+    // (dup-para), the whole text repeated inline (every n-gram clause),
+    // and a repeated 9-token tail (5..9-gram clauses bite, 10-gram passes)
+    "repetition_filter_full" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      def plant(mod: Int, offset: Long, newText: org.apache.spark.sql.Column) =
+        base.where(col("doc_id") % mod === 0)
+          .select((col("doc_id") + offset).as("doc_id"), newText.as("text"))
+      val planted = base
+        .unionAll(plant(97, 400000L,
+          concat_ws("\n", col("text"), col("text"), col("text"))))
+        .unionAll(plant(89, 500000L,
+          concat(col("text"), lit("\n\n"), col("text"))))
+        .unionAll(plant(83, 600000L,
+          concat(col("text"), lit(" "), col("text"))))
+        .unionAll(plant(79, 700000L,
+          concat(col("text"), lit(" "),
+            array_join(slice(split(trim(col("text")), "\\s+"), 1, 9), " "))))
+      TextStats.repetitionSignalsFull(planted)
+        .withColumn("keep", TextStats.repetitionKeepFull())
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style LM quality bucketing, model-free analogue (Wenzek et al.
     // 2020 rank by KenLM perplexity and split head/middle/tail; no LM
     // runtime in this sandbox, so the score is the corpus-trained UNIGRAM
@@ -1790,6 +1818,113 @@ object SparkEntry {
           |  ((CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)) <= 0.30
           |   AND coalesce(CAST(top.top_bigram_cnt AS DOUBLE) / CAST(top.n_bigrams AS DOUBLE) <= 0.05, TRUE)) AS keep
           |FROM L LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // the FULL Gopher repetition battery: 13 signals, each an integer
+      // numerator + one trailing division, replayed stage-for-stage (unit
+      // explode -> per-class counts; lead-window n-grams as 1-based list
+      // slices; dup marks position-deduplicated before the char sum)
+      "repetition_filter_full" ->
+        ("""WITH dd AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 400000, text || chr(10) || text || chr(10) || text
+          |  FROM documents WHERE doc_id % 97 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 500000, text || chr(10) || chr(10) || text
+          |  FROM documents WHERE doc_id % 89 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 600000, text || ' ' || text
+          |  FROM documents WHERE doc_id % 83 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 700000, text || ' ' || array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:9], ' ')
+          |  FROM documents WHERE doc_id % 79 = 0),
+          |lu AS (SELECT doc_id, unit, count(*) AS cnt, length(unit) AS ulen
+          |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\n')) AS unit FROM dd)
+          |  GROUP BY doc_id, unit),
+          |line_stats AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+          |    CAST(sum(cnt - 1) AS BIGINT) AS n_dup_lines,
+          |    CAST(sum((cnt - 1) * ulen) AS BIGINT) AS dup_line_chars,
+          |    CAST(sum(cnt * ulen) AS BIGINT) AS line_chars
+          |  FROM lu GROUP BY doc_id),
+          |pu AS (SELECT doc_id, unit, count(*) AS cnt, length(unit) AS ulen
+          |  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\n\n')) AS unit FROM dd)
+          |  GROUP BY doc_id, unit),
+          |para_stats AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_paras,
+          |    CAST(sum(cnt - 1) AS BIGINT) AS n_dup_paras,
+          |    CAST(sum((cnt - 1) * ulen) AS BIGINT) AS dup_para_chars,
+          |    CAST(sum(cnt * ulen) AS BIGINT) AS para_chars
+          |  FROM pu GROUP BY doc_id),
+          |tk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM dd),
+          |toks AS (SELECT doc_id, unnest([{'pos': i - 1, 'term': t[i]} for i in range(1, len(t) + 1)], recursive := true) FROM tk),
+          |tok_stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(sum(length(term)) AS BIGINT) AS tok_chars
+          |  FROM toks GROUP BY doc_id),
+          |ns AS (SELECT CAST(unnest(range(2, 11)) AS INTEGER) AS n),
+          |gram_rows AS (
+          |  SELECT tk.doc_id, ns.n,
+          |    unnest([{'pos': i - 1, 'gram': array_to_string(t[i:i+ns.n-1], ' ')}
+          |            for i in range(1, len(t) - ns.n + 2)
+          |            if len(list_filter(t[i:i+ns.n-1], x -> x = '')) = 0],
+          |      recursive := true)
+          |  FROM tk, ns),
+          |gram_cnt AS (SELECT doc_id, n, gram, count(*) AS cnt FROM gram_rows GROUP BY 1, 2, 3),
+          |top1 AS (SELECT doc_id, n, gram, cnt FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rn
+          |    FROM gram_cnt WHERE n BETWEEN 2 AND 4) WHERE rn = 1),
+          |top_shares AS (SELECT doc_id,
+          |    CAST(sum(CASE WHEN n = 2 THEN cnt * length(gram) END) AS BIGINT) AS top_2gram_chars,
+          |    CAST(sum(CASE WHEN n = 3 THEN cnt * length(gram) END) AS BIGINT) AS top_3gram_chars,
+          |    CAST(sum(CASE WHEN n = 4 THEN cnt * length(gram) END) AS BIGINT) AS top_4gram_chars
+          |  FROM top1 GROUP BY doc_id),
+          |dup_marks AS (SELECT DISTINCT doc_id, n, j FROM (
+          |    SELECT g.doc_id, g.n, unnest(range(g.pos, g.pos + g.n)) AS j
+          |    FROM gram_rows g JOIN (SELECT doc_id, n, gram FROM gram_cnt WHERE n >= 5 AND cnt > 1) dg
+          |      USING (doc_id, n, gram))),
+          |dup_mass AS (SELECT m.doc_id,
+          |    CAST(sum(CASE WHEN m.n = 5 THEN length(t.term) END) AS BIGINT) AS dup_5gram_chars,
+          |    CAST(sum(CASE WHEN m.n = 6 THEN length(t.term) END) AS BIGINT) AS dup_6gram_chars,
+          |    CAST(sum(CASE WHEN m.n = 7 THEN length(t.term) END) AS BIGINT) AS dup_7gram_chars,
+          |    CAST(sum(CASE WHEN m.n = 8 THEN length(t.term) END) AS BIGINT) AS dup_8gram_chars,
+          |    CAST(sum(CASE WHEN m.n = 9 THEN length(t.term) END) AS BIGINT) AS dup_9gram_chars,
+          |    CAST(sum(CASE WHEN m.n = 10 THEN length(t.term) END) AS BIGINT) AS dup_10gram_chars
+          |  FROM dup_marks m JOIN toks t ON t.doc_id = m.doc_id AND t.pos = m.j
+          |  GROUP BY m.doc_id)
+          |SELECT d.doc_id, n_lines, n_dup_lines,
+          |  CASE WHEN n_lines > 0 THEN CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) END AS dup_line_frac,
+          |  CASE WHEN line_chars > 0 THEN CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) END AS dup_line_char_frac,
+          |  n_paras, n_dup_paras,
+          |  CASE WHEN n_paras > 0 THEN CAST(n_dup_paras AS DOUBLE) / CAST(n_paras AS DOUBLE) END AS dup_para_frac,
+          |  CASE WHEN para_chars > 0 THEN CAST(dup_para_chars AS DOUBLE) / CAST(para_chars AS DOUBLE) END AS dup_para_char_frac,
+          |  CASE WHEN tok_chars + n_tokens - 1 > 0 THEN CAST(top_2gram_chars AS DOUBLE) / CAST(tok_chars + n_tokens - 1 AS DOUBLE) END AS top_2gram_char_frac,
+          |  CASE WHEN tok_chars + n_tokens - 1 > 0 THEN CAST(top_3gram_chars AS DOUBLE) / CAST(tok_chars + n_tokens - 1 AS DOUBLE) END AS top_3gram_char_frac,
+          |  CASE WHEN tok_chars + n_tokens - 1 > 0 THEN CAST(top_4gram_chars AS DOUBLE) / CAST(tok_chars + n_tokens - 1 AS DOUBLE) END AS top_4gram_char_frac,
+          |  CASE WHEN tok_chars > 0 THEN CAST(dup_5gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) END AS dup_5gram_char_frac,
+          |  CASE WHEN tok_chars > 0 THEN CAST(dup_6gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) END AS dup_6gram_char_frac,
+          |  CASE WHEN tok_chars > 0 THEN CAST(dup_7gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) END AS dup_7gram_char_frac,
+          |  CASE WHEN tok_chars > 0 THEN CAST(dup_8gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) END AS dup_8gram_char_frac,
+          |  CASE WHEN tok_chars > 0 THEN CAST(dup_9gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) END AS dup_9gram_char_frac,
+          |  CASE WHEN tok_chars > 0 THEN CAST(dup_10gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) END AS dup_10gram_char_frac,
+          |  ((n_lines IS NULL OR n_lines = 0 OR CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.30)
+          |   AND (n_paras IS NULL OR n_paras = 0 OR CAST(n_dup_paras AS DOUBLE) / CAST(n_paras AS DOUBLE) <= 0.30)
+          |   AND (line_chars IS NULL OR line_chars = 0 OR CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE) <= 0.20)
+          |   AND (para_chars IS NULL OR para_chars = 0 OR CAST(dup_para_chars AS DOUBLE) / CAST(para_chars AS DOUBLE) <= 0.20)
+          |   AND (top_2gram_chars IS NULL OR CAST(top_2gram_chars AS DOUBLE) / CAST(tok_chars + n_tokens - 1 AS DOUBLE) <= 0.20)
+          |   AND (top_3gram_chars IS NULL OR CAST(top_3gram_chars AS DOUBLE) / CAST(tok_chars + n_tokens - 1 AS DOUBLE) <= 0.18)
+          |   AND (top_4gram_chars IS NULL OR CAST(top_4gram_chars AS DOUBLE) / CAST(tok_chars + n_tokens - 1 AS DOUBLE) <= 0.16)
+          |   AND (dup_5gram_chars IS NULL OR CAST(dup_5gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) <= 0.15)
+          |   AND (dup_6gram_chars IS NULL OR CAST(dup_6gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) <= 0.14)
+          |   AND (dup_7gram_chars IS NULL OR CAST(dup_7gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) <= 0.13)
+          |   AND (dup_8gram_chars IS NULL OR CAST(dup_8gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) <= 0.12)
+          |   AND (dup_9gram_chars IS NULL OR CAST(dup_9gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) <= 0.11)
+          |   AND (dup_10gram_chars IS NULL OR CAST(dup_10gram_chars AS DOUBLE) / CAST(tok_chars AS DOUBLE) <= 0.10)) AS keep
+          |FROM (SELECT doc_id FROM dd) d
+          |LEFT JOIN line_stats USING (doc_id)
+          |LEFT JOIN para_stats USING (doc_id)
+          |LEFT JOIN tok_stats USING (doc_id)
+          |LEFT JOIN top_shares USING (doc_id)
+          |LEFT JOIN dup_mass USING (doc_id)
+          |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
 
       // the composed corpus-build decision: all five component oracles in
       // one WITH, joined on the doc key

@@ -262,6 +262,187 @@ object TextStats {
     (col("dup_line_frac") <= maxDupLineFrac) &&
       coalesce(col("top_bigram_frac") <= maxTopBigramFrac, lit(true))
 
+  /** The FULL Gopher repetition battery (Rae et al. 2021 §A1.1 — the cited
+    * contract [[repetitionSignals]] implements a subset of): per document,
+    *
+    *  - duplicate line / paragraph FRACTIONS (units beyond the first
+    *    occurrence over total units; paragraphs split on `\n\n`) and
+    *    duplicate line / paragraph CHARACTER fractions (character mass of
+    *    the beyond-first occurrences over total unit character mass —
+    *    `Σ_dup (cnt−1)·len(unit) / Σ cnt·len(unit)`, newlines excluded);
+    *  - top {2,3,4}-gram character shares: occurrences of the most
+    *    frequent n-gram times its character length (tokens plus the n−1
+    *    joining single spaces) over the single-space-normalized text
+    *    length `tok_chars + n_tokens − 1` (ties break to the
+    *    lexicographically smallest n-gram, so the share is deterministic);
+    *  - duplicate {5..10}-gram character fractions: the character mass of
+    *    token POSITIONS covered by at least one n-gram occurring more than
+    *    once in the document — positions are marked and deduplicated
+    *    before summing, so overlapping duplicate n-grams never double
+    *    count (the paper's "taking care not to count characters twice") —
+    *    over total token character mass.
+    *
+    * Tokenization is the pinned `split(lower(trim(text)), '\s+')`; windows
+    * containing an empty token (leading-tab artifact) are skipped, the
+    * [[repetitionSignals]] bigram discipline. Every numerator and
+    * denominator is an exact integer aggregate; each emitted fraction is
+    * ONE trailing IEEE division, so a DuckDB oracle replays all 13 signals
+    * bit-for-bit. Degenerate docs (no units / no windows at a given n)
+    * emit null fractions, which [[repetitionKeepFull]] passes vacuously.
+    *
+    * Scale shape: everything is keyed by (doc, …) — unit and n-gram
+    * classes live inside their document, so there is no corpus-wide hot
+    * key anywhere; the n-gram pass explodes tokens ×9 (n = 2..10 windows,
+    * built from one lead-window scan inside the doc partition) and the
+    * duplicate-mark pass joins counts back on the doc-local window text
+    * (groupBy + join-back, not a global window). Linear in corpus tokens
+    * with a ×9 constant — the price of the full battery; run it after the
+    * cheap hard filters have already dropped the obvious junk.
+    */
+  def repetitionSignalsFull(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // per-unit (line / paragraph) duplication: explode → per-(doc, unit)
+    // counts → per-doc integer masses
+    def unitStats(sep: String, prefix: String): DataFrame =
+      docs.select(col(idCol), explode(split(col(textCol), sep)).as("unit"))
+        .groupBy(col(idCol), col("unit")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col(idCol)).agg(
+          sum("cnt").as(s"n_${prefix}s"),
+          sum(col("cnt") - 1).as(s"n_dup_${prefix}s"),
+          sum((col("cnt") - 1) * length(col("unit"))).as(s"dup_${prefix}_chars"),
+          sum(col("cnt") * length(col("unit"))).as(s"${prefix}_chars"))
+    val lineStats = unitStats("\n", "line")
+    val paraStats = unitStats("\n\n", "para")
+
+    val toks = docs.select(col(idCol),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .toDF(idCol, "pos", "term")
+    val tokStats = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("term"))).as("tok_chars"))
+
+    // one lead-window scan builds every 2..10-gram start (doc partition
+    // bounds the window; no global sort), then ONE explode per consumer
+    // emits the window sizes — per-n union branches would recompute the
+    // window chain per branch AND clone the generator expression into each
+    // branch's inferred filters (the round-5 janino lesson)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val leads = toks.select(
+      col(idCol) +: col("pos") +: col("term").as("t0") +:
+        (1 to 9).map(i => lead(col("term"), i).over(w).as(s"t$i")): _*)
+    def gramParts(n: Int) = (0 until n).map(i => col(s"t$i"))
+    def gramValid(n: Int) =
+      gramParts(n).map(p => p.isNotNull && p =!= "").reduce(_ && _)
+
+    // n = 2..4 carry the gram TEXT — the top-share needs its length and
+    // the deterministic smallest-text tie-break
+    val textStructs = (2 to 4).map { n =>
+      when(gramValid(n),
+        struct(lit(n).as("n"), concat_ws(" ", gramParts(n): _*).as("gram")))
+    }
+    val grams24 = leads
+      .select(col(idCol), explode_outer(array(textStructs: _*)).as("g"))
+      .where(col("g").isNotNull)
+      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+
+    // n = 5..10 only ever test EQUALITY (count > 1, join back), so the
+    // gram key is xxhash64 over the n lead columns — field-wise, so there
+    // is no separator ambiguity and no per-row string building (profiled
+    // 3× cheaper than materializing 6 gram strings per token). Within-doc
+    // same-n collision odds are (grams/doc)²/2⁶⁴ — negligible, and the
+    // DuckDB oracle replays by TEXT, so a collision would fail the oracle
+    // loudly rather than pass silently.
+    val hashStructs = (5 to 10).map { n =>
+      when(gramValid(n),
+        struct(lit(n).as("n"), xxhash64(gramParts(n): _*).as("ghash")))
+    }
+    val grams510 = leads
+      .select(col(idCol), col("pos"),
+        explode_outer(array(hashStructs: _*)).as("g"))
+      .where(col("g").isNotNull)
+      .select(col(idCol), col("pos"), col("g.n").as("n"), col("g.ghash").as("ghash"))
+
+    // top-{2,3,4}-gram: (occurrences × chars) of the deterministic top gram
+    val topShares = grams24.groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol), col("n"))
+      .agg(min(struct((-col("cnt")).as("ncnt"), col("gram"))).as("top"))
+      .select(col(idCol), col("n"),
+        ((-col("top.ncnt")) * length(col("top.gram"))).as("top_mass"))
+      .groupBy(col(idCol)).agg(
+        sum(when(col("n") === 2, col("top_mass"))).as("top_2gram_chars"),
+        sum(when(col("n") === 3, col("top_mass"))).as("top_3gram_chars"),
+        sum(when(col("n") === 4, col("top_mass"))).as("top_4gram_chars"))
+
+    // duplicate-{5..10}-gram masses: counts>1 join back to starts (doc-local
+    // keys), covered positions deduplicated before the char sum
+    val gramCnt510 = grams510.groupBy(col(idCol), col("n"), col("ghash"))
+      .agg(count(lit(1)).as("cnt"))
+    val dupMarks = grams510
+      .join(gramCnt510.where(col("cnt") > 1), Seq(idCol, "n", "ghash"))
+      .select(col(idCol), col("n"),
+        explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("j"))
+      .distinct()
+    val dupMassCols = (5 to 10).map(n =>
+      sum(when(col("n") === n, col("tlen"))).as(s"dup_${n}gram_chars"))
+    val dupMass = dupMarks
+      .join(toks.select(col(idCol), col("pos").as("j"), length(col("term")).as("tlen")),
+        Seq(idCol, "j"))
+      .groupBy(col(idCol)).agg(dupMassCols.head, dupMassCols.tail: _*)
+
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double"))
+
+    val normChars = col("tok_chars") + col("n_tokens") - 1
+    docs.select(col(idCol))
+      .join(lineStats, Seq(idCol), "left")
+      .join(paraStats, Seq(idCol), "left")
+      .join(tokStats, Seq(idCol), "left")
+      .join(topShares, Seq(idCol), "left")
+      .join(dupMass, Seq(idCol), "left")
+      .select(
+        Seq(col(idCol),
+          col("n_lines"), col("n_dup_lines"),
+          frac(col("n_dup_lines"), col("n_lines")).as("dup_line_frac"),
+          frac(col("dup_line_chars"), col("line_chars")).as("dup_line_char_frac"),
+          col("n_paras"), col("n_dup_paras"),
+          frac(col("n_dup_paras"), col("n_paras")).as("dup_para_frac"),
+          frac(col("dup_para_chars"), col("para_chars")).as("dup_para_char_frac"),
+          frac(col("top_2gram_chars"), normChars).as("top_2gram_char_frac"),
+          frac(col("top_3gram_chars"), normChars).as("top_3gram_char_frac"),
+          frac(col("top_4gram_chars"), normChars).as("top_4gram_char_frac")) ++
+        (5 to 10).map(n =>
+          frac(col(s"dup_${n}gram_chars"), col("tok_chars"))
+            .as(s"dup_${n}gram_char_frac")): _*)
+  }
+
+  /** The Gopher §A1.1 repetition keep decision over
+    * [[repetitionSignalsFull]] — the paper's thresholds verbatim: dup
+    * line/para fraction ≤ 0.30/0.30, dup line/para char fraction
+    * ≤ 0.20/0.20, top {2,3,4}-gram char share ≤ {0.20, 0.18, 0.16}, dup
+    * {5,6,7,8,9,10}-gram char fraction ≤ {0.15, 0.14, 0.13, 0.12, 0.11,
+    * 0.10}. Null signals (degenerate docs) pass their clause vacuously.
+    */
+  def repetitionKeepFull(): Column = {
+    // literal thresholds, not arithmetic: 0.15 − 0.05 is 0.09999…98 in
+    // binary doubles and a frac of exactly 0.10 must still pass
+    val clauses =
+      Seq(("dup_line_frac", 0.30), ("dup_para_frac", 0.30),
+        ("dup_line_char_frac", 0.20), ("dup_para_char_frac", 0.20),
+        ("top_2gram_char_frac", 0.20), ("top_3gram_char_frac", 0.18),
+        ("top_4gram_char_frac", 0.16),
+        ("dup_5gram_char_frac", 0.15), ("dup_6gram_char_frac", 0.14),
+        ("dup_7gram_char_frac", 0.13), ("dup_8gram_char_frac", 0.12),
+        ("dup_9gram_char_frac", 0.11), ("dup_10gram_char_frac", 0.10))
+    clauses.map { case (c, t) => coalesce(col(c) <= t, lit(true)) }
+      .reduce(_ && _)
+  }
+
   /** CCNet-style language-model quality scoring, model-free analogue
     * (Wenzek et al. 2020 rank documents by a KenLM 5-gram perplexity and
     * split the corpus into head/middle/tail thirds; a real LM is an

@@ -1032,6 +1032,47 @@ class OpsSpec extends AnyFunSuite {
     assert(b1 == b2)
   }
 
+  test("repetitionSignalsFull: full Gopher A1.1 battery on crafted docs") {
+    import graft.ops.TextStats
+    val d = Seq(
+      // "a b c d e" 5-gram repeats at pos 0 and 5: n=5 marks 10 of 11
+      // token positions; no 6-gram repeats; top-2gram tie ("a b","b c",
+      // "c d","d e" all x2) breaks to "a b" (3 chars x 2 occurrences)
+      (1L, "a b c d e a b c d e x"),
+      (2L, "x\nx\ny"),   // line dups: 1/3 lines, 1/3 chars; one paragraph
+      (3L, "p\n\np"),    // paragraph dup: 1/2 paras; lines: p,"",p
+      (4L, "q w e r t y u i o p z q w e r t y u i o p"), // 10-gram repeat
+      (5L, "solo"),
+      (6L, "")).toDF("doc_id", "text")
+    val got = TextStats.repetitionSignalsFull(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Double]("dup_5gram_char_frac") == 10.0 / 11.0)
+    assert(r1.isNullAt(r1.fieldIndex("dup_6gram_char_frac")))
+    assert(r1.getAs[Double]("top_2gram_char_frac") == 6.0 / 21.0)
+    assert(r1.getAs[Double]("dup_line_frac") == 0.0)
+    val r2 = got(2L)
+    assert(r2.getAs[Double]("dup_line_frac") == 1.0 / 3.0)
+    assert(r2.getAs[Double]("dup_line_char_frac") == 1.0 / 3.0)
+    assert(r2.getAs[Long]("n_paras") == 1 && r2.getAs[Double]("dup_para_frac") == 0.0)
+    val r3 = got(3L)
+    assert(r3.getAs[Double]("dup_para_frac") == 0.5)
+    assert(r3.getAs[Double]("dup_para_char_frac") == 0.5)
+    assert(r3.getAs[Long]("n_lines") == 3 && r3.getAs[Long]("n_dup_lines") == 1)
+    val r4 = got(4L)
+    // the repeated 10-gram marks 20 of 21 positions at every n in 5..10
+    (5 to 10).foreach { n =>
+      assert(r4.getAs[Double](s"dup_${n}gram_char_frac") == 20.0 / 21.0, s"n=$n")
+    }
+    // keep decision: 1 and 4 fail (dup n-gram mass), 2 and 3 fail unit
+    // fractions (1/3 > 0.30, 1/2 > 0.30), degenerate docs pass vacuously
+    val keep = TextStats.repetitionSignalsFull(d)
+      .withColumn("keep", TextStats.repetitionKeepFull()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(keep == Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> true, 6L -> true))
+  }
+
   test("repetitionSignals: dup lines, bigram tie-break, degenerate docs") {
     import graft.ops.TextStats
     val d = Seq(

@@ -948,26 +948,27 @@ object SparkEntry {
     }),
 
     // the SAME dedup decision WITHOUT materializing conversation text:
-    // fp = bit_xor(xxhash64(turn_idx, text)) is a pure aggregation (O(1)
-    // group state — mega-conversation-safe); equal (turn_idx, text)
-    // multisets ⇔ equal ordered conversations, and on the fixture corpus fp
-    // equality == conversation equality, pinned at all three scales against
-    // the SAME rolled-up-text oracle as conv_dedup. Caveat: 64-bit xor
-    // admits STRUCTURED collisions (h1^h2 == h3^h4 across four distinct
-    // tuples) beyond the generic birthday bound — see
-    // TextStats.multisetFingerprint's verify-the-candidates note; OpsSpec
-    // asserts fp-distinctness == conversation-distinctness on this corpus.
+    // the 128-BIT multiset fingerprint (two independent xor lanes over
+    // xxhash64(turn_idx, text)) is a pure aggregation (O(1) group state —
+    // mega-conversation-safe); equal (turn_idx, text) multisets ⇔ equal
+    // ordered conversations, false key collisions need BOTH lanes (~2⁻¹²⁸
+    // — the r6 structured-64-bit-xor caveat, closed), and on the fixture
+    // corpus key equality == conversation equality, pinned at all three
+    // scales against the SAME rolled-up-text oracle as conv_dedup. Keeper
+    // per class via groupBy-agg + join-back (a window on the fp key would
+    // sort a web-scale boilerplate class inside one task).
     "conv_dedup_fp" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val t = turns(s, dir).select(col("conv_id"), col("turn_idx"), col("text"))
       val planted = t.union(
         t.where(col("conv_id").cast("long") % 7 === 0)
           .select(concat(col("conv_id"), lit("D")).as("conv_id"),
             col("turn_idx"), col("text")))
-      planted.groupBy(col("conv_id"))
-        .agg(TextStats.multisetFingerprint(col("turn_idx"), col("text")).as("fp"))
-        .withColumn("keeper_id",
-          min(col("conv_id")).over(Window.partitionBy(col("fp"))))
+      val keyed = planted.groupBy(col("conv_id"))
+        .agg(TextStats.multisetFingerprint128(col("turn_idx"), col("text")).as("fp"))
+      val classes = keyed.groupBy(col("fp"))
+        .agg(min(col("conv_id")).as("keeper_id"))
+        .withColumnRenamed("fp", "class_fp")
+      keyed.join(classes, col("fp") === col("class_fp"))
         .select(col("conv_id"), col("keeper_id"),
           (col("conv_id") =!= col("keeper_id")).as("is_dup"))
         .orderBy("conv_id")
@@ -1009,6 +1010,26 @@ object SparkEntry {
     "sft_context_pairs" -> ((s, dir) =>
       Conversations.contextPairs(turns(s, dir), nContext = 3)
         .orderBy("conv_id", "turn_idx")),
+
+    // END-TO-END SFT prep (VERDICT r6 #6): context assembly → render the
+    // example (context ⧺ target) → tokenizer-shaped cost → deterministic
+    // greedy packing into context windows — the full batch-prep chain a
+    // fine-tune run executes after transcript cleanup. Each piece already
+    // has an exact oracle; this composes all three in one recursive-CTE
+    // replay (window list → concat → regex cost → per-bucket greedy fold).
+    "sft_prep_packed" -> ((s, dir) => {
+      val pairs = Conversations.contextPairs(turns(s, dir), nContext = 3)
+        // ×3 (the per-conversation turn count), not a round ×10: assistant
+        // turns sit at turn_idx 1, and 10c+1 is always ODD — half the id%8
+        // packing buckets would never be used; 3c+1 covers every residue
+        .withColumn("example_id",
+          col("conv_id").cast("long") * 3 + col("turn_idx"))
+        .withColumn("example", concat_ws("\n", col("context"), col("target")))
+      TextStats.packSequencesByCost(pairs,
+          TextStats.bpeishCount(col("example")),
+          idCol = "example_id", maxTokens = 512, buckets = 8)
+        .orderBy("example_id")
+    }),
 
     // CCNet-style turn-level dedup (lowercase + digit→0 normalization): the
     // transcripts twin of paragraph dedup — template turns differing only in
@@ -2489,6 +2510,28 @@ object SparkEntry {
           "FROM turns) " +
           "SELECT conv_id, turn_idx, context, text AS target FROM r " +
           "WHERE role = 'assistant' ORDER BY conv_id, turn_idx"),
+
+      // context assembly → example render → bpe-ish cost → greedy pack,
+      // composed: the same window-list CTE as sft_context_pairs feeding the
+      // same recursive fold as pack_sequences_bpeish (budget 512, 8 buckets)
+      "sft_prep_packed" ->
+        (s"${cte.replaceFirst("WITH ", "WITH RECURSIVE ")}, " +
+          "r AS (SELECT conv_id, turn_idx, role, text, " +
+          "coalesce(array_to_string(list(concat_ws(': ', role, text)) OVER " +
+          "(PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), chr(10)), '') AS context " +
+          "FROM turns), " +
+          "p AS (SELECT CAST(conv_id AS BIGINT) * 3 + turn_idx AS example_id, " +
+          "concat_ws(chr(10), context, text) AS example FROM r WHERE role = 'assistant'), " +
+          """d AS (SELECT example_id, CAST(len(regexp_extract_all(example, '\p{L}+|\p{N}+|[^ \t\n\x0B\f\r\p{L}\p{N}]')) AS INTEGER) AS n_tokens, """ +
+          "CAST(example_id % 8 AS INTEGER) AS bucket, " +
+          "CAST(row_number() OVER (PARTITION BY example_id % 8 ORDER BY example_id) AS INTEGER) AS rn FROM p), " +
+          "st AS (SELECT bucket, rn, example_id, n_tokens, CAST(n_tokens AS BIGINT) AS acc, 0 AS pack FROM d WHERE rn = 1 " +
+          "UNION ALL SELECT d.bucket, d.rn, d.example_id, d.n_tokens, " +
+          "CASE WHEN st.acc + d.n_tokens > 512 THEN CAST(d.n_tokens AS BIGINT) ELSE st.acc + d.n_tokens END, " +
+          "CASE WHEN st.acc + d.n_tokens > 512 THEN st.pack + 1 ELSE st.pack END " +
+          "FROM st JOIN d ON d.bucket = st.bucket AND d.rn = st.rn + 1) " +
+          "SELECT example_id, n_tokens, bucket, CAST(pack AS INTEGER) AS pack " +
+          "FROM st ORDER BY example_id"),
 
       // CCNet normalization replayed verbatim (DuckDB regexp_replace needs
       // the 'g' flag; Spark is global by default); classes partition on the

@@ -885,12 +885,12 @@ object Dedup {
     *    (equal conversations collide in EVERY band ⇒ recall 1 for exact
     *    copies; a conversation differing in one turn has Jaccard
     *    (n−1)/(n+1) and is caught per normal LSH collision odds);
-    *  - verification: exact equality of `(bit_xor(h), count)` — equal
-    *    multisets always agree; unequal multisets disagree except at
-    *    structured 64-bit xor collisions, which the fixture-scale corpora
-    *    pin out (OpsSpec asserts fp-distinctness == conversation-
-    *    distinctness on the oracle corpus) and which a production deploy
-    *    would close with a 128-bit fingerprint.
+    *  - verification: exact equality of the 128-BIT fingerprint
+    *    `(bit_xor(h), bit_xor(xxhash64(h, tag)), count)` — equal multisets
+    *    always agree; unequal multisets must collide BOTH independent xor
+    *    lanes (~2⁻¹²⁸) to verify falsely, closing the structured 64-bit
+    *    xor caveat (OpsSpec constructs a real one-lane collision via GF(2)
+    *    elimination and shows the second lane splits it).
     *
     * Returns verified (a, b) pairs, a < b. Shuffles: one turn→conversation
     * aggregation keyed on `convCol`, one band-keyed candidate join over
@@ -914,7 +914,9 @@ object Dedup {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val h = xxhash64(col(turnIdxCol), col(textCol))
     val sigAggs = (0 until numHashes).map(j => min(xxhash64(h, lit(j))).as(s"m$j"))
-    val aggs = sigAggs ++ Seq(bit_xor(h).as("fp"), count(lit(1)).as("n_turns"))
+    val aggs = sigAggs ++ Seq(bit_xor(h).as("fp"),
+      bit_xor(xxhash64(h, lit(graft.ops.TextStats.MultisetFp128Tag))).as("fp2"),
+      count(lit(1)).as("n_turns"))
     val sigs = turns.groupBy(col(convCol).as("id"))
       .agg(aggs.head, aggs.tail: _*)
       .persist(lvl)
@@ -937,11 +939,14 @@ object Dedup {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
-    val keys = sigs.select(col("id"), col("fp"), col("n_turns"))
+    val keys = sigs.select(col("id"), col("fp"), col("fp2"), col("n_turns"))
     val result = cand
-      .join(keys.select(col("id").as("a"), col("fp").as("fp_a"), col("n_turns").as("n_a")), "a")
-      .join(keys.select(col("id").as("b"), col("fp").as("fp_b"), col("n_turns").as("n_b")), "b")
-      .where(col("fp_a") === col("fp_b") && col("n_a") === col("n_b"))
+      .join(keys.select(col("id").as("a"), col("fp").as("fp_a"),
+        col("fp2").as("fp2_a"), col("n_turns").as("n_a")), "a")
+      .join(keys.select(col("id").as("b"), col("fp").as("fp_b"),
+        col("fp2").as("fp2_b"), col("n_turns").as("n_b")), "b")
+      .where(col("fp_a") === col("fp_b") && col("fp2_a") === col("fp2_b") &&
+        col("n_a") === col("n_b"))
       .select("a", "b")
       .persist(lvl)
     result.count()

@@ -527,10 +527,36 @@ object TextStats {
     * wraps by construction). Xor'd 64-bit hashes can collide adversarially
     * — exact pipelines verify fingerprint-equal groups (cheap: candidates
     * ≪ corpus), the same verify-the-candidates shape as
-    * [[graft.ops.Dedup.simhashExactDups]].
+    * [[graft.ops.Dedup.simhashExactDups]] — or key on
+    * [[multisetFingerprint128]], whose second independent lane drops the
+    * collision odds to 2⁻¹²⁸ (OpsSpec constructs a real 64-bit xor
+    * collision via GF(2) elimination and shows the second lane split it).
     */
   def multisetFingerprint(parts: Column*): Column =
     bit_xor(xxhash64(parts: _*))
+
+  /** Seed tag for [[multisetFingerprint128]]'s second lane (and the
+    * streaming twin's incremental fold, which must reproduce
+    * `xxhash64(h, MultisetFp128Tag)` bit-for-bit via the XXH64 long-fold).
+    */
+  val MultisetFp128Tag: Long = 0x9E3779B97F4A7C15L
+
+  /** 128-bit aggregate multiset fingerprint: two INDEPENDENT 64-bit xor
+    * lanes — `fp_lo = bit_xor(h)` and `fp_hi = bit_xor(xxhash64(h, tag))`
+    * over the same per-tuple hash `h = xxhash64(parts…)`. The remix
+    * through a second xxhash64 makes the lanes behave as independent
+    * hashes, so a structured xor collision in one lane (four distinct
+    * tuples with h1^h2 = h3^h4 — the documented 64-bit caveat) passes the
+    * other lane only at 2⁻⁶⁴ odds: the combined key collides at ~2⁻¹²⁸.
+    * Same O(1) group state and distinct-tuples contract as
+    * [[multisetFingerprint]]; returns a (fp_lo, fp_hi) struct usable
+    * directly as a grouping / join key.
+    */
+  def multisetFingerprint128(parts: Column*): Column = {
+    val h = xxhash64(parts: _*)
+    struct(bit_xor(h).as("fp_lo"),
+      bit_xor(xxhash64(h, lit(MultisetFp128Tag))).as("fp_hi"))
+  }
 
   /** Deterministic greedy sequence packing — the pretraining batch-prep
     * step that concatenates documents into fixed token-budget context

@@ -69,24 +69,27 @@ object DeidStream {
       .dropDuplicatesWithinWatermark("text_hash")
 
   final case class TurnKey(conv_id: String, turn_idx: Int, text: String)
-  final case class ConvSigState(fp: Long, n: Long)
-  final case class ConvSig(conv_id: String, fp: Long, n_turns: Long)
+  final case class ConvSigState(fp: Long, fp2: Long, n: Long)
+  final case class ConvSig(conv_id: String, fp: Long, fp2: Long, n_turns: Long)
 
   /** Streaming conversation multiset fingerprints — the streaming twin of
     * the `conv_dedup_fp` aggregation path: per conversation, state is ONE
-    * (xor, count) pair folded incrementally over arriving turns
-    * (`fp ^= xxhash64(turn_idx, text)` — bit-exact with the batch
-    * [[graft.ops.TextStats.multisetFingerprint]] via the same XXH64 running
-    * hash, seed 42, int-then-UTF8 order; a null text contributes
+    * (xor_lo, xor_hi, count) triple folded incrementally over arriving
+    * turns (`fp ^= h; fp2 ^= xxhash64(h, tag)` with
+    * `h = xxhash64(turn_idx, text)` — bit-exact with the batch
+    * [[graft.ops.TextStats.multisetFingerprint128]] via the same XXH64
+    * running hash, seed 42, int-then-UTF8 order, then the long-fold remix
+    * `hashLong(tag, hashLong(h, 42))`; a null text contributes
     * `hashInt(turn_idx)` alone — Spark's XxHash64 skips null children, so
     * the stream matches the batch fingerprint instead of throwing), so a
-    * 10⁹-turn mega-conversation costs 16 bytes of store state. Each
+    * 10⁹-turn mega-conversation costs 24 bytes of store state. Each
     * micro-batch that touches a conversation emits its CURRENT
-    * `(conv_id, fp, n_turns)` — n_turns is monotone, so downstream keeps
-    * the max-n row per conversation ("latest wins"). The dedup DECISION is
-    * fp equality downstream (the `conv_dedup_fp` window or
-    * [[graft.ops.Dedup.conversationDupPairs]]' verify — same collision
-    * caveat, pinned by the OpsSpec fixture assert).
+    * `(conv_id, fp, fp2, n_turns)` — n_turns is monotone, so downstream
+    * keeps the max-n row per conversation ("latest wins"). The dedup
+    * DECISION is 128-bit (fp, fp2) equality downstream (the
+    * `conv_dedup_fp` class key or
+    * [[graft.ops.Dedup.conversationDupPairs]]' verify — false collisions
+    * need both independent lanes, ~2⁻¹²⁸).
     *
     * State retention: with the default `closeAfter = "never"` the 16-byte
     * state is kept for every conversation ever seen — total state is
@@ -133,17 +136,22 @@ object DeidStream {
             state.remove()
             Iterator.empty
           } else {
-            var s = state.getOption.getOrElse(ConvSigState(0L, 0L))
+            var s = state.getOption.getOrElse(ConvSigState(0L, 0L, 0L))
             it.foreach { t =>
               val base = XXH64.hashInt(t.turn_idx, 42L)
               val h =
                 if (t.text == null) base // XxHash64 skips null children
                 else XXH64.hashUTF8String(UTF8String.fromString(t.text), base)
-              s = ConvSigState(s.fp ^ h, s.n + 1)
+              // second lane: xxhash64(h, tag) = left-to-right long fold
+              // hashLong(tag, hashLong(h, seed)) — bit-exact with the
+              // batch multisetFingerprint128 remix
+              val h2 = XXH64.hashLong(
+                graft.ops.TextStats.MultisetFp128Tag, XXH64.hashLong(h, 42L))
+              s = ConvSigState(s.fp ^ h, s.fp2 ^ h2, s.n + 1)
             }
             state.update(s)
             if (useTimeout) state.setTimeoutDuration(closeAfter)
-            Iterator.single(ConvSig(id, s.fp, s.n))
+            Iterator.single(ConvSig(id, s.fp, s.fp2, s.n))
           }
       }
   }

@@ -1212,6 +1212,62 @@ class OpsSpec extends AnyFunSuite {
       s"fingerprint64 collision on the fixture corpus: ${fpr.getLong(0)} vs ${fpr.getLong(1)}")
   }
 
+  test("multisetFingerprint128: a CONSTRUCTED 64-bit xor collision is split by the second lane") {
+    // 65 xxhash64 values over GF(2) are linearly dependent, so Gaussian
+    // elimination finds a nonempty tuple subset S with xor(S) = 0; then
+    // the tuple sets A = S \ {e} and B = {e} are DISTINCT multisets with
+    // EQUAL 64-bit xor fingerprints — a real instance of the documented
+    // structured-collision caveat, not a hypothetical. The second
+    // (remixed) lane must split the pair; since both hashes are
+    // deterministic, this is a fixture constant, not a probabilistic test.
+    val tuples = (0 until 65).map(i => (i, s"turn text $i"))
+    val hs = tuples.toDF("turn_idx", "text")
+      .select($"turn_idx", xxhash64($"turn_idx", $"text").as("h"))
+      .orderBy("turn_idx").collect().map(_.getLong(1))
+    // GF(2) elimination tracking the combination of inputs per basis row
+    val basis = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Int])]
+    var dep: Set[Int] = Set.empty
+    var i = 0
+    while (dep.isEmpty && i < hs.length) {
+      var v = hs(i); var combo = Set(i)
+      basis.foreach { case (bv, bc) =>
+        if (java.lang.Long.numberOfLeadingZeros(v) ==
+            java.lang.Long.numberOfLeadingZeros(bv) && v != 0L) {
+          v ^= bv; combo = (combo | bc) -- (combo & bc)
+        }
+      }
+      // re-reduce until stable (basis rows sorted by leading bit not
+      // guaranteed after one pass)
+      var changed = true
+      while (changed && v != 0L) {
+        changed = false
+        basis.foreach { case (bv, bc) =>
+          if (v != 0L && java.lang.Long.numberOfLeadingZeros(v) ==
+              java.lang.Long.numberOfLeadingZeros(bv)) {
+            v ^= bv; combo = (combo | bc) -- (combo & bc); changed = true
+          }
+        }
+      }
+      if (v == 0L) dep = combo else basis += ((v, combo))
+      i += 1
+    }
+    assert(dep.nonEmpty, "65 64-bit values must be GF(2)-dependent")
+    val e = dep.head
+    val setA = (dep - e).toSeq.map(tuples) // xor(A) == xor({e}) by construction
+    val setB = Seq(tuples(e))
+    def fps(rows: Seq[(Int, String)]) =
+      rows.toDF("turn_idx", "text").agg(
+        TextStats.multisetFingerprint($"turn_idx", $"text").as("fp64"),
+        TextStats.multisetFingerprint128($"turn_idx", $"text").as("fp128"))
+        .select($"fp64", $"fp128.fp_lo", $"fp128.fp_hi").first()
+    val (fa, fb) = (fps(setA), fps(setB))
+    assert(fa.getLong(0) == fb.getLong(0),
+      "construction must collide the 64-bit fingerprint")
+    assert(fa.getLong(1) == fb.getLong(1), "fp_lo IS the 64-bit lane")
+    assert(fa.getLong(2) != fb.getLong(2),
+      "the independent second lane must split the constructed collision")
+  }
+
   test("TokenMultisetKeyExpr: signature-consistent lowering, sorted multiset semantics") {
     val df = Seq(
       (1L, "B a b A"), (2L, "a A b B"),          // equal multisets, mixed case

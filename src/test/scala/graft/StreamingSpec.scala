@@ -181,10 +181,12 @@ class StreamingSpec extends AnyFunSuite {
         org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
           .orderBy(desc("n_turns"))))
       .where(col("rk") === 1)
-      .select("conv_id", "fp", "n_turns")
+      .select("conv_id", "fp", "fp2", "n_turns")
     val want = turns.groupBy("conv_id").agg(
-      graft.ops.TextStats.multisetFingerprint(col("turn_idx"), col("text")).as("fp"),
+      graft.ops.TextStats.multisetFingerprint128(col("turn_idx"), col("text")).as("fp128"),
       count(lit(1)).as("n_turns"))
+      .select(col("conv_id"), col("fp128.fp_lo").as("fp"),
+        col("fp128.fp_hi").as("fp2"), col("n_turns"))
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "streamed conversation fingerprints must be bit-equal to the batch aggregation")
@@ -216,10 +218,12 @@ class StreamingSpec extends AnyFunSuite {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
-    val got = spark.read.parquet(s"$dir/out").select("conv_id", "fp", "n_turns")
+    val got = spark.read.parquet(s"$dir/out").select("conv_id", "fp", "fp2", "n_turns")
     val want = turns.groupBy("conv_id").agg(
-      graft.ops.TextStats.multisetFingerprint(col("turn_idx"), col("text")).as("fp"),
+      graft.ops.TextStats.multisetFingerprint128(col("turn_idx"), col("text")).as("fp128"),
       count(lit(1)).as("n_turns"))
+      .select(col("conv_id"), col("fp128.fp_lo").as("fp"),
+        col("fp128.fp_hi").as("fp2"), col("n_turns"))
     assert(got.count() == 2)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "null-text turn must hash as hashInt(turn_idx) alone, like batch xxhash64")

@@ -231,4 +231,39 @@ class StreamingSpec extends AnyFunSuite {
     val fps = got.select("fp").collect().map(_.getLong(0)).toSet
     assert(fps.size == 2)
   }
+
+  test("streaming context pairs agree with batch contextPairs across a checkpoint resume") {
+    import org.apache.spark.sql.functions._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream7").toString
+    val turns = TurnsGen.turns(spark, "/root/testdata/sf0.001")
+      .where(col("conv_id").cast("long") % 11 === 0)
+      .select("conv_id", "turn_idx", "role", "text").cache()
+    // first drain sees only turn 0; assistant turns (turn_idx 1) and the
+    // rest arrive in a SECOND drain so the nContext ring state must carry
+    // through the checkpoint for the context to include turn 0
+    turns.where(col("turn_idx") < 1).write.mode("overwrite").parquet(s"$dir/in")
+    val in = spark.readStream
+      .schema("conv_id string, turn_idx int, role string, text string")
+      .parquet(s"$dir/in")
+    def drain(): Unit = {
+      val q = DeidStream.contextPairsStream(in, nContext = 3)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    turns.where(col("turn_idx") >= 1).write.mode("append").parquet(s"$dir/in")
+    drain()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("conv_id", "turn_idx", "context", "target")
+    val want = graft.ops.Conversations.contextPairs(turns, nContext = 3)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed (context, target) pairs must be byte-equal to the batch window form")
+    turns.unpersist()
+  }
 }

@@ -133,8 +133,7 @@ object Bench {
     val keeperSkewJson = keeperSkewEvidence(spark, sfDir)
     val ckptJson = checkpointResumeEvidence(spark, sfDir)
     val windowJson = tokenWindowsProbe(spark, sfDir)
-    val ivfRecallJson = ivfRecallProbe(spark, sfDir)
-    val lshRecallJson = lshRecallProbe(spark, sfDir)
+    val (ivfRecallJson, lshRecallJson) = annRecallProbes(spark, sfDir)
     spark.stop()
 
     val refHeadToHeadJson = refHeadToHead()
@@ -205,47 +204,23 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"skew":$skewCompact,"keeper_skew":$keeperCompact,"checkpoint_resume":$ckptJson,"ivf_recall":$ivfRecallJson,"lsh_recall":$lshRecallJson,"sf_scale_top3":$sfScaleTop,"ref_h2h_p95_ms":$enginePerQuery,"ref_h2h_wall_ratio_p95":$h2hRatio,"scaling":$scalingCompact}""")
   }
 
-  /** Measured IVF approximate-regime recall (VERDICT r5 #5): recall@k of
-    * `nprobe < k` probing vs exact brute force on the planted-twin corpus.
-    * Deterministic: seeded sampled k-means centroids, fixed queries — the
-    * recalls are reproducible constants for a given fixture, and OpsSpec
-    * asserts the floor so a quantizer regression fails a test, not just a
-    * bench read.
+  /** Measured ANN recall probes (VERDICT r5 #5 / r6 #4), sharing ONE
+    * brute-force pass over the fixed query set (vec_id < 20):
+    *
+    *  - IVF: the full recall-vs-nprobe curve (1..16; nprobe=16 probes all
+    *    lists and must read 1.0 — the exact-regime pin), trained with the
+    *    best swept config (maximin init + 8 Lloyd rounds). This corpus is
+    *    near-unclusterable (synthetic embeddings, no macro cluster
+    *    structure), so recall tracks the probed fraction — the curve
+    *    commits that as a measured fact;
+    *  - LSH general regime: recall@5 of the auto-bit-width banded sign-LSH
+    *    top-k.
+    *
+    * Both deterministic (seeded sample/hyperplanes, fixed queries) —
+    * reproducible constants per fixture; OpsSpec asserts the floors so a
+    * regression fails a test, not just a bench read.
     */
-  private def ivfRecallProbe(spark: SparkSession, sfDir: String): String = {
-    import org.apache.spark.sql.functions._
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    // maximin init + 8 Lloyd rounds: the best measured config (IvfTune
-    // sweep, r7) — worth +0.05-0.09 recall@5 at nprobe=4 over hash/2
-    val centroids = graft.ops.Ivf.train(emb, k = 16, iters = 8,
-      sampleCap = 4096, init = "maximin")
-    val queries = emb.where(col("vec_id") < 20)
-    def topkSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
-      df.select("q_id", "n_id").collect()
-        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val brute = topkSet(graft.ops.Similarity.bruteForceTopK(emb, queries, k = 5))
-    // the full recall-vs-nprobe CURVE (VERDICT r6 #7): this corpus is
-    // near-unclusterable (synthetic embeddings without macro cluster
-    // structure), so recall tracks the probed fraction — a measured fact
-    // the curve commits instead of a tuning aspiration; nprobe=16 probes
-    // every list and must read 1.0 (the exact-regime pin)
-    val recalls = Seq(1, 2, 4, 8, 16).map { nprobe =>
-      val got = topkSet(graft.ops.Ivf.topK(emb, queries, centroids, k = 5, nprobe = nprobe))
-      val r = brute.map { case (q, want) =>
-        got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
-      }.sum / brute.size
-      f""""nprobe_$nprobe":$r%.3f"""
-    }
-    s"""{"k":5,"n_queries":${brute.size},"init":"maximin","lloyd_iters":8,${recalls.mkString(",")},"note":"corpus near-unclusterable: recall ~ probed fraction"}"""
-  }
-
-  /** Measured LSH general-regime recall (VERDICT r6 #4), mirroring
-    * [[ivfRecallProbe]]: recall@5 of the banded sign-LSH top-k against
-    * exact brute force on the same fixed query set. Deterministic
-    * (xxhash64-seeded hyperplanes, fixed bits/tables), so the value is a
-    * reproducible constant per fixture; OpsSpec asserts the floor.
-    */
-  private def lshRecallProbe(spark: SparkSession, sfDir: String): String = {
+  private def annRecallProbes(spark: SparkSession, sfDir: String): (String, String) = {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nHint = emb.count() // bench-side count, not a library hidden job
@@ -254,12 +229,26 @@ object Bench {
       df.select("q_id", "n_id").collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val brute = topkSet(graft.ops.Similarity.bruteForceTopK(emb, queries, k = 5))
-    val got = topkSet(graft.ops.Similarity.lshTopK(emb, k = 5, nHint = nHint)
-      .where(col("q_id") < 20))
-    val r = brute.map { case (q, want) =>
-      got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
-    }.sum / brute.size
-    f"""{"k":5,"n_queries":${brute.size},"recall_at_5":$r%.3f}"""
+    def recallOf(got: Map[Long, Set[Long]]): Double =
+      brute.map { case (q, want) =>
+        got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+      }.sum / brute.size
+
+    val centroids = graft.ops.Ivf.train(emb, k = 16, iters = 8,
+      sampleCap = 4096, init = "maximin")
+    val curve = Seq(1, 2, 4, 8, 16).map { nprobe =>
+      val r = recallOf(topkSet(
+        graft.ops.Ivf.topK(emb, queries, centroids, k = 5, nprobe = nprobe)))
+      f""""nprobe_$nprobe":$r%.3f"""
+    }
+    val ivfJson =
+      s"""{"k":5,"n_queries":${brute.size},"init":"maximin","lloyd_iters":8,${curve.mkString(",")},"note":"corpus near-unclusterable: recall ~ probed fraction"}"""
+
+    val lshR = recallOf(topkSet(
+      graft.ops.Similarity.lshTopK(emb, k = 5, nHint = nHint)
+        .where(col("q_id") < 20)))
+    val lshJson = f"""{"k":5,"n_queries":${brute.size},"recall_at_5":$lshR%.3f}"""
+    (ivfJson, lshJson)
   }
 
   /** Fresh per-round head-to-head on the reference's own protocol (VERDICT
@@ -552,13 +541,15 @@ object Bench {
     import org.apache.spark.sql.functions._
     val p = s"/tmp/graft_hotclass_docs_${sfDir.replaceAll("[^0-9.]", "")}"
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    // replicate to ~2M rows regardless of sf so the hot class's single-task
-    // sort dominates the ~50-100 ms fixed per-task overhead (at 160k rows
-    // the straggler hides inside scheduling noise and both shapes read ~1×)
+    // replicate to ~2M rows regardless of sf (rep reaches 4000 at the
+    // 500-doc fixtures) so the hot class's single-task sort dominates the
+    // ~50-100 ms fixed per-task overhead (at 160k rows the straggler hides
+    // inside scheduling noise and both shapes read ~1×); sequence() keeps
+    // the plan constant-size where an array of rep literals would not
     val rep = math.max(1L, 2000000L / math.max(1L, base.count())).toInt
     base
       .select(col("doc_id"), col("text"),
-        explode(array((0 until rep).map(lit): _*)).as("rep"))
+        explode(sequence(lit(0), lit(rep - 1))).as("rep"))
       .select((col("doc_id") * rep + col("rep")).as("doc_id"),
         when(pmod(col("doc_id"), lit(10)) < 6,
           lit("the planted hot boilerplate class every crawl snapshot carries"))

@@ -525,9 +525,11 @@ object Dedup {
     * aggregation (one row per component leaves each map task; a
     * million-member component never sorts inside one task), and the join
     * back is a stateless probe AQE's skew-join can split. The struct
-    * ordering (score-missing flag asc, negated NUMERIC score asc, id asc)
-    * equals the former window's (score desc nulls last, id asc) rank-1
-    * row exactly — negation needs a numeric score column, which is the
+    * ordering (score-missing flag asc, NaN-first flag asc, negated NUMERIC
+    * score asc, id asc) equals the former window's (score desc nulls
+    * last, id asc) rank-1 row exactly, including NaN scores (DESC ranks
+    * NaN above every double; −NaN would instead sort last, hence the
+    * explicit flag) — negation needs a numeric score column, which is the
     * contract ([[TextStats.qualityScore]] emits doubles). Component
     * members with no quality row are RETAINED and rank last (null score)
     * — they stay in the output and can only become keeper of an entirely
@@ -542,14 +544,18 @@ object Dedup {
   ): DataFrame = {
     val j = components.join(
       quality.select(col(idCol), col(scoreCol)), Seq(idCol), "left_outer")
-    // min over (score_missing, −score, id): present scores first, then the
-    // largest score (null −score sorts first WITHIN the missing group only,
-    // where every −score is null and id breaks the tie — same decision as
-    // desc_nulls_last), then the smallest id
+    // min over (score_missing, nan_last?, −score, id): present scores
+    // first, then the largest score, then the smallest id. NaN needs its
+    // own flag: Spark's DESC ordering puts NaN ABOVE every double (so the
+    // former window form crowned a NaN-scored doc), but −NaN is still NaN,
+    // which sorts LAST ascending — negation alone would flip the decision.
+    // (null −score sorts first WITHIN the missing group only, where every
+    // −score is null and id breaks the tie — same as desc_nulls_last.)
     val best = j.groupBy(col("component"))
       .agg(min(struct(
         col(scoreCol).isNull.cast("int").as("score_missing"),
-        (-col(scoreCol)).as("neg_score"),
+        when(isnan(col(scoreCol)), 0).otherwise(1).as("nan_first"),
+        when(isnan(col(scoreCol)), lit(0.0)).otherwise(-col(scoreCol)).as("neg_score"),
         col(idCol).as("id"))).as("top"))
       .select(col("component").as("best_component"),
         col("top.id").as("keeper_id"))

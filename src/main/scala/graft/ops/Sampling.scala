@@ -115,8 +115,12 @@ object Sampling {
       bucketOf: Column => Column = avalancheBucket(_),
       capPermille: Int = 100000
   ): DataFrame = {
-    val over = (ratePermille + ("<default>" -> defaultPermille))
-      .filter(_._2 > capPermille)
+    // check the listed rates and the default separately: merging them into
+    // one map keyed by stratum name would let a stratum literally named
+    // like the sentinel shadow its real rate out of the check
+    val over = ratePermille.toSeq.filter(_._2 > capPermille) ++
+      (if (defaultPermille > capPermille) Seq("(default rate)" -> defaultPermille)
+       else Nil)
     require(over.isEmpty,
       s"resampleCopies: rate(s) ${over.map { case (k, v) => s"$k=${v}permille" }
         .mkString(", ")} exceed capPermille=$capPermille (${capPermille / 1000}x); " +

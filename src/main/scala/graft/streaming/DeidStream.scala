@@ -91,7 +91,7 @@ object DeidStream {
     * [[graft.ops.Dedup.conversationDupPairs]]' verify — false collisions
     * need both independent lanes, ~2⁻¹²⁸).
     *
-    * State retention: with the default `closeAfter = "never"` the 16-byte
+    * State retention: with the default `closeAfter = "never"` the 24-byte
     * state is kept for every conversation ever seen — total state is
     * bounded by the number of DISTINCT conversations (not turns), the
     * honest bound for a corpus where conversations never formally close. A
@@ -132,7 +132,7 @@ object DeidStream {
           if (state.hasTimedOut) {
             // latest signature was already emitted when last touched; the
             // closeAfter contract (scaladoc) says the conversation is over,
-            // so the 16-byte state can be reclaimed
+            // so the 24-byte state can be reclaimed
             state.remove()
             Iterator.empty
           } else {
@@ -181,7 +181,11 @@ object DeidStream {
     * processed in a PREVIOUS batch would assemble a stale context; like
     * the sessionize watermark and the fingerprint `closeAfter`, that
     * horizon is a correctness contract, detectable downstream as
-    * non-monotone turn_idx per conv_id.
+    * non-monotone turn_idx per conv_id. The intra-batch sort does mean
+    * TRANSIENT memory of one conversation's slice of one micro-batch
+    * (unlike the O(1) fingerprint fold above) — the STORE state stays
+    * bounded at nContext rows; cap trigger size if a backfill can deliver
+    * a whole mega-conversation in one batch.
     */
   def contextPairsStream(
       turns: DataFrame,

@@ -1014,7 +1014,7 @@ class OpsSpec extends AnyFunSuite {
       Sampling.resampleCopies(ids, "src", $"doc_id", Map.empty,
         defaultPermille = 500000)
     }
-    assert(e2.getMessage.contains("<default>"), e2.getMessage)
+    assert(e2.getMessage.contains("(default rate)"), e2.getMessage)
   }
 
   test("avalanche default de-stripes arithmetic id strata; mul variant stays oracle-replayable") {
@@ -1157,6 +1157,19 @@ class OpsSpec extends AnyFunSuite {
     // 1 (null score) ranks below 2 (0.5) but STAYS in the output; a fully
     // score-less component keeps its min id
     assert(got == Map(1L -> ((2L, true)), 2L -> ((2L, false)), 5L -> ((5L, false))), got)
+  }
+
+  test("qualityKeepers: NaN score ranks ABOVE every finite score (window desc parity)") {
+    // Spark's DESC double ordering places NaN above +Inf, so the former
+    // window form crowned a NaN-scored doc; −NaN would instead sort LAST
+    // ascending — the agg form's explicit NaN flag preserves the window
+    // decision (r7 self-review finding)
+    val comps = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L).toDF("doc_id", "component")
+    val qual = Seq(1L -> Double.NaN, 2L -> 0.5, 3L -> Double.PositiveInfinity)
+      .toDF("doc_id", "quality_score")
+    val got = Dedup.qualityKeepers(comps, qual)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got)
   }
 
   test("hot-key guards fail loudly and point at the linear keeper forms") {

@@ -711,9 +711,18 @@ object SparkEntry {
         .unionAll(plant(79, 700000L,
           concat(col("text"), lit(" "),
             array_join(slice(split(trim(col("text")), "\\s+"), 1, 9), " "))))
+        // the battery scans its input ~7× (units ×2, tokens, grams ×3,
+        // mark join) and each scan would otherwise codegen + execute the
+        // 5-branch plant union again; localCheckpoint truncates the
+        // lineage so every consumer reads one cached narrow frame
+        .localCheckpoint(true)
+      // coalesce+sortWithinPartitions, NOT orderBy: range partitioning
+      // SAMPLES its child, executing the whole 13-signal battery twice
+      // (measured 2×); the output is one sorted partition either way
+      // (Verify writes coalesce(1))
       TextStats.repetitionSignalsFull(planted)
         .withColumn("keep", TextStats.repetitionKeepFull())
-        .orderBy("doc_id")
+        .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
     // CCNet-style LM quality bucketing, model-free analogue (Wenzek et al.

@@ -510,6 +510,21 @@ object SparkEntry {
         .orderBy("doc_id", "tok_start")
     }),
 
+    // the 100-TB decontamination shape: bloom prefilter over the reference
+    // digests (codegen'd scan-stage might_contain; zero shuffle until the
+    // survivors) + exact semi-join verify of the survivors — output
+    // IDENTICAL to decontaminate_spans (no false negatives; verify kills
+    // the false positives), so the SAME DuckDB oracle hash-gates it
+    "decontaminate_spans_bloom" -> ((s, dir) => {
+      val corpus = plantedDocs(s, dir).where(col("doc_id") % 100000 < 50)
+      val benchmark = docs(s, dir).where(col("doc_id") % 7 === 3)
+        .select("doc_id", "text")
+      Dedup.mergeTokenSpans(Dedup.contaminatedSpansBloom(corpus, benchmark,
+          k = 8, expectedRefWindows = 100000L, fpp = 0.01))
+        .select("doc_id", "tok_start", "tok_end")
+        .orderBy("doc_id", "tok_start")
+    }),
+
     // the scrub itself: drop every token inside a contaminated span and
     // re-join survivors (token-normalized output — the cut a pipeline
     // actually applies after the span pass). Dirty docs collapse to
@@ -2588,6 +2603,10 @@ object SparkEntry {
       // containing vertical tabs instead of silently diverging.
     ).map { case (name, sql) =>
       name -> sql.replace("""\s+""", """[ \t\n\x0B\f\r]+""")
+    } match {
+      // the bloom path's contract is output-identity with the exact path,
+      // so it is gated by the SAME oracle text
+      case m => m + ("decontaminate_spans_bloom" -> m("decontaminate_spans"))
     }
   }
 }

@@ -684,6 +684,77 @@ object Dedup {
         col("start"), col("end"))
   }
 
+  /** Bloom-filter benchmark decontamination — the 100-TB shape of
+    * [[contaminatedSpans]] for the regime where even the DISTINCT
+    * reference digests outgrow a comfortable exact broadcast: the
+    * reference's window digests fold into ONE Bloom filter
+    * (`BloomFilterAggregate` over `xxhash64(digest)` — the same native
+    * aggregate Spark's own runtime row-level filtering uses; size
+    * `optimalNumOfBits(expectedRefWindows, fpp)` bits ≈ n·1.44·log₂(1/fpp)
+    * — at fpp 1% a 4-BILLION-window suite is ~6.9 GB exact-broadcast rows
+    * but only ~4.8 GB of bloom... and at fpp 10% ~2.4 GB; a 100M-window
+    * suite is ~120 MB), which broadcasts as a plain literal into a
+    * codegen'd `BloomFilterMightContain` SCAN-STAGE filter — zero shuffle
+    * touches the corpus until only the bloom SURVIVORS (true hits +
+    * ~fpp·windows false positives) remain. Survivors are then verified
+    * with the exact digest semi-join, so the OUTPUT IS IDENTICAL to
+    * [[contaminatedSpans]] (blooms have no false negatives; the verify
+    * join kills the false positives) — pinned by the shared driver oracle
+    * and an equality spec that forces a pathological fpp.
+    *
+    * Scale shape: reference scan + one k-group bloom aggregation (bytes to
+    * the driver = the filter itself, the documented bounded-collect);
+    * corpus = one narrow scan with an in-stage filter; the exact verify
+    * join's probe side is only the surviving windows — for a clean corpus
+    * that is ~fpp of it. Use the exact [[contaminatedSpans]] when the
+    * reference digests broadcast comfortably; this one when they don't.
+    */
+  def contaminatedSpansBloom(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 8,
+      expectedRefWindows: Long = 1000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    require(k >= 1, "window size k must be >= 1")
+    require(expectedRefWindows > 0, "expectedRefWindows must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    import org.apache.spark.sql.graftshim.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedRefWindows, fpp)
+    val refW = tokenWindows(reference, idCol, textCol, k).select("w").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bloomAgg = Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("w"))),
+        Bridge.expression(lit(expectedRefWindows)),
+        Bridge.expression(lit(numBits))).toAggregateExpression())
+      val bloomBytes = refW.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(xxhash64(col("w")))))
+      val cand = tokenWindows(corpus, idCol, textCol, k).where(mightContain)
+      // exact verify (false-positive kill): probe side = bloom survivors
+      // only; shuffle_hash because Catalyst's estimate of the distinct
+      // aggregate cannot see the true build size the caller just declared
+      // broadcast-hostile. Eager-materialization contract as
+      // [[minhashNearDups]]: refW feeds both the bloom aggregation and
+      // this join, so the result is persisted + materialized, the
+      // reference cache released, and the caller owns the returned
+      // frame's unpersist().
+      val result = cand.join(refW.hint("shuffle_hash"), Seq("w"), "left_semi")
+        .select(col("id").as(idCol), col("tok_start"), col("tok_end"),
+          col("start"), col("end"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count()
+      result
+    } finally refW.unpersist()
+  }
+
   /** Doc-level contamination REPORT — the audit twin of
     * [[contaminatedSpans]] (the GPT-3 appendix-style per-document overlap
     * accounting): for each corpus document, how many of its k-token

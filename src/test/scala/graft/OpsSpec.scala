@@ -436,6 +436,34 @@ class OpsSpec extends AnyFunSuite {
     assert(doc1.substring(row.getInt(0), row.getInt(1)) == leaked)
   }
 
+  test("bloom decontamination == exact decontamination, even at pathological fpp") {
+    // output-identity contract: blooms have no false negatives and the
+    // exact semi-join verify kills false positives, so the two operators
+    // must agree row-for-row — including when the filter is deliberately
+    // undersized (expectedRefWindows=1 → saturated bloom, ~every window a
+    // candidate) so the verify path provably does the killing
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus = docs.where($"doc_id" % 5 < 3)
+    val benchmark = docs.where($"doc_id" % 7 === 3)
+    def spanSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "tok_start", "tok_end", "start", "end")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4))).toSet
+    val exact = spanSet(Dedup.contaminatedSpans(corpus, benchmark, k = 8))
+    assert(exact.nonEmpty, "fixture must produce contaminated spans")
+    val bloom = Dedup.contaminatedSpansBloom(corpus, benchmark, k = 8,
+      expectedRefWindows = 100000L, fpp = 0.01)
+    assert(spanSet(bloom) == exact)
+    bloom.unpersist()
+    val saturated = Dedup.contaminatedSpansBloom(corpus, benchmark, k = 8,
+      expectedRefWindows = 1L, fpp = 0.5)
+    assert(spanSet(saturated) == exact)
+    saturated.unpersist()
+    intercept[IllegalArgumentException](
+      Dedup.contaminatedSpansBloom(corpus, benchmark, fpp = 1.5))
+  }
+
   test("alternating CC: 200-node chain collapses in O(log n) rounds") {
     // diameter 199: min-label would need 199 rounds (and throws at its
     // default cap); the large-star/small-star promotion path converges fast

@@ -94,9 +94,14 @@ object ScaleProbe {
       val tUni = best3(force(graft.ops.TextStats.unigramFreqScore(d)))
       // contamination report: window digests + broadcast ref + per-doc agg
       val tGopherFull = best3(force(graft.ops.TextStats.repetitionSignalsFull(d)))
+      val tBloom = best3 {
+        val b = Dedup.contaminatedSpansBloom(d, d.where(col("doc_id") % 1000 === 7),
+          k = 8, expectedRefWindows = 100000L)
+        force(b); b.unpersist()
+      }
       val tRep = best3(force(Dedup.contaminationReport(d,
         d.where(col("doc_id") % 7 === 3).select("doc_id", "text"), k = 8)))
-      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs ccnet=$tCcnet%.2fs tfidf=$tTfidf%.2fs unigram=$tUni%.2fs conrep=$tRep%.2fs gopher_full=$tGopherFull%.2fs")
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs ccnet=$tCcnet%.2fs tfidf=$tTfidf%.2fs unigram=$tUni%.2fs conrep=$tRep%.2fs gopher_full=$tGopherFull%.2fs bloom_decon=$tBloom%.2fs")
     }
     spark.stop()
   }

@@ -201,6 +201,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!pb.contains("rangepartitioning"), pb)
   }
 
+  test("round-7 ops: full repetition battery stays doc-keyed (no global sort, no cartesian)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.ops.TextStats.repetitionSignalsFull(
+      docs.select("doc_id", "text")))
+    // every exchange/window is keyed with the doc id — nothing range-sorts
+    // the corpus and no join degenerates to a cartesian
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the n-gram lead window partitions on the doc id
+    assert(p.contains("Window"), p)
+  }
+
   test("corpus-build decision: five signal frames join on the doc key, no cartesian") {
     val p = plan(SparkEntry.queries("corpus_build_decision")(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)

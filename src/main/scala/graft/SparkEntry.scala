@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.gf
 import graft.metrics.Metrics
-import graft.ops.{Conversations, Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.ops.{Conversations, Dedup, Multimodal, Sampling, Similarity, TextStats, WebClean}
 import graft.pipeline.{Deid, TurnsGen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -677,6 +677,75 @@ object SparkEntry {
           "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
           "n_alpha_tokens", "n_stopwords", "keep")
         .orderBy("doc_id")),
+
+    // C4 line-level cleaning battery (Raffel et al. 2020 §2.2; per-line
+    // rules as in the public c4_utils.py): terminal-punct / min-words /
+    // javascript / policy-phrase line gates + lorem-ipsum / brace /
+    // bad-word / min-sentence page gates. Pages are manufactured from each
+    // doc's own tokens with mod-keyed plant families so EVERY clause
+    // visibly bites at every scale (the base corpus is punctuation-free
+    // word soup); %3/%5 families put docs on BOTH sides of the 3-sentence
+    // boundary exactly. Pure scan-stage HOF projection — zero shuffle,
+    // the 100-TB cost is the parquet scan itself.
+    "c4_filter" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def sl(start: Int, len: Int) = array_join(slice(toks, start, len), " ")
+      val page = concat_ws("\n",
+        concat(sl(1, 6), lit(".")),
+        concat(sl(7, 3), lit("!")),
+        sl(10, 6),
+        when(col("doc_id") % 7 === 0,
+          lit("please enable javascript to view this page.")),
+        when(col("doc_id") % 11 === 0,
+          lit("we updated our privacy policy today, please review it.")),
+        when(col("doc_id") % 3 =!= 0, concat(sl(16, 6), lit(" now?"))),
+        when(col("doc_id") % 5 =!= 0,
+          concat(sl(22, 6), lit(" today. it works well!"))),
+        when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet.")),
+        when(col("doc_id") % 17 === 0, lit("function() { return 0; }")))
+      WebClean.c4Signals(
+          docs(s, dir).select(col("doc_id"), page.as("text")),
+          badWords = Seq("vector"))
+        .withColumn("keep", WebClean.c4Keep(minSentences = 3))
+        .select("doc_id", "n_lines", "n_kept_lines", "cleaned_text",
+          "n_sentences", "has_lorem", "has_brace", "has_bad_word", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // fastText-style hashed linear quality classifier (Joulin et al. 2016;
+    // hashing trick per Weinberger et al. 2009) — the CCNet/LLaMA-style
+    // quality-gate mechanism with deterministic Knuth-multiplicative
+    // weights standing in for the trained vector: bucket = first 24 sha256
+    // bits mod 2^20, weight ∈ [-1000,1000], exact BIGINT sum + ONE
+    // trailing IEEE division. Scan-stage projection, zero shuffle.
+    "hashed_quality" -> ((s, dir) =>
+      WebClean.hashedLinearScore(docs(s, dir).select("doc_id", "text"))
+        .select("doc_id", "n_tokens", "score_sum", "score", "keep")
+        .orderBy("doc_id")),
+
+    // C4 §2.2 corpus-level dedup: drop all but the first occurrence of any
+    // three-sentence span. Pages manufactured as 4 five-token sentences
+    // from each doc's own tokens; %10 plants exact page copies (every span
+    // duplicated → loser cleaned to empty), %25 plants share the first 3
+    // sentences only (loses sentences 0-2, keeps its distinct 4th).
+    // Scale shape: min-agg on the span digest (mega-class reduces to one
+    // row map-side) + unique-key join-back + (id, idx) anti-join — no
+    // corpus-wide window.
+    "sentence_span_dedup" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def sl(start: Int) = array_join(slice(toks, start, 5), " ")
+      val page = concat(sl(1), lit(". "), sl(6), lit(". "),
+        sl(11), lit(". "), sl(16), lit("."))
+      val altPage = concat(sl(1), lit(". "), sl(6), lit(". "),
+        sl(11), lit(". "), sl(21), lit("."))
+      val base = docs(s, dir).select(col("doc_id"), page.as("text"))
+      val planted = base
+        .unionAll(docs(s, dir).where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), page.as("text")))
+        .unionAll(docs(s, dir).where(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), altPage.as("text")))
+      WebClean.sentenceSpanDedup(planted).orderBy("doc_id")
+    }),
 
     // per-doc top-3 distinctive terms by tf·idf (division idf N/df — no
     // transcendental, so the oracle is bit-exact; ties rank by term):
@@ -2120,6 +2189,96 @@ object SparkEntry {
           |   AND (CAST(n_alpha_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.8)
           |   AND (n_stopwords >= 2)) AS keep
           |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // C4 battery replay: page manufacturing (coalesce() because DuckDB's
+      // array_to_string of an empty slice is NULL where Spark's array_join
+      // is ''), per-line list_filter twin of the HOF, page gates verbatim.
+      // All integer/boolean — no float discipline needed.
+      "c4_filter" ->
+        ("""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tx FROM documents),
+          |dd AS (SELECT doc_id, concat_ws(chr(10),
+          |    coalesce(array_to_string(tx[1:6], ' '), '') || '.',
+          |    coalesce(array_to_string(tx[7:9], ' '), '') || '!',
+          |    coalesce(array_to_string(tx[10:15], ' '), ''),
+          |    CASE WHEN doc_id % 7 = 0 THEN 'please enable javascript to view this page.' END,
+          |    CASE WHEN doc_id % 11 = 0 THEN 'we updated our privacy policy today, please review it.' END,
+          |    CASE WHEN doc_id % 3 <> 0 THEN coalesce(array_to_string(tx[16:21], ' '), '') || ' now?' END,
+          |    CASE WHEN doc_id % 5 <> 0 THEN coalesce(array_to_string(tx[22:27], ' '), '') || ' today. it works well!' END,
+          |    CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+          |    CASE WHEN doc_id % 17 = 0 THEN 'function() { return 0; }' END) AS text FROM tk),
+          |lp AS (SELECT doc_id, text, regexp_split_to_array(text, chr(10)) AS rawl FROM dd),
+          |kp AS (SELECT doc_id, text, len(rawl) AS n_lines,
+          |    list_filter(list_transform(rawl, x -> trim(x)), l ->
+          |      regexp_matches(l, '[.!?"]$')
+          |      AND len(regexp_split_to_array(l, '\s+')) >= 5
+          |      AND NOT contains(lower(l), 'javascript')
+          |      AND NOT contains(lower(l), 'terms of use')
+          |      AND NOT contains(lower(l), 'privacy policy')
+          |      AND NOT contains(lower(l), 'cookie policy')
+          |      AND NOT contains(lower(l), 'uses cookies')
+          |      AND NOT contains(lower(l), 'use of cookies')
+          |      AND NOT contains(lower(l), 'use cookies')) AS kept
+          |  FROM lp),
+          |sg AS (SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+          |    CAST(len(kept) AS INTEGER) AS n_kept_lines,
+          |    coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+          |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+          |    contains(text, '{') AS has_brace,
+          |    regexp_matches(lower(text), '\b(vector)\b') AS has_bad_word
+          |  FROM kp),
+          |s2 AS (SELECT *, CAST(len(regexp_extract_all(cleaned_text, '[.!?]')) AS INTEGER) AS n_sentences FROM sg)
+          |SELECT doc_id, n_lines, n_kept_lines, cleaned_text, n_sentences,
+          |  has_lorem, has_brace, has_bad_word,
+          |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
+          |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // hashed linear classifier replay: same 24-bit sha256 bucket, same
+      // Knuth-multiplicative weight, exact BIGINT sum, one trailing divide
+      "hashed_quality" ->
+        ("""WITH tk AS (SELECT doc_id,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+          |sc AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+          |    CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) ELSE
+          |      CAST(list_sum(list_transform(toks, t ->
+          |        ((('0x' || substr(sha256(t), 1, 6))::BIGINT % 1048576) * 2654435761) % 2001 - 1000)) AS BIGINT)
+          |    END AS score_sum FROM tk),
+          |s2 AS (SELECT *, CASE WHEN n_tokens = 0 THEN 0.0
+          |    ELSE CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS score FROM sc)
+          |SELECT doc_id, n_tokens, score_sum, score, score > 0.0 AS keep
+          |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // C4 span dedup replay: the oracle partitions on the span TEXT where
+      // the engine groups on its sha2 digest (identical classes absent a
+      // 256-bit collision — the turn_dedup_ccnet precedent); first
+      // occurrence = row_number in (doc_id, idx) order; cuts applied by
+      // (doc_id, sentence-idx) anti-join; ordered rebuild via string_agg
+      "sentence_span_dedup" ->
+        ("""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tx FROM documents),
+          |dd AS (SELECT doc_id,
+          |    coalesce(array_to_string(tx[1:5], ' '), '') || '. ' || coalesce(array_to_string(tx[6:10], ' '), '') || '. ' || coalesce(array_to_string(tx[11:15], ' '), '') || '. ' || coalesce(array_to_string(tx[16:20], ' '), '') || '.' AS text FROM tk
+          |  UNION ALL SELECT doc_id + 100000,
+          |    coalesce(array_to_string(tx[1:5], ' '), '') || '. ' || coalesce(array_to_string(tx[6:10], ' '), '') || '. ' || coalesce(array_to_string(tx[11:15], ' '), '') || '. ' || coalesce(array_to_string(tx[16:20], ' '), '') || '.' FROM tk WHERE doc_id % 10 = 0
+          |  UNION ALL SELECT doc_id + 200000,
+          |    coalesce(array_to_string(tx[1:5], ' '), '') || '. ' || coalesce(array_to_string(tx[6:10], ' '), '') || '. ' || coalesce(array_to_string(tx[11:15], ' '), '') || '. ' || coalesce(array_to_string(tx[21:25], ' '), '') || '.' FROM tk WHERE doc_id % 25 = 0),
+          |sx AS (SELECT doc_id, [trim(x) for x in regexp_extract_all(text, '[^.!?]+[.!?]')] AS sents FROM dd),
+          |se AS (SELECT doc_id, unnest([{'idx': i - 1, 'sent': sents[i]} for i in range(1, len(sents) + 1)], recursive := true) FROM sx),
+          |sp AS (SELECT doc_id, idx,
+          |    sent || ' ' || lead(sent, 1) OVER (PARTITION BY doc_id ORDER BY idx) || ' ' || lead(sent, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS span FROM se),
+          |occ AS (SELECT doc_id, idx,
+          |    count(*) OVER (PARTITION BY span) AS n_occ,
+          |    row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+          |  FROM sp WHERE span IS NOT NULL),
+          |cuts AS (SELECT DISTINCT doc_id, idx + r.k AS idx
+          |  FROM occ, range(3) r(k) WHERE n_occ > 1 AND rn > 1),
+          |surv AS (SELECT se.doc_id, se.idx, se.sent FROM se ANTI JOIN cuts USING (doc_id, idx)),
+          |reb AS (SELECT doc_id, count(*) AS n_kept,
+          |    string_agg(sent, ' ' ORDER BY idx) AS cleaned FROM surv GROUP BY doc_id),
+          |base AS (SELECT doc_id, len(sents) AS n_sentences FROM sx)
+          |SELECT b.doc_id, CAST(b.n_sentences AS INTEGER) AS n_sentences,
+          |  CAST(b.n_sentences - coalesce(reb.n_kept, 0) AS INTEGER) AS n_cut_sentences,
+          |  coalesce(reb.cleaned, '') AS cleaned_text
+          |FROM base b LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       // tf·idf with division idf: explode → tf → df → join → window,
       // replayed term-for-term; score arithmetic is one multiply + one

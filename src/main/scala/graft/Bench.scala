@@ -495,6 +495,15 @@ object Bench {
       graft.ops.Conversations.contextPairs(turns, nContext = 3)))
     results("decontamination_scrub") = timed("decontamination_scrub")(
       force(SparkEntry.queries("decontamination_scrub")(spark, sfDir)))
+    // round-7 C4-family additions: two zero-shuffle scan-stage filters
+    // (line-cleaning battery, hashed linear classifier) and the
+    // three-sentence-span corpus dedup (digest min-agg + join-back)
+    results("c4_filter") = timed("c4_filter")(
+      force(SparkEntry.queries("c4_filter")(spark, sfDir)))
+    results("hashed_quality") = timed("hashed_quality")(
+      force(SparkEntry.queries("hashed_quality")(spark, sfDir)))
+    results("sentence_span_dedup") = timed("sentence_span_dedup")(
+      force(SparkEntry.queries("sentence_span_dedup")(spark, sfDir)))
     (results, nTurns)
   }
 

@@ -709,7 +709,9 @@ object SparkEntry {
         .withColumn("keep", WebClean.c4Keep(minSentences = 3))
         .select("doc_id", "n_lines", "n_kept_lines", "cleaned_text",
           "n_sentences", "has_lorem", "has_brace", "has_bad_word", "keep")
-        .orderBy("doc_id")
+        // coalesce+sortWithinPartitions, NOT orderBy: the range sampler
+        // would execute the scan-stage battery a second time
+        .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
     // fastText-style hashed linear quality classifier (Joulin et al. 2016;
@@ -721,7 +723,9 @@ object SparkEntry {
     "hashed_quality" -> ((s, dir) =>
       WebClean.hashedLinearScore(docs(s, dir).select("doc_id", "text"))
         .select("doc_id", "n_tokens", "score_sum", "score", "keep")
-        .orderBy("doc_id")),
+        // coalesce, not orderBy: the range sampler re-runs the sha fold
+        // (measured 1.9 s -> 0.7 s at bench scale)
+        .coalesce(1).sortWithinPartitions("doc_id")),
 
     // C4 §2.2 corpus-level dedup: drop all but the first occurrence of any
     // three-sentence span. Pages manufactured as 4 five-token sentences
@@ -745,6 +749,46 @@ object SparkEntry {
         .unionAll(docs(s, dir).where(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 200000L).as("doc_id"), altPage.as("text")))
       WebClean.sentenceSpanDedup(planted).orderBy("doc_id")
+    }),
+
+    // END-TO-END C4 pipeline: manufacture pages → line-clean + page-gate →
+    // three-sentence-span dedup over the SURVIVING cleaned text — the full
+    // §2.2 recipe in one dataflow, emitting the final corpus. Plants are
+    // exact copies of manufactured pages (id+100000, %10 family) so a
+    // surviving copy has every span duplicated and gets fully cut; gate
+    // decisions depend only on the page text, so base and copy agree.
+    // Scale: scan-stage gates feed the digest-keyed dedup — the gate
+    // REDUCES what the shuffle sees (filter-before-shuffle, the order a
+    // real corpus build uses).
+    "c4_pipeline" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      def sl(start: Int, len: Int) = array_join(slice(toks, start, len), " ")
+      val page = concat_ws("\n",
+        concat(sl(1, 6), lit(".")),
+        concat(sl(7, 3), lit("!")),
+        sl(10, 6),
+        when(col("doc_id") % 7 === 0,
+          lit("please enable javascript to view this page.")),
+        when(col("doc_id") % 11 === 0,
+          lit("we updated our privacy policy today, please review it.")),
+        when(col("doc_id") % 3 =!= 0, concat(sl(16, 6), lit(" now?"))),
+        when(col("doc_id") % 5 =!= 0,
+          concat(sl(22, 6), lit(" today. it works well!"))),
+        when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet.")),
+        when(col("doc_id") % 17 === 0, lit("function() { return 0; }")))
+      val p0 = docs(s, dir).select(col("doc_id"), page.as("text"))
+      // plant family ≡1 (mod 10): never a multiple of 5 or 10, so the
+      // planted page keeps its L6/L7 sentences and ~a quarter of the
+      // family SURVIVES the gate — a %10==0 family would be a dead plant
+      // (%10 ⊆ %5 ⇒ no L7 ⇒ always under the 3-sentence floor)
+      val planted = p0.unionAll(p0.where(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val gated = WebClean.c4Signals(planted, badWords = Seq("vector"))
+        .withColumn("keep", WebClean.c4Keep(minSentences = 3))
+        .where(col("keep"))
+        .select(col("doc_id"), col("cleaned_text").as("text"))
+      WebClean.sentenceSpanDedup(gated)
+        .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
     // per-doc top-3 distinctive terms by tf·idf (division idf N/df — no
@@ -2262,6 +2306,64 @@ object SparkEntry {
           |  UNION ALL SELECT doc_id + 200000,
           |    coalesce(array_to_string(tx[1:5], ' '), '') || '. ' || coalesce(array_to_string(tx[6:10], ' '), '') || '. ' || coalesce(array_to_string(tx[11:15], ' '), '') || '. ' || coalesce(array_to_string(tx[21:25], ' '), '') || '.' FROM tk WHERE doc_id % 25 = 0),
           |sx AS (SELECT doc_id, [trim(x) for x in regexp_extract_all(text, '[^.!?]+[.!?]')] AS sents FROM dd),
+          |se AS (SELECT doc_id, unnest([{'idx': i - 1, 'sent': sents[i]} for i in range(1, len(sents) + 1)], recursive := true) FROM sx),
+          |sp AS (SELECT doc_id, idx,
+          |    sent || ' ' || lead(sent, 1) OVER (PARTITION BY doc_id ORDER BY idx) || ' ' || lead(sent, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS span FROM se),
+          |occ AS (SELECT doc_id, idx,
+          |    count(*) OVER (PARTITION BY span) AS n_occ,
+          |    row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+          |  FROM sp WHERE span IS NOT NULL),
+          |cuts AS (SELECT DISTINCT doc_id, idx + r.k AS idx
+          |  FROM occ, range(3) r(k) WHERE n_occ > 1 AND rn > 1),
+          |surv AS (SELECT se.doc_id, se.idx, se.sent FROM se ANTI JOIN cuts USING (doc_id, idx)),
+          |reb AS (SELECT doc_id, count(*) AS n_kept,
+          |    string_agg(sent, ' ' ORDER BY idx) AS cleaned FROM surv GROUP BY doc_id),
+          |base AS (SELECT doc_id, len(sents) AS n_sentences FROM sx)
+          |SELECT b.doc_id, CAST(b.n_sentences AS INTEGER) AS n_sentences,
+          |  CAST(b.n_sentences - coalesce(reb.n_kept, 0) AS INTEGER) AS n_cut_sentences,
+          |  coalesce(reb.cleaned, '') AS cleaned_text
+          |FROM base b LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // end-to-end C4 pipeline: the c4_filter CTE chain (over the planted
+      // page corpus) feeding the span-dedup CTE chain on the survivors'
+      // cleaned text — one WITH, composed exactly as the engine composes
+      // the two operators
+      "c4_pipeline" ->
+        ("""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tx FROM documents),
+          |p0 AS (SELECT doc_id, concat_ws(chr(10),
+          |    coalesce(array_to_string(tx[1:6], ' '), '') || '.',
+          |    coalesce(array_to_string(tx[7:9], ' '), '') || '!',
+          |    coalesce(array_to_string(tx[10:15], ' '), ''),
+          |    CASE WHEN doc_id % 7 = 0 THEN 'please enable javascript to view this page.' END,
+          |    CASE WHEN doc_id % 11 = 0 THEN 'we updated our privacy policy today, please review it.' END,
+          |    CASE WHEN doc_id % 3 <> 0 THEN coalesce(array_to_string(tx[16:21], ' '), '') || ' now?' END,
+          |    CASE WHEN doc_id % 5 <> 0 THEN coalesce(array_to_string(tx[22:27], ' '), '') || ' today. it works well!' END,
+          |    CASE WHEN doc_id % 13 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+          |    CASE WHEN doc_id % 17 = 0 THEN 'function() { return 0; }' END) AS text FROM tk),
+          |dd AS (SELECT doc_id, text FROM p0
+          |  UNION ALL SELECT doc_id + 100000, text FROM p0 WHERE doc_id % 10 = 1),
+          |kp AS (SELECT doc_id, text,
+          |    list_filter(list_transform(regexp_split_to_array(text, chr(10)), x -> trim(x)), l ->
+          |      regexp_matches(l, '[.!?"]$')
+          |      AND len(regexp_split_to_array(l, '\s+')) >= 5
+          |      AND NOT contains(lower(l), 'javascript')
+          |      AND NOT contains(lower(l), 'terms of use')
+          |      AND NOT contains(lower(l), 'privacy policy')
+          |      AND NOT contains(lower(l), 'cookie policy')
+          |      AND NOT contains(lower(l), 'uses cookies')
+          |      AND NOT contains(lower(l), 'use of cookies')
+          |      AND NOT contains(lower(l), 'use cookies')) AS kept
+          |  FROM dd),
+          |gate AS (SELECT doc_id,
+          |    coalesce(array_to_string(kept, chr(10)), '') AS ct,
+          |    len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS ns,
+          |    contains(lower(text), 'lorem ipsum') AS hl,
+          |    contains(text, '{') AS hb,
+          |    regexp_matches(lower(text), '\b(vector)\b') AS hw
+          |  FROM kp),
+          |corpus AS (SELECT doc_id, ct AS text FROM gate
+          |  WHERE ns >= 3 AND NOT hl AND NOT hb AND NOT hw),
+          |sx AS (SELECT doc_id, [trim(x) for x in regexp_extract_all(text, '[^.!?]+[.!?]')] AS sents FROM corpus),
           |se AS (SELECT doc_id, unnest([{'idx': i - 1, 'sent': sents[i]} for i in range(1, len(sents) + 1)], recursive := true) FROM sx),
           |sp AS (SELECT doc_id, idx,
           |    sent || ' ' || lead(sent, 1) OVER (PARTITION BY doc_id ORDER BY idx) || ' ' || lead(sent, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS span FROM se),

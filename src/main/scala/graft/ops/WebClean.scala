@@ -158,9 +158,15 @@ object WebClean {
         d.withColumn(s"s$k", lead("sent", k).over(w))
       }
     val spanText = concat_ws(" ", (0 until spanLen).map(k => col(s"s$k")): _*)
+    // the narrow (id, idx, digest) frame feeds BOTH the owner aggregation
+    // and the loser probe join — persist it so the sentence explode + lead
+    // window run ONCE (the minhash "persisted narrow bands" contract;
+    // Verify/Bench release via catalog.clearCache, a long-lived caller can
+    // unpersist through the returned plan's InMemoryRelation)
     val spans = withSpan
       .where(col(s"s${spanLen - 1}").isNotNull)
       .select(col(idCol), col("idx"), sha2(spanText, 256).as("span_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first occurrence corpus-wide: min (id, idx) per span; spans seen once
     // produce no loser rows after the join-back filter
     val owners = spans.groupBy("span_key")

@@ -101,7 +101,21 @@ object ScaleProbe {
       }
       val tRep = best3(force(Dedup.contaminationReport(d,
         d.where(col("doc_id") % 7 === 3).select("doc_id", "text"), k = 8)))
-      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs ccnet=$tCcnet%.2fs tfidf=$tTfidf%.2fs unigram=$tUni%.2fs conrep=$tRep%.2fs gopher_full=$tGopherFull%.2fs bloom_decon=$tBloom%.2fs")
+      // C4 family (round 7): two scan-stage projections + the span dedup
+      // over manufactured 4-sentence pages — the ×N replicas are exact
+      // page copies, so every span is a size-N duplicate class and the
+      // min-agg/join-back path is exercised under real dup pressure
+      val pages = {
+        val toks = split(trim(col("text")), "\\s+")
+        def sl(s: Int) = array_join(slice(toks, s, 5), " ")
+        d.select(col("doc_id"), concat(sl(1), lit(". "), sl(6), lit(". "),
+          sl(11), lit(". "), sl(16), lit(".")).as("text"))
+      }
+      val tC4 = best3(force(graft.ops.WebClean.c4Signals(pages)
+        .withColumn("keep", graft.ops.WebClean.c4Keep())))
+      val tHq = best3(force(graft.ops.WebClean.hashedLinearScore(d)))
+      val tSpan = best3(force(graft.ops.WebClean.sentenceSpanDedup(pages)))
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs ccnet=$tCcnet%.2fs tfidf=$tTfidf%.2fs unigram=$tUni%.2fs conrep=$tRep%.2fs gopher_full=$tGopherFull%.2fs bloom_decon=$tBloom%.2fs c4=$tC4%.2fs hashq=$tHq%.2fs spandd=$tSpan%.2fs")
     }
     spark.stop()
   }

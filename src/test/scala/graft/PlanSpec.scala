@@ -221,6 +221,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("C4 battery and hashed classifier are zero-exchange scan-stage projections") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p1 = plan(graft.ops.WebClean.c4Signals(docs.select("doc_id", "text"),
+      badWords = Seq("vector"))
+      .withColumn("keep", graft.ops.WebClean.c4Keep()))
+    assert(!p1.contains("Exchange"), p1)
+    val p2 = plan(graft.ops.WebClean.hashedLinearScore(docs.select("doc_id", "text")))
+    assert(!p2.contains("Exchange"), p2)
+  }
+
+  test("sentence-span dedup: digest-keyed joins only — no cartesian, doc-local window only") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = plan(graft.ops.WebClean.sentenceSpanDedup(docs.select("doc_id", "text")))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the (id, idx, digest) span frame feeds both the owner agg and the
+    // loser probe — the persist must make the sentence explode + doc-local
+    // lead window a shared scan, not a double execution
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("connected components shuffles on the id key only (no cartesian)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")

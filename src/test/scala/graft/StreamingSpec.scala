@@ -60,6 +60,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(want) && want.nonEmpty)
   }
 
+  test("streaming C4 battery + hashed classifier: stateless scan-stage twins agree with batch") {
+    // both operators are pure per-row projections (no state, no shuffle),
+    // so the SAME expressions run unchanged on a stream; decisions are pure
+    // functions of the text, so the streamed multiset equals the batch
+    // multiset even across retries
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_c4").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // manufacture line/sentence structure so the gates actually fire
+    val toks = split(trim(col("text")), "\\s+")
+    def sl(s: Int) = array_join(slice(toks, s, 6), " ")
+    val pages = docs.select(col("doc_id"), concat_ws("\n",
+      concat(sl(1), lit(".")), sl(8),
+      when(col("doc_id") % 2 === 0, concat(sl(15), lit(" fine! just fine?"))),
+      when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit amet."))).as("text"))
+    pages.write.mode("overwrite").parquet(s"$dir/in")
+    def battery(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.WebClean.c4Signals(
+          graft.ops.WebClean.hashedLinearScore(df), badWords = Seq("vector"))
+        .withColumn("c4_keep", graft.ops.WebClean.c4Keep())
+    val q = battery(spark.readStream.schema(pages.schema).parquet(s"$dir/in"))
+      .writeStream.format("memory").queryName("c4_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val h = (df: org.apache.spark.sql.DataFrame) =>
+      df.selectExpr("sum(hash(doc_id, n_tokens, score_sum, keep, n_lines, " +
+        "n_kept_lines, cleaned_text, n_sentences, has_lorem, c4_keep))")
+        .first().getLong(0)
+    val got = spark.sql("SELECT * FROM c4_stream")
+    val want = battery(spark.read.parquet(s"$dir/in"))
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(h(got) == h(want))
+    // every gate visibly fires in the twin corpus
+    assert(want.where(col("c4_keep")).count() > 0)
+    assert(want.where(!col("c4_keep")).count() > 0)
+    assert(want.where(col("has_lorem")).count() > 0)
+  }
+
   test("windowed entity counts with watermark produce rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     TurnsGen.turns(spark, "/root/testdata/sf0.001").limit(200)

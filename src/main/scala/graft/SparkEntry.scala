@@ -615,6 +615,16 @@ object SparkEntry {
         .select(col("q_id"), col("rank"), col("n_id"))
         .orderBy("q_id", "rank")),
 
+    // hard-negative mining (DPR): top-5 most-similar DIFFERENT-label
+    // neighbors per query — the retrieval-training counterpart of knn;
+    // broadcast-query shape, label filter as a join predicate (discarded
+    // before the ranking window), ids/ranks only (float sim is not
+    // cross-engine bit-stable — the knn_bruteforce precedent)
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(embeddings(s, dir),
+        embeddings(s, dir).where(col("vec_id") < 20), k = 5)
+        .orderBy("q_id", "rank")),
+
     // IVF with nprobe = k probes every inverted list, so the result must
     // EQUAL exact brute force — the oracle hash-verifies the whole IVF
     // pipeline (train → assign → probe → candidate union → rank); the
@@ -1878,6 +1888,15 @@ object SparkEntry {
       "knn_ivf" -> knnBruteforceOracle,
 
       "knn_bruteforce" -> knnBruteforceOracle,
+
+      // hard negatives: the knn oracle with the label carried through and
+      // the different-label predicate in the candidate join
+      "hard_negatives" ->
+        ("""WITH q AS (SELECT vec_id AS q_id, label AS q_label, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT vec_id AS n_id, label AS n_label, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+          |s AS (SELECT q_id, q_label, n_id, n_label, list_cosine_similarity(qv, nv) AS sim FROM q JOIN c ON q_id <> n_id AND q_label <> n_label),
+          |r AS (SELECT q_id, q_label, n_id, n_label, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank FROM s)
+          |SELECT q_id, q_label, rank, n_id, n_label FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")),
 
       // heuristic language id: zh on CJK share > 0.2, else argmax stopword
       // hits with ties broken by lexicographically LARGEST lang (Spark's

@@ -53,6 +53,41 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
 
+  /** Hard-negative mining for retrieval / contrastive training (DPR,
+    * Karpukhin et al. 2020 §3.2): for each query vector, the top-k
+    * most-similar corpus vectors with a DIFFERENT label — "hard" because
+    * they rank by similarity, negative because the label disagrees.
+    *
+    * Same broadcast-query / streaming-corpus shape as [[bruteForceTopK]]
+    * (the corpus never shuffles; the label inequality is a join predicate,
+    * so same-label rows are discarded before the ranking window ever sees
+    * them). `sim` is intentionally NOT in the output: float cosine is not
+    * bit-stable across engines, ids and ranks are — the knn_bruteforce
+    * oracle precedent.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
+      col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("n_vec"),
+      col(labelCol).as("n_label"))
+    q.join(c, col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("rank"),
+        col("n_id"), col("n_label"))
+  }
+
   /** Deterministic random hyperplanes (seeded MT19937 — no wall-clock).
     *
     * Components are standard-Gaussian via Box–Muller over the same PyRandom

@@ -760,6 +760,27 @@ class OpsSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getAs[Long]("q_id") != row.getAs[Long]("n_id")))
   }
 
+  test("hard negatives: same-label neighbors excluded, similarity-ranked on planted geometry") {
+    // q points along x; n1 is nearest but shares q's label (must be
+    // excluded); n2 and n3 have the other label with cos(n2) > cos(n3)
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.99f, 0.1f), 0),  // same label: never a negative
+      (2L, Seq(0.9f, 0.3f), 1),
+      (3L, Seq(0.5f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, vecs.where($"vec_id" === 0), k = 5)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("n_id"))).toSeq
+      == Seq((1, 2L), (2, 3L)))
+    assert(out.forall(r => r.getAs[Int]("q_label") != r.getAs[Int]("n_label")))
+    // corpus run: every mined negative disagrees on label, per-query k rows
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val hn = Similarity.hardNegatives(emb, emb.where($"vec_id" < 5), k = 3).collect()
+    assert(hn.length == 15)
+    assert(hn.forall(r => r.getAs[Int]("q_label") != r.getAs[Int]("n_label")))
+  }
+
   test("language id: zh detection on CJK, en on English") {
     val df = Seq(
       (1, "the quick brown fox is in the yard and it is fine"),

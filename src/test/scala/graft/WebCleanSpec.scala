@@ -109,6 +109,39 @@ class WebCleanSpec extends AnyFunSuite {
     }
   }
 
+  test("WebClean ops tolerate null, empty and pathological text (no NPE, pages dropped not kept)") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, ""),
+      (3L, " \t"),                       // whitespace-zoo only
+      (4L, "a{.\n!?.."),                       // marks/brace soup
+      (5L, "𠀀 one two three four.") // supplementary-plane lead
+    ).toDF("doc_id", "text")
+    val c4 = WebClean.c4Signals(df, badWords = Seq("vector"))
+      .withColumn("keep", WebClean.c4Keep()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // null text: null signals propagate, keep is never TRUE (three-valued
+    // AND) — a null page is dropped by where(keep), not kept or crashed
+    assert(c4(1L).getAs[Any]("keep") != true)
+    assert(!c4(2L).getAs[Boolean]("keep") && !c4(3L).getAs[Boolean]("keep"))
+    assert(c4(4L).getAs[Boolean]("has_brace"))
+    val hq = WebClean.hashedLinearScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(hq(2L).getAs[Int]("n_tokens") == 0)
+    // pinned tokenizer semantics: trim strips SPACES only, split keeps
+    // empty tokens (Java limit -1) — " \t" is two empty tokens, and the
+    // DuckDB oracle (space-only trim, regexp_split_to_array) agrees
+    assert(hq(3L).getAs[Int]("n_tokens") == 2)
+    assert(hq(1L).getAs[Any]("keep") != true)
+    assert(hq(5L).getAs[Int]("n_tokens") == 5)
+    val sd = WebClean.sentenceSpanDedup(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(sd.size == 5) // one row per input, nulls included
+    assert(sd(2L).getAs[Int]("n_sentences") == 0
+      && sd(2L).getAs[String]("cleaned_text") == "")
+    assert(sd(4L).getAs[Int]("n_cut_sentences") == 0)
+  }
+
   test("sentence-span dedup is idempotent on its own output") {
     val a = "s one one. s two two. s three three. s four four."
     val c = "s one one. s two two. s three three. s five five."

@@ -61,6 +61,17 @@ object SparkEntry {
   private def turns(s: SparkSession, dir: String): DataFrame =
     TurnsGen.turns(s, dir)
 
+  /** Plant texts for `token_fertility` — shared verbatim with the DuckDB
+    * oracle (ASCII for es/de so `lower()` parity is trivial; the zh page
+    * has NO whitespace, the realistic CJK tokenizer-cost case).
+    */
+  private object FertilityPlants {
+    val zh = "这是一个测试句子,包含标点符号。模型的词元成本很高,因为没有空格。"
+    val es = "el sol y el mar que brillan en los campos por la manana, y los ninos que juegan!"
+    val de = "der hund und die katze ist nicht mit dem zug gefahren; zu hause auf dem land, und das wetter ist gut."
+    val enSuffix = " it is, that is; of the top-1.5% (n=3), e.g. a.k.a 'the best'."
+  }
+
   /** The five-gate corpus-build decision frame shared by
     * `corpus_build_decision` (per-doc audit) and `corpus_build_report`
     * (per-source rollup): Gopher quality ∧ repetition ∧ exact-dedup keeper
@@ -625,6 +636,30 @@ object SparkEntry {
         embeddings(s, dir).where(col("vec_id") < 20), k = 5)
         .orderBy("q_id", "rank")),
 
+    // embedding-hygiene gate (run before any ANN job): wrong-dim /
+    // non-finite / all-zero vectors, planted via four mod-keyed families
+    // (truncated, NaN head, zeroed, +Inf tail) so every flag bites; the
+    // zero test is sum-of-squares == 0.0 — exact in both engines, no
+    // epsilon. Scan-stage projection, zero shuffle.
+    "embedding_hygiene" -> ((s, dir) => {
+      val e = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      def plant(mod: Int, offset: Long, vec: org.apache.spark.sql.Column) =
+        e.where(col("vec_id") % mod === 0)
+          .select((col("vec_id") + offset).as("vec_id"), vec.as("embedding"))
+      val planted = e
+        .unionAll(plant(50, 100000L, slice(col("embedding"), 1, 3)))
+        .unionAll(plant(60, 200000L,
+          concat(array(lit(Float.NaN)), slice(col("embedding"), 2, 1 << 20))))
+        .unionAll(plant(70, 300000L,
+          transform(col("embedding"), _ => lit(0.0f))))
+        .unionAll(plant(80, 400000L,
+          concat(slice(col("embedding"), lit(1), size(col("embedding")) - 1),
+            array(lit(Float.PositiveInfinity)))))
+      Similarity.vectorHygiene(planted, expectedDim = 64)
+        .select("vec_id", "dim", "n_nonfinite", "is_zero", "vec_ok")
+        .coalesce(1).sortWithinPartitions("vec_id")
+    }),
+
     // IVF with nprobe = k probes every inverted list, so the result must
     // EQUAL exact brute force — the oracle hash-verifies the whole IVF
     // pipeline (train → assign → probe → candidate union → rank); the
@@ -736,6 +771,42 @@ object SparkEntry {
         // coalesce, not orderBy: the range sampler re-runs the sha fold
         // (measured 1.9 s -> 0.7 s at bench scale)
         .coalesce(1).sortWithinPartitions("doc_id")),
+
+    // per-language tokenizer-cost report (fertility = subword pieces per
+    // whitespace token, the XLM-R/mT5 multilingual-corpus diagnostic):
+    // integer sums under partial aggregation (ONE shuffle on ~5 language
+    // keys, absorbed map-side), divisions last — exact replay. The base
+    // corpus is ASCII-word-only (fertility exactly 1.0 everywhere), so
+    // mod-keyed plant families make the diagnostic BITE: a no-whitespace
+    // CJK page (fertility ≈ 8/token), es/de stopword pages, and a
+    // punctuation-heavy en suffix — each language row gets a distinct,
+    // meaningful fertility
+    "token_fertility" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, lit(FertilityPlants.zh))
+            .when(col("doc_id") % 5 === 0, lit(FertilityPlants.es))
+            .when(col("doc_id") % 7 === 0, lit(FertilityPlants.de))
+            .when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(FertilityPlants.enSuffix)))
+            .otherwise(col("text")))
+        .select(
+          TextStats.langId(col("text")).as("lang_pred"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.bpeishCount(col("text")).as("n_pieces"),
+          length(col("text")).as("n_chars"))
+        .groupBy("lang_pred").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          sum("n_pieces").as("sum_pieces"),
+          sum("n_chars").as("sum_chars"))
+        .withColumn("fertility",
+          when(col("sum_tokens") === 0, lit(null).cast("double"))
+            .otherwise(col("sum_pieces").cast("double") / col("sum_tokens").cast("double")))
+        .withColumn("chars_per_piece",
+          when(col("sum_pieces") === 0, lit(null).cast("double"))
+            .otherwise(col("sum_chars").cast("double") / col("sum_pieces").cast("double")))
+        .orderBy("lang_pred")),
 
     // C4 §2.2 corpus-level dedup: drop all but the first occurrence of any
     // three-sentence span. Pages manufactured as 4 five-token sentences
@@ -2294,6 +2365,70 @@ object SparkEntry {
           |  has_lorem, has_brace, has_bad_word,
           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
           |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // fertility replay: the langId CASE (shared with mixture_sqrt_sample)
+      // + the pinned bpeish regex, integer sums, divisions last; plant
+      // constants shared verbatim with FertilityPlants
+      "token_fertility" ->
+        ("""WITH p AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 11 = 0 THEN '这是一个测试句子,包含标点符号。模型的词元成本很高,因为没有空格。'
+          |         WHEN doc_id % 5 = 0 THEN 'el sol y el mar que brillan en los campos por la manana, y los ninos que juegan!'
+          |         WHEN doc_id % 7 = 0 THEN 'der hund und die katze ist nicht mit dem zug gefahren; zu hause auf dem land, und das wetter ist gut.'
+          |         WHEN doc_id % 3 = 0 THEN text || ' it is, that is; of the top-1.5% (n=3), e.g. a.k.a ''the best''.'
+          |         ELSE text END AS text
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id, text,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE CAST(len(regexp_extract_all(text, '[一-鿿]')) AS DOUBLE) / length(text) END AS cjk,
+          |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          |  FROM p),
+          |h AS (
+          |  SELECT doc_id, text, cjk,
+          |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS hen,
+          |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','una','los','por'))) AS hes,
+          |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','auf'))) AS hde,
+          |    len(list_filter(toks, x -> x IN ('le','la','de','et','est','un','une','les','pour','dans'))) AS hfr
+          |  FROM f),
+          |l AS (SELECT doc_id, text,
+          |  CASE WHEN cjk > 0.2 THEN 'zh'
+          |       WHEN greatest(hen, hes, hde, hfr) = 0 THEN 'unknown'
+          |       WHEN hfr = greatest(hen, hes, hde, hfr) THEN 'fr'
+          |       WHEN hes = greatest(hen, hes, hde, hfr) THEN 'es'
+          |       WHEN hen = greatest(hen, hes, hde, hfr) THEN 'en'
+          |       ELSE 'de' END AS lang_pred FROM h),
+          |m AS (SELECT lang_pred,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          |    len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^ \t\n\x0B\f\r\p{L}\p{N}]')) AS n_pieces,
+          |    length(text) AS n_chars
+          |  FROM l),
+          |g AS (SELECT lang_pred, count(*) AS n_docs,
+          |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+          |    CAST(sum(n_pieces) AS BIGINT) AS sum_pieces,
+          |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |  FROM m GROUP BY lang_pred)
+          |SELECT lang_pred, n_docs, sum_tokens, sum_pieces, sum_chars,
+          |  CASE WHEN sum_tokens = 0 THEN NULL ELSE CAST(sum_pieces AS DOUBLE) / CAST(sum_tokens AS DOUBLE) END AS fertility,
+          |  CASE WHEN sum_pieces = 0 THEN NULL ELSE CAST(sum_chars AS DOUBLE) / CAST(sum_pieces AS DOUBLE) END AS chars_per_piece
+          |FROM g ORDER BY lang_pred""".stripMargin.replace("\n", " ")),
+
+      // hygiene replay: same plant families (list slices, NaN head, zeroed,
+      // Inf tail), same flags; the zero test is an exact sum-of-squares
+      // comparison in both engines
+      "embedding_hygiene" ->
+        ("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL SELECT vec_id + 100000, embedding[1:3] FROM embeddings WHERE vec_id % 50 = 0
+          |  UNION ALL SELECT vec_id + 200000, [CAST('NaN' AS FLOAT)] || embedding[2:] FROM embeddings WHERE vec_id % 60 = 0
+          |  UNION ALL SELECT vec_id + 300000, list_transform(embedding, x -> CAST(0 AS FLOAT)) FROM embeddings WHERE vec_id % 70 = 0
+          |  UNION ALL SELECT vec_id + 400000, embedding[1:len(embedding)-1] || [CAST('Infinity' AS FLOAT)] FROM embeddings WHERE vec_id % 80 = 0),
+          |s AS (SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+          |    CAST(len(list_filter(embedding, x -> isnan(x) OR isinf(x))) AS INTEGER) AS n_nonfinite,
+          |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0.0 AS is_zero
+          |  FROM e)
+          |SELECT vec_id, dim, n_nonfinite, is_zero,
+          |  (dim = 64 AND n_nonfinite = 0 AND NOT is_zero) AS vec_ok
+          |FROM s ORDER BY vec_id""".stripMargin.replace("\n", " ")),
 
       // hashed linear classifier replay: same 24-bit sha256 bucket, same
       // Knuth-multiplicative weight, exact BIGINT sum, one trailing divide

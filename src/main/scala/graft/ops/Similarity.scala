@@ -88,6 +88,35 @@ object Similarity {
         col("n_id"), col("n_label"))
   }
 
+  /** Embedding-hygiene gate run BEFORE any ANN/semantic op at corpus
+    * scale: flags wrong dimension, non-finite components (NaN/±Inf) and
+    * all-zero vectors — cosine is undefined on them, and one bad shard
+    * poisons a whole ANN job. Adds `dim`, `n_nonfinite`, `is_zero`,
+    * `vec_ok`.
+    *
+    * Scan-stage projection, zero shuffle. All outputs are exact: the zero
+    * test is `sum of squares == 0.0` (no sqrt, no epsilon — a float sum of
+    * squares is 0 iff every component is ±0, and NaN/Inf sums compare
+    * unequal to 0 in both engines), so the DuckDB oracle replays it
+    * bit-free.
+    */
+  def vectorHygiene(df: DataFrame, expectedDim: Int,
+                    vecCol: String = "embedding"): DataFrame = {
+    require(expectedDim > 0, s"expectedDim must be positive, got $expectedDim")
+    val v = col(vecCol)
+    df.withColumn("dim", size(v))
+      .withColumn("n_nonfinite",
+        size(filter(v, x => isnan(x) || abs(x) > lit(Float.MaxValue))))
+      .withColumn("is_zero",
+        // square in DOUBLE: a float×float square can underflow to exact 0
+        // on subnormal components, which would diverge from the oracle's
+        // double multiply
+        aggregate(v, lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double")) === lit(0.0d))
+      .withColumn("vec_ok", col("dim") === expectedDim &&
+        col("n_nonfinite") === 0 && !col("is_zero"))
+  }
+
   /** Deterministic random hyperplanes (seeded MT19937 — no wall-clock).
     *
     * Components are standard-Gaussian via Box–Muller over the same PyRandom

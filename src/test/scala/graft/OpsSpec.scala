@@ -1364,4 +1364,33 @@ class OpsSpec extends AnyFunSuite {
     assert(k(2L) == 1L && k(1L) == 1L)
     assert(k(5L) == 5L && k(6L) == 5L) // token-less docs share the empty multiset
   }
+
+  test("vectorHygiene: every flag fires on exactly its family; null vector → null vec_ok") {
+    val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
+      1L -> Some(Seq(1.0f, 2.0f, 3.0f)),                       // clean
+      2L -> Some(Seq(1.0f, 2.0f)),                             // wrong dim
+      3L -> Some(Seq(Float.NaN, 2.0f, 3.0f)),                  // NaN
+      4L -> Some(Seq(1.0f, Float.PositiveInfinity, 3.0f)),     // +Inf
+      5L -> Some(Seq(1.0f, Float.NegativeInfinity, Float.NaN)),// two bad
+      6L -> Some(Seq(0.0f, -0.0f, 0.0f)),                      // all zero (±0)
+      7L -> Some(Seq(Float.MinPositiveValue, 0.0f, 0.0f)),     // subnormal ≠ zero
+      8L -> None)                                              // null vector
+    val out = Similarity.vectorHygiene(
+        rows.toDF("vec_id", "embedding"), expectedDim = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Integer]("dim"), r.getAs[Integer]("n_nonfinite"),
+          Option(r.getAs[java.lang.Boolean]("is_zero")),
+          Option(r.getAs[java.lang.Boolean]("vec_ok")))).toMap
+    assert(out(1L) == ((3, 0, Some(false), Some(true))))
+    assert(out(2L) == ((2, 0, Some(false), Some(false))))
+    assert(out(3L)._2 == 1 && out(3L)._4 == Some(false))
+    assert(out(4L)._2 == 1 && out(4L)._4 == Some(false))
+    assert(out(5L)._2 == 2)
+    assert(out(6L) == ((3, 0, Some(true), Some(false))))
+    // the double-precision square keeps a subnormal component from
+    // underflowing to exact 0 — the vector is correctly NOT flagged zero
+    assert(out(7L) == ((3, 0, Some(false), Some(true))))
+    assert(out(8L)._1 == null && out(8L)._4 == None,
+      "null vector must propagate null flags (three-valued), not crash")
+  }
 }

@@ -808,6 +808,34 @@ object SparkEntry {
             .otherwise(col("sum_chars").cast("double") / col("sum_pieces").cast("double")))
         .orderBy("lang_pred")),
 
+    // per-source vocabulary statistics (Zipf/Heaps diagnostics a corpus
+    // build tracks per snapshot): token count, distinct types, hapax
+    // legomena, type-token ratio, hapax share and the top token's mass.
+    // ONE shuffle on (source, token) — partial aggregation absorbs hot
+    // tokens ("the") map-side, so no single-key straggler — then a tiny
+    // per-source rollup; integer numerators, divisions last ⇒ exact replay
+    "vocab_stats" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("source"), explode(filter(
+          split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      tf.groupBy("source").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          // deterministic top-1: max count, ties to the smallest token
+          min(struct((-col("c")).as("nc"), col("tok"))).as("top"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("type_token_ratio"),
+          (col("n_hapax").cast("double") / col("n_types").cast("double"))
+            .as("hapax_frac"),
+          col("top.tok").as("top_token"),
+          ((-col("top.nc")).cast("double") / col("n_tokens").cast("double"))
+            .as("top_token_share"))
+        .orderBy("source")
+    }),
+
     // C4 §2.2 corpus-level dedup: drop all but the first occurrence of any
     // three-sentence span. Pages manufactured as 4 five-token sentences
     // from each doc's own tokens; %10 plants exact page copies (every span
@@ -2365,6 +2393,30 @@ object SparkEntry {
           |  has_lorem, has_brace, has_bad_word,
           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
           |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // vocab replay: same token class, same two-level aggregation; top-1
+      // via the row_number twin of min(struct(-c, tok))
+      "vocab_stats" ->
+        ("""WITH tok AS (
+          |  SELECT source, unnest(list_filter(
+          |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+          |  FROM documents),
+          |tf AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+          |top AS (SELECT source, tok AS top_token, c AS top_c FROM (
+          |  SELECT source, tok, c,
+          |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
+          |  FROM tf) WHERE rn = 1),
+          |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |    CAST(count(*) AS BIGINT) AS n_types,
+          |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+          |  FROM tf GROUP BY source)
+          |SELECT g.source, n_tokens, n_types, n_hapax,
+          |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+          |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac,
+          |  top_token,
+          |  CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_share
+          |FROM g JOIN top ON g.source = top.source
+          |ORDER BY g.source""".stripMargin.replace("\n", " ")),
 
       // fertility replay: the langId CASE (shared with mixture_sqrt_sample)
       // + the pinned bpeish regex, integer sums, divisions last; plant

@@ -133,7 +133,7 @@ object Bench {
     val keeperSkewJson = keeperSkewEvidence(spark, sfDir)
     val ckptJson = checkpointResumeEvidence(spark, sfDir)
     val windowJson = tokenWindowsProbe(spark, sfDir)
-    val (ivfRecallJson, lshRecallJson) = annRecallProbes(spark, sfDir)
+    val (ivfRecallJson, lshRecallJson, pqRecallJson) = annRecallProbes(spark, sfDir)
     spark.stop()
 
     val refHeadToHeadJson = refHeadToHead()
@@ -162,7 +162,7 @@ object Bench {
       f"""{"single_thread_mops_before_queries":$probeBefore%.0f,"single_thread_mops_after_queries":$probeAfter%.0f}"""
     // full line FIRST (humans read it in the session log) …
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"query_context":$queryContextJson,"skew":$skewJson,"keeper_skew":$keeperSkewJson,"sf_scale":$sfScaleJson,"checkpoint_resume":$ckptJson,"token_windows":$windowJson,"ivf_recall":$ivfRecallJson,"lsh_recall":$lshRecallJson,"ref_head_to_head":$refHeadToHeadJson,"scaling":$scalingJson}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"query_context":$queryContextJson,"skew":$skewJson,"keeper_skew":$keeperSkewJson,"sf_scale":$sfScaleJson,"checkpoint_resume":$ckptJson,"token_windows":$windowJson,"ivf_recall":$ivfRecallJson,"lsh_recall":$lshRecallJson,"pq_recall":$pqRecallJson,"ref_head_to_head":$refHeadToHeadJson,"scaling":$scalingJson}""")
     // … compact line LAST: the driver keeps only a ~2,000-char stdout TAIL,
     // and round 6's full line outgrew it — the committed artifact lost its
     // per-query map (VERDICT r6 #2). The tail-surviving line carries the
@@ -201,7 +201,7 @@ object Bench {
         .mkString("{", ",", "}")
     }
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"skew":$skewCompact,"keeper_skew":$keeperCompact,"checkpoint_resume":$ckptJson,"ivf_recall":$ivfRecallJson,"lsh_recall":$lshRecallJson,"sf_scale_top3":$sfScaleTop,"ref_h2h_p95_ms":$enginePerQuery,"ref_h2h_wall_ratio_p95":$h2hRatio,"scaling":$scalingCompact}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"skew":$skewCompact,"keeper_skew":$keeperCompact,"checkpoint_resume":$ckptJson,"ivf_recall":$ivfRecallJson,"lsh_recall":$lshRecallJson,"pq_recall":$pqRecallJson,"sf_scale_top3":$sfScaleTop,"ref_h2h_p95_ms":$enginePerQuery,"ref_h2h_wall_ratio_p95":$h2hRatio,"scaling":$scalingCompact}""")
   }
 
   /** Measured ANN recall probes (VERDICT r5 #5 / r6 #4), sharing ONE
@@ -214,13 +214,17 @@ object Bench {
     *    structure), so recall tracks the probed fraction — the curve
     *    commits that as a measured fact;
     *  - LSH general regime: recall@5 of the auto-bit-width banded sign-LSH
-    *    top-k.
+    *    top-k;
+    *  - PQ (memory path, 32× compression at 8×16×8): ADC-only recall@5 and
+    *    the production fetch-and-rerank recall@5 (top-50 ADC candidates
+    *    re-ranked by exact cosine — raw vectors touched only for
+    *    candidates).
     *
-    * Both deterministic (seeded sample/hyperplanes, fixed queries) —
-    * reproducible constants per fixture; OpsSpec asserts the floors so a
-    * regression fails a test, not just a bench read.
+    * All deterministic (seeded sample/hyperplanes/codebooks, fixed
+    * queries) — reproducible constants per fixture; OpsSpec asserts the
+    * floors so a regression fails a test, not just a bench read.
     */
-  private def annRecallProbes(spark: SparkSession, sfDir: String): (String, String) = {
+  private def annRecallProbes(spark: SparkSession, sfDir: String): (String, String, String) = {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nHint = emb.count() // bench-side count, not a library hidden job
@@ -248,7 +252,17 @@ object Bench {
       graft.ops.Similarity.lshTopK(emb, k = 5, nHint = nHint)
         .where(col("q_id") < 20)))
     val lshJson = f"""{"k":5,"n_queries":${brute.size},"recall_at_5":$lshR%.3f}"""
-    (ivfJson, lshJson)
+
+    // 8 subspaces × 256 centroids = the standard PQ 8×8-bit geometry:
+    // 8 B/vec (32× on 64-dim float), the memory-path operating point
+    val cbs = graft.ops.Pq.trainCodebooks(emb, nsub = 8, ncent = 256,
+      subDim = 8, iters = 8, sampleCap = 2048)
+    val pqAdc = recallOf(topkSet(graft.ops.Pq.topK(emb, queries, cbs, k = 5)))
+    val pqRr = recallOf(topkSet(
+      graft.ops.Pq.topK(emb, queries, cbs, k = 5, rerankFrom = 50)))
+    val pqJson =
+      f"""{"k":5,"n_queries":${brute.size},"nsub":8,"ncent":256,"bytes_per_vec":8,"compression_x":32,"recall_at_5_adc":$pqAdc%.3f,"recall_at_5_rerank50":$pqRr%.3f}"""
+    (ivfJson, lshJson, pqJson)
   }
 
   /** Fresh per-round head-to-head on the reference's own protocol (VERDICT
@@ -504,6 +518,9 @@ object Bench {
       force(SparkEntry.queries("hashed_quality")(spark, sfDir)))
     results("sentence_span_dedup") = timed("sentence_span_dedup")(
       force(SparkEntry.queries("sentence_span_dedup")(spark, sfDir)))
+    // PQ ADC top-k (memory-path ANN; fixed codebook = the oracle config)
+    results("knn_pq") = timed("knn_pq")(
+      force(SparkEntry.queries("knn_pq")(spark, sfDir)))
     (results, nTurns)
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.gf
 import graft.metrics.Metrics
-import graft.ops.{Conversations, Dedup, Multimodal, Sampling, Similarity, TextStats, WebClean}
+import graft.ops.{Conversations, Dedup, Multimodal, Pq, Sampling, Similarity, TextStats, WebClean}
 import graft.pipeline.{Deid, TurnsGen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -634,6 +634,19 @@ object SparkEntry {
     "hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(embeddings(s, dir),
         embeddings(s, dir).where(col("vec_id") < 20), k = 5)
+        .orderBy("q_id", "rank")),
+
+    // product quantization under the integer-exact contract (ops/Pq.scala):
+    // the one ANN path whose ENTIRE approximate pipeline — scalar
+    // quantization → per-subspace assignment → ADC scoring → ranks — is
+    // hash-exact in DuckDB (every distance an exact BIGINT sum of squares;
+    // ties to the smaller centroid index / neighbor id). Fixed
+    // Knuth-multiplicative codebook (the hashed_quality scheme) so the
+    // oracle rebuilds it arithmetically; trained codebooks are the bench
+    // recall path (pq_recall block)
+    "knn_pq" -> ((s, dir) =>
+      Pq.topK(embeddings(s, dir), embeddings(s, dir).where(col("vec_id") < 20),
+          Pq.fixedCodebook(), k = 5)
         .orderBy("q_id", "rank")),
 
     // embedding-hygiene gate (run before any ANN job): wrong-dim /
@@ -1987,6 +2000,28 @@ object SparkEntry {
       "knn_ivf" -> knnBruteforceOracle,
 
       "knn_bruteforce" -> knnBruteforceOracle,
+
+      // full PQ replay: codebook rebuilt arithmetically, components
+      // quantized with the same floor(x·1000 + 0.5), per-subspace argmin
+      // with (dist, j) tie-break, ADC = sum of lut hits — every number a
+      // BIGINT, so codes/scores/ranks are hash-exact
+      "knn_pq" ->
+        ("""WITH sub AS (SELECT unnest(range(0, 8)) AS s),
+          |cent AS (SELECT unnest(range(0, 16)) AS j),
+          |cb AS (SELECT s, j, [(1 + (s*65536 + j*256 + d) * 2654435761) % 2001 - 1000 for d in range(0, 8)] AS w FROM sub, cent),
+          |e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS iq FROM embeddings WHERE len(embedding) = 64),
+          |sv AS (SELECT vec_id, s, iq[s*8+1 : s*8+8] AS v FROM e, sub),
+          |dists AS (SELECT sv.vec_id, sv.s, cb.j,
+          |    list_sum([(sv.v[i] - cb.w[i]) * (sv.v[i] - cb.w[i]) for i in range(1, 9)]) AS dist
+          |  FROM sv JOIN cb ON sv.s = cb.s),
+          |code AS (SELECT vec_id, s, j AS c FROM (SELECT vec_id, s, j,
+          |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM dists) WHERE rn = 1),
+          |qd AS (SELECT vec_id AS q_id, s, j, dist AS ld FROM dists WHERE vec_id < 20),
+          |sc AS (SELECT qd.q_id, code.vec_id AS n_id, CAST(sum(qd.ld) AS BIGINT) AS adc_dist
+          |  FROM code JOIN qd ON code.s = qd.s AND code.c = qd.j AND code.vec_id <> qd.q_id
+          |  GROUP BY qd.q_id, code.vec_id),
+          |r AS (SELECT q_id, n_id, adc_dist, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS INTEGER) AS rank FROM sc)
+          |SELECT q_id, rank, n_id, adc_dist FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")),
 
       // hard negatives: the knn oracle with the label carried through and
       // the different-label predicate in the candidate join

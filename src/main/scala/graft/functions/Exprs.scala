@@ -1035,3 +1035,146 @@ case class TokenWindowsExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): TokenWindowsExpr =
     copy(child = newChild)
 }
+
+/** Product-quantization encode under the integer-exact contract
+  * ([[graft.ops.Pq]]): each component is scalar-quantized to the 1/1000
+  * grid — `iq[d] = floor(x·1000 + 0.5)`, one correctly-rounded IEEE
+  * multiply + floor, bit-identical in any IEEE engine — and each of the
+  * `nsub` subvectors is assigned its nearest codebook centroid by exact
+  * BIGINT squared L2 (ties to the smaller centroid index). Codebook
+  * entries live on the same integer grid, so encode is EXACT end-to-end
+  * and a DuckDB oracle replays the codes hash-identically.
+  *
+  * A vector whose length ≠ nsub·subDim encodes to null (three-valued, like
+  * [[graft.ops.Similarity.vectorHygiene]]'s flags — that gate is the loud
+  * path for malformed shards).
+  */
+case class PqEncodeExpr(child: Expression, codebook: Seq[Seq[Seq[Int]]])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebook.map(_.map(_.map(_.toLong).toArray).toArray).toArray
+  private val nsub = codebook.length
+  private val ncent = codebook.head.length
+  private val subDim = codebook.head.head.length
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (vec.numElements() != nsub * subDim) return null
+    val iq = new Array[Long](nsub * subDim)
+    var i = 0
+    while (i < iq.length) {
+      iq(i) = math.floor(vec.getDouble(i) * 1000.0 + 0.5).toLong
+      i += 1
+    }
+    val codes = new Array[Int](nsub)
+    var s = 0
+    while (s < nsub) {
+      val cents = cb(s)
+      var best = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < ncent) {
+        val w = cents(j)
+        var dist = 0L
+        var d = 0
+        while (d < subDim) {
+          val diff = iq(s * subDim + d) - w(d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** ADC lookup table for one query vector: `lut[s·ncent + j]` = exact BIGINT
+  * squared L2 between the query's s-th quantized subvector and centroid j.
+  * Computed once per query (queries are broadcast), so scoring a corpus
+  * row is `nsub` array reads ([[PqAdcExpr]]).
+  */
+case class PqLutExpr(child: Expression, codebook: Seq[Seq[Seq[Int]]])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val cb: Array[Array[Array[Long]]] =
+    codebook.map(_.map(_.map(_.toLong).toArray).toArray).toArray
+  private val nsub = codebook.length
+  private val ncent = codebook.head.length
+  private val subDim = codebook.head.head.length
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_lut"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (vec.numElements() != nsub * subDim) return null
+    val iq = new Array[Long](nsub * subDim)
+    var i = 0
+    while (i < iq.length) {
+      iq(i) = math.floor(vec.getDouble(i) * 1000.0 + 0.5).toLong
+      i += 1
+    }
+    val lut = new Array[Long](nsub * ncent)
+    var s = 0
+    while (s < nsub) {
+      val cents = cb(s)
+      var j = 0
+      while (j < ncent) {
+        val w = cents(j)
+        var dist = 0L
+        var d = 0
+        while (d < subDim) {
+          val diff = iq(s * subDim + d) - w(d)
+          dist += diff * diff
+          d += 1
+        }
+        lut(s * ncent + j) = dist
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance score: `Σ_s lut[s·ncent + codes[s]]` — the PQ
+  * approximation of squared L2 between query and corpus vector, exact
+  * BIGINT given the two inputs. The hot-path cost per (query, corpus row)
+  * is nsub array reads; no per-row float math at all.
+  */
+case class PqAdcExpr(left: Expression, right: Expression, ncent: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val lut = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nsub = codes.numElements()
+    var sum = 0L
+    var s = 0
+    while (s < nsub) {
+      sum += lut.getLong(s * ncent + codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}

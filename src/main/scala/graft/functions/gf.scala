@@ -149,4 +149,18 @@ object gf {
     */
   def tokenMultisetKey(text: Column): Column =
     column(TokenMultisetKeyExpr(expression(text)))
+
+  /** Product-quantization codes (integer-exact contract; see
+    * [[graft.ops.Pq]]).
+    */
+  def pqEncode(vec: Column, codebook: Seq[Seq[Seq[Int]]]): Column =
+    column(PqEncodeExpr(expression(vec), codebook))
+
+  /** Per-query ADC lookup table (nsub·ncent exact BIGINT distances). */
+  def pqLut(vec: Column, codebook: Seq[Seq[Seq[Int]]]): Column =
+    column(PqLutExpr(expression(vec), codebook))
+
+  /** ADC score: Σ over subspaces of lut[s·ncent + codes[s]]. */
+  def pqAdc(codes: Column, lut: Column, ncent: Int): Column =
+    column(PqAdcExpr(expression(codes), expression(lut), ncent))
 }

@@ -1365,6 +1365,84 @@ class OpsSpec extends AnyFunSuite {
     assert(k(5L) == 5L && k(6L) == 5L) // token-less docs share the empty multiset
   }
 
+  test("PQ encode matches a naive driver-side replay; malformed vectors encode null") {
+    val cb = graft.ops.Pq.fixedCodebook(nsub = 4, ncent = 8, subDim = 4)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where($"vec_id" < 50)
+      .select($"vec_id", expr("slice(embedding, 1, 16)").as("embedding"))
+    val got = graft.ops.Pq.encode(emb, cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val raw = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    raw.foreach { case (id, v) =>
+      val iq = v.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
+      val want = (0 until 4).map { s =>
+        (0 until 8).minBy { j =>
+          val d = (0 until 4).map { d0 =>
+            val diff = iq(s * 4 + d0) - cb(s)(j)(d0); diff * diff
+          }.sum
+          (d, j)
+        }
+      }
+      assert(got(id) == want, s"codes diverge for vec $id")
+    }
+    // wrong dimension and null → null codes (the hygiene gate is the loud path)
+    val bad = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val codes = graft.ops.Pq.encode(bad, cb).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(codes(1L).isEmpty && codes(2L).isEmpty)
+  }
+
+  test("PQ full rerank degrades to exact brute force; guards fail fast") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").where($"vec_id" < 200)
+    val q = emb.where($"vec_id" < 5)
+    val cb = graft.ops.Pq.fixedCodebook()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "n_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // rerankFrom >= corpus-1 ⇒ every vector is a candidate ⇒ the exact
+    // cosine re-rank IS brute force (same (sim desc, n_id) tie-break)
+    val full = rows(graft.ops.Pq.topK(emb, q, cb, k = 5, rerankFrom = 199))
+    val brute = rows(Similarity.bruteForceTopK(emb, q, k = 5))
+    assert(full == brute)
+    intercept[IllegalArgumentException] {
+      graft.ops.Pq.topK(emb, q, cb, k = 5, rerankFrom = 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Pq.trainCodebooks(emb, ncent = 16, sampleCap = 8)
+    }
+  }
+
+  test("PQ trained codebooks: deterministic, on the 1/1000 grid, recall floor holds") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = graft.ops.Pq.trainCodebooks(emb, sampleCap = 512, iters = 4)
+    val b = graft.ops.Pq.trainCodebooks(emb, sampleCap = 512, iters = 4)
+    assert(a == b, "training must be bit-deterministic (no RNG, no clock)")
+    assert(a.flatten.flatten.forall(w => w >= -2000 && w <= 2000),
+      "centroids live on the quantized integer grid")
+    val q = emb.where($"vec_id" < 20)
+    def topkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val brute = topkSet(Similarity.bruteForceTopK(emb, q, k = 5))
+    def recallOf(got: Map[Long, Set[Long]]): Double = brute.map { case (k, want) =>
+      got.getOrElse(k, Set.empty[Long]).intersect(want).size.toDouble / want.size
+    }.sum / brute.size
+    val rr = recallOf(topkSet(graft.ops.Pq.topK(emb, q, a, k = 5, rerankFrom = 50)))
+    assert(rr >= 0.5, f"16-centroid rerank-50 recall@5 $rr%.3f under floor 0.5")
+    // the bench geometry (8×256 = 8 B/vec): the pq_recall block measured
+    // as a GATE, same discipline as the IVF/LSH floors (fixture constants:
+    // 0.61 ADC / 1.0 rerank-50 at this scale)
+    val cb256 = graft.ops.Pq.trainCodebooks(emb, nsub = 8, ncent = 256,
+      subDim = 8, iters = 8, sampleCap = 2048)
+    val adc256 = recallOf(topkSet(graft.ops.Pq.topK(emb, q, cb256, k = 5)))
+    val rr256 = recallOf(topkSet(
+      graft.ops.Pq.topK(emb, q, cb256, k = 5, rerankFrom = 50)))
+    assert(adc256 >= 0.5, f"PQ8x8 ADC recall@5 $adc256%.3f under floor 0.5")
+    assert(rr256 >= 0.9, f"PQ8x8 rerank-50 recall@5 $rr256%.3f under floor 0.9")
+    assert(rr256 >= adc256, "rerank must not lose recall")
+  }
+
   test("vectorHygiene: every flag fires on exactly its family; null vector → null vec_ok") {
     val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
       1L -> Some(Seq(1.0f, 2.0f, 3.0f)),                       // clean

@@ -44,6 +44,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("PQ top-k: queries broadcast, corpus codes never shuffle before the rank window") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(graft.ops.Pq.topK(emb, emb.where(col("vec_id") < 5),
+      graft.ops.Pq.fixedCodebook(), k = 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the ONLY hash exchange is the per-query rank window's q_id one — the
+    // corpus side reaches the join as a scan projection (encode is
+    // zero-shuffle), so at 10^12 vectors the codes stream straight through
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(p.contains("hashpartitioning(q_id"), p)
+    assert(hashExchanges == 1, s"expected 1 hash exchange (q_id window), plan:\n$p")
+  }
+
   test("salted write clustering splits a mega-conversation across partitions") {
     val mega = TurnsGen.turns(spark, sfDir)
       .withColumn("conv_id", lit("mega"))

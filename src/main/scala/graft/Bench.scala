@@ -201,7 +201,7 @@ object Bench {
         .mkString("{", ",", "}")
     }
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"skew":$skewCompact,"keeper_skew":$keeperCompact,"checkpoint_resume":$ckptJson,"ivf_recall":$ivfRecallJson,"lsh_recall":$lshRecallJson,"pq_recall":$pqRecallJson,"sf_scale_top3":$sfScaleTop,"ref_h2h_p95_ms":$enginePerQuery,"ref_h2h_wall_ratio_p95":$h2hRatio,"scaling":$scalingCompact}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"redaction_turns_per_sec":${f"$turnsPerSec%.0f"},"cpus":$cpus,"host_context":$hostContext,"skew":$skewCompact,"keeper_skew":$keeperCompact,"checkpoint_resume":$ckptJson,"ivf_recall":${ivfRecallJson.replaceAll(""","note":"[^"]*"""", "")},"lsh_recall":$lshRecallJson,"pq_recall":$pqRecallJson,"sf_scale_top3":$sfScaleTop,"ref_h2h_p95_ms":$enginePerQuery,"ref_h2h_wall_ratio_p95":$h2hRatio,"scaling":$scalingCompact}""")
   }
 
   /** Measured ANN recall probes (VERDICT r5 #5 / r6 #4), sharing ONE
@@ -260,8 +260,13 @@ object Bench {
     val pqAdc = recallOf(topkSet(graft.ops.Pq.topK(emb, queries, cbs, k = 5)))
     val pqRr = recallOf(topkSet(
       graft.ops.Pq.topK(emb, queries, cbs, k = 5, rerankFrom = 50)))
+    // the production composition: trained coarse pruning (4 of 16 lists =
+    // ~25% of the corpus scanned) over the same trained PQ codes
+    val coarse = graft.ops.Pq.trainCoarse(emb, ncoarse = 16)
+    val ivfpq = recallOf(topkSet(
+      graft.ops.Pq.ivfPqTopK(emb, queries, coarse, cbs, k = 5, nprobe = 4)))
     val pqJson =
-      f"""{"k":5,"n_queries":${brute.size},"nsub":8,"ncent":256,"bytes_per_vec":8,"compression_x":32,"recall_at_5_adc":$pqAdc%.3f,"recall_at_5_rerank50":$pqRr%.3f}"""
+      f"""{"k":5,"n_queries":${brute.size},"nsub":8,"ncent":256,"bytes_per_vec":8,"compression_x":32,"recall_at_5_adc":$pqAdc%.3f,"recall_at_5_rerank50":$pqRr%.3f,"ivfpq_nprobe4_recall_at_5":$ivfpq%.3f}"""
     (ivfJson, lshJson, pqJson)
   }
 

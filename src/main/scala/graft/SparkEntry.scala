@@ -649,6 +649,19 @@ object SparkEntry {
           Pq.fixedCodebook(), k = 5)
         .orderBy("q_id", "rank")),
 
+    // residual-free IVF-PQ in its APPROXIMATE regime (nprobe 2 of 16
+    // coarse cells): the coarse quantizer is a 1-subspace codebook on the
+    // same integer grid, so pruning + ADC + ranks all replay exactly —
+    // the composition a 10^12-vector deployment actually runs (coarse
+    // partition pruning × 32x code compression), oracle-verified end to
+    // end including which lists were probed
+    "knn_ivfpq" -> ((s, dir) =>
+      Pq.ivfPqTopK(embeddings(s, dir),
+          embeddings(s, dir).where(col("vec_id") < 20),
+          Pq.fixedCodebook(1, 16, 64).head, Pq.fixedCodebook(),
+          k = 5, nprobe = 2)
+        .orderBy("q_id", "rank")),
+
     // embedding-hygiene gate (run before any ANN job): wrong-dim /
     // non-finite / all-zero vectors, planted via four mod-keyed families
     // (truncated, NaN head, zeroed, +Inf tail) so every flag bites; the
@@ -2019,6 +2032,35 @@ object SparkEntry {
           |qd AS (SELECT vec_id AS q_id, s, j, dist AS ld FROM dists WHERE vec_id < 20),
           |sc AS (SELECT qd.q_id, code.vec_id AS n_id, CAST(sum(qd.ld) AS BIGINT) AS adc_dist
           |  FROM code JOIN qd ON code.s = qd.s AND code.c = qd.j AND code.vec_id <> qd.q_id
+          |  GROUP BY qd.q_id, code.vec_id),
+          |r AS (SELECT q_id, n_id, adc_dist, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS INTEGER) AS rank FROM sc)
+          |SELECT q_id, rank, n_id, adc_dist FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")),
+
+      // IVF-PQ replay: the knn_pq pipeline plus the coarse quantizer (a
+      // 1-subspace codebook, idx = j·256 + d) — corpus cell assignment and
+      // per-query top-2 probe cells both by exact BIGINT distance with
+      // (dist, cell) tie-break; candidates filtered to probed cells before
+      // the ADC ranking
+      "knn_ivfpq" ->
+        ("""WITH sub AS (SELECT unnest(range(0, 8)) AS s),
+          |cent AS (SELECT unnest(range(0, 16)) AS j),
+          |cb AS (SELECT s, j, [(1 + (s*65536 + j*256 + d) * 2654435761) % 2001 - 1000 for d in range(0, 8)] AS w FROM sub, cent),
+          |co AS (SELECT j, [(1 + (j*256 + d) * 2654435761) % 2001 - 1000 for d in range(0, 64)] AS w FROM cent),
+          |e AS (SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) for x in embedding] AS iq FROM embeddings WHERE len(embedding) = 64),
+          |cd AS (SELECT e.vec_id, co.j, list_sum([(e.iq[i] - co.w[i]) * (e.iq[i] - co.w[i]) for i in range(1, 65)]) AS dist FROM e, co),
+          |cid AS (SELECT vec_id, j AS cell FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM cd) WHERE rn = 1),
+          |probes AS (SELECT vec_id AS q_id, j AS cell FROM (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM cd WHERE vec_id < 20) WHERE rn <= 2),
+          |sv AS (SELECT vec_id, s, iq[s*8+1 : s*8+8] AS v FROM e, sub),
+          |dists AS (SELECT sv.vec_id, sv.s, cb.j,
+          |    list_sum([(sv.v[i] - cb.w[i]) * (sv.v[i] - cb.w[i]) for i in range(1, 9)]) AS dist
+          |  FROM sv JOIN cb ON sv.s = cb.s),
+          |code AS (SELECT vec_id, s, j AS c FROM (SELECT vec_id, s, j,
+          |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM dists) WHERE rn = 1),
+          |qd AS (SELECT vec_id AS q_id, s, j, dist AS ld FROM dists WHERE vec_id < 20),
+          |sc AS (SELECT qd.q_id, code.vec_id AS n_id, CAST(sum(qd.ld) AS BIGINT) AS adc_dist
+          |  FROM code JOIN qd ON code.s = qd.s AND code.c = qd.j AND code.vec_id <> qd.q_id
+          |  JOIN cid ON cid.vec_id = code.vec_id
+          |  JOIN probes ON probes.q_id = qd.q_id AND probes.cell = cid.cell
           |  GROUP BY qd.q_id, code.vec_id),
           |r AS (SELECT q_id, n_id, adc_dist, CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS INTEGER) AS rank FROM sc)
           |SELECT q_id, rank, n_id, adc_dist FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")),

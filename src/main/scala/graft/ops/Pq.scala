@@ -153,6 +153,86 @@ object Pq {
       graft.functions.gf.pqEncode(col(vecCol).cast("array<double>"), codebook)
         .as("codes"))
 
+  /** Coarse quantizer for [[ivfPqTopK]]: a 1-subspace codebook over the
+    * full dimension — [[trainCodebooks]] with nsub=1 reuses the whole
+    * integer-grid training path, so coarse centroids obey the same
+    * exactness contract as the PQ codebooks.
+    */
+  def trainCoarse(
+      corpus: DataFrame,
+      ncoarse: Int = 16,
+      dim: Int = 64,
+      iters: Int = 8,
+      sampleCap: Int = 2048,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Seq[Seq[Int]] =
+    trainCodebooks(corpus, nsub = 1, ncent = ncoarse, subDim = dim,
+      iters = iters, sampleCap = sampleCap, seed = seed,
+      idCol = idCol, vecCol = vecCol).head
+
+  /** Residual-free IVF-PQ — the standard composition for 10¹²-vector ANN
+    * (coarse quantizer prunes to `nprobe` of `ncoarse` inverted lists, PQ
+    * codes rank inside them): the corpus is one scan-stage projection to
+    * `(cid, codes)` (9 B/vec at the default geometry — a parquet table
+    * partitioned by `cid` gives list-pruned scans for free), the query
+    * side derives its probe cells and ADC LUT and BROADCASTS, so the
+    * candidate filter is a broadcast hash join on `cid` — the corpus never
+    * shuffles; only the rank window moves candidate rows (`~nprobe/ncoarse`
+    * of the corpus per query) onto `q_id` keys.
+    *
+    * Every distance — coarse assignment, probe selection, ADC — is the
+    * same exact BIGINT metric as [[topK]] (the coarse quantizer is just a
+    * 1-subspace codebook), so the WHOLE pipeline including the pruning is
+    * DuckDB-replayable in its approximate regime (`knn_ivfpq` at
+    * nprobe=2), and `nprobe = ncoarse` degrades to [[topK]] exactly
+    * (spec-pinned). Ties: coarse cells by (dist, cell), ranks by
+    * (adc_dist, n_id).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      coarse: Seq[Seq[Int]],
+      codebook: Seq[Seq[Seq[Int]]],
+      k: Int = 5,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe must be in [1, ${coarse.length}], got $nprobe")
+    val coarseBook: Seq[Seq[Seq[Int]]] = Seq(coarse)
+    val ncent = codebook.head.length
+    val c = corpus.select(col(idCol).as("n_id"),
+        graft.functions.gf.pqEncode(col(vecCol).cast("array<double>"), coarseBook)
+          .getItem(0).as("cid"),
+        graft.functions.gf.pqEncode(col(vecCol).cast("array<double>"), codebook)
+          .as("codes"))
+      .where(col("codes").isNotNull && col("cid").isNotNull)
+    // per query: distances to every coarse cell (exact BIGINT), top-nprobe
+    // cells by (dist, cell), carrying the PQ LUT to the probe rows
+    val qCells = broadcast(queries.select(col(idCol).as("q_id"),
+        graft.functions.gf.pqLut(col(vecCol).cast("array<double>"), coarseBook)
+          .as("cdist"),
+        graft.functions.gf.pqLut(col(vecCol).cast("array<double>"), codebook)
+          .as("lut"))
+      .where(col("cdist").isNotNull && col("lut").isNotNull)
+      .select(col("q_id"), col("lut"), posexplode(col("cdist")).as(Seq("cell", "dist")))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("dist"), asc("cell"))))
+      .where(col("cell_rank") <= nprobe)
+      .select(col("q_id"), col("lut"), col("cell").as("cid")))
+    qCells.join(c, Seq("cid"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("adc_dist",
+        graft.functions.gf.pqAdc(col("codes"), col("lut"), ncent))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(asc("adc_dist"), asc("n_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("adc_dist"))
+  }
+
   /** ADC top-k: per query, the k corpus ids with the smallest asymmetric
     * squared-L2 estimate (ties to the smaller id — deterministic ranks,
     * and with the integer-exact contract, oracle-exact ranks). With

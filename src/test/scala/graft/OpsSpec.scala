@@ -1413,6 +1413,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: nprobe = ncoarse degrades to plain PQ exactly; pruning prunes; guards fail fast") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where($"vec_id" < 5)
+    val coarse = graft.ops.Pq.fixedCodebook(1, 16, 64).head
+    val cb = graft.ops.Pq.fixedCodebook()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "n_id", "adc_dist").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // probing every list = no pruning = identical ADC ranking
+    val all = rows(graft.ops.Pq.ivfPqTopK(emb, q, coarse, cb, k = 5, nprobe = 16))
+    val pq = rows(graft.ops.Pq.topK(emb, q, cb, k = 5))
+    assert(all == pq)
+    // nprobe=1 answers come only from each query's own nearest cell — the
+    // result set must be a subset of the corpus in probed cells (pruning is
+    // real, not a no-op): every neighbor's coarse cell == the query's top cell
+    val one = graft.ops.Pq.ivfPqTopK(emb, q, coarse, cb, k = 5, nprobe = 1)
+    val cells = graft.ops.Pq.encode(emb, Seq(coarse))
+      .select($"n_id", $"codes".getItem(0).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    one.select("q_id", "n_id").collect().foreach { r =>
+      assert(cells(r.getLong(1)) == cells(r.getLong(0)),
+        s"nprobe=1 must stay in the query's own cell (q=${r.getLong(0)} n=${r.getLong(1)})")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Pq.ivfPqTopK(emb, q, coarse, cb, nprobe = 17)
+    }
+  }
+
   test("PQ trained codebooks: deterministic, on the 1/1000 grid, recall floor holds") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val a = graft.ops.Pq.trainCodebooks(emb, sampleCap = 512, iters = 4)

@@ -57,6 +57,21 @@ class PlanSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"expected 1 hash exchange (q_id window), plan:\n$p")
   }
 
+  test("IVF-PQ: probe filter is a broadcast hash join on cid; only q-side/window exchanges") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = plan(graft.ops.Pq.ivfPqTopK(emb, emb.where(col("vec_id") < 5),
+      graft.ops.Pq.fixedCodebook(1, 16, 64).head, graft.ops.Pq.fixedCodebook(),
+      k = 3, nprobe = 2))
+    assert(p.contains("BroadcastHashJoin") && p.contains("BroadcastExchange"), p)
+    // every hash exchange keys on q_id (the tiny query side's cell-rank
+    // window + the final rank window) — the corpus reaches the candidate
+    // join as a scan projection and never shuffles
+    val hashKeys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(hashKeys.nonEmpty && hashKeys.forall(_ == "q_id"),
+      s"corpus-side exchange leaked: $hashKeys\n$p")
+  }
+
   test("salted write clustering splits a mega-conversation across partitions") {
     val mega = TurnsGen.turns(spark, sfDir)
       .withColumn("conv_id", lit("mega"))

@@ -862,6 +862,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // EXACT top-k heavy hitters via two bounded-memory passes (Misra–Gries
+    // candidates + broadcast-filtered exact verify, fail-loud provability
+    // guard) — the token universe is made genuinely long-tailed by planting
+    // one unique token per document, so per-partition pruning really
+    // happens; the output is provably identical to the full-shuffle top-k,
+    // so the oracle is the plain exact GROUP BY
+    "heavy_hitters" -> ((s, dir) => {
+      val toks = docs(s, dir).select(explode(filter(
+          split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+        .unionAll(docs(s, dir)
+          .select(concat(lit("u"), col("doc_id")).as("tok")))
+      TextStats.heavyHittersExact(toks, "tok", k = 20, counters = 256)
+        .orderBy(desc("cnt"), asc("tok"))
+    }),
+
     // C4 §2.2 corpus-level dedup: drop all but the first occurrence of any
     // three-sentence span. Pages manufactured as 4 five-token sentences
     // from each doc's own tokens; %10 plants exact page copies (every span
@@ -2470,6 +2485,17 @@ object SparkEntry {
           |  has_lorem, has_brace, has_bad_word,
           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
           |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // heavy-hitters replay: the two-pass MG machinery is output-identical
+      // to the exact full-shuffle top-k (that IS its contract), so the
+      // oracle is the plain GROUP BY with the same (cnt desc, tok) order
+      "heavy_hitters" ->
+        ("""WITH tok AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS tok FROM documents
+          |  UNION ALL SELECT 'u' || CAST(doc_id AS VARCHAR) FROM documents),
+          |c AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok)
+          |SELECT tok, CAST(cnt AS BIGINT) AS cnt FROM c
+          |ORDER BY cnt DESC, tok LIMIT 20""".stripMargin.replace("\n", " ")),
 
       // vocab replay: same token class, same two-level aggregation; top-1
       // via the row_number twin of min(struct(-c, tok))

@@ -649,4 +649,105 @@ object TextStats {
       }(outEnc)
       .toDF(idCol, "n_tokens", "bucket", "pack")
   }
+
+  /** EXACT top-k heavy hitters in two bounded-memory passes (Misra–Gries
+    * 1982 candidates + exact verify) — the shape for token/URL/n-gram
+    * universes too large to `groupBy` whole: a 100-TB corpus has billions
+    * of distinct tokens, and shuffling all of them to count the top 20 is
+    * the wrong plan.
+    *
+    *  - '''pass 1''': per-partition Misra–Gries summaries with `counters`
+    *    counters (`mapPartitions` — genuinely imperative per-partition
+    *    state, the documented last-resort case). Guarantee: an item absent
+    *    from EVERY partition summary has global frequency ≤ N/(counters+1).
+    *    The union of summaries (≤ counters × partitions narrow rows, never
+    *    driver-collected) is the candidate set.
+    *  - '''pass 2''': exact counts of candidates only — a broadcast
+    *    semi-join at the scan, then a `groupBy` whose key universe is the
+    *    bounded candidate set.
+    *  - '''exactness guard''' (fail-loud, the hot-key-guard discipline):
+    *    the result is PROVABLY the exact global top-k iff the k-th exact
+    *    count is strictly > N/(counters+1) — any non-candidate is at most
+    *    that. Otherwise this throws and names the fix (more counters)
+    *    instead of silently returning a maybe-wrong ranking.
+    *
+    * Output: k rows (tok, cnt), ties broken (cnt desc, tok asc) — content
+    * identical to the full-shuffle `GROUP BY` top-k, so the DuckDB oracle
+    * is the plain exact query. The top-k rows come back via one bounded
+    * driver collect (k rows) so the guard and the returned frame share a
+    * single pass-2 execution.
+    */
+  def heavyHittersExact(
+      tokens: DataFrame,
+      tokenCol: String = "tok",
+      k: Int = 20,
+      counters: Int = 256
+  ): DataFrame = {
+    require(k >= 1 && counters >= 1, s"k=$k counters=$counters must be >= 1")
+    import org.apache.spark.sql.Encoders
+    val spark = tokens.sparkSession
+    val toks = tokens.select(col(tokenCol).cast("string"))
+      .where(col(tokenCol).isNotNull)
+      .as(Encoders.STRING)
+    // one MG sweep also tallies N per partition (emitted as a null-key
+    // sentinel row), so pass 1 is a single scan
+    val outEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val summaries = toks.mapPartitions { it =>
+      val cnt = new java.util.HashMap[String, Long](counters * 2)
+      var n = 0L
+      while (it.hasNext) {
+        val t = it.next()
+        n += 1
+        val c = cnt.get(t)
+        if (c != 0L) cnt.put(t, c + 1)
+        else if (cnt.size < counters) cnt.put(t, 1L)
+        else {
+          // decrement-all; drop zeros (amortized O(1) per item)
+          val e = cnt.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1)
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      out += ((null, n))
+      val e = cnt.entrySet().iterator()
+      while (e.hasNext) { val kv = e.next(); out += ((kv.getKey, kv.getValue)) }
+      out.iterator
+    }(outEnc).toDF("tok", "lb")
+    summaries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = summaries.where(col("tok").isNull)
+        .agg(sum("lb")).collect()(0).getLong(0)
+      val cands = summaries.where(col("tok").isNotNull).select("tok").distinct()
+      val topRows = tokens.select(col(tokenCol).cast("string").as("tok"))
+        .join(broadcast(cands), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok"))
+        .limit(k)
+        .collect()
+      val floor = n / (counters + 1L)
+      // fewer than k candidates is only provably complete when floor == 0
+      // (N <= counters: no partition could ever have pruned, so candidates
+      // = the whole universe); with k candidates, the k-th must strictly
+      // beat the pruned-token ceiling
+      require(
+        if (topRows.length < k) floor == 0L
+        else topRows.last.getLong(1) > floor,
+        s"top-$k not provable with $counters counters: " +
+          (if (topRows.length < k)
+            s"only ${topRows.length} candidates but pruning was possible (N=$n)"
+          else s"k-th exact count ${topRows.last.getLong(1)} <= " +
+            s"N/(counters+1) = $floor (a pruned token could tie or beat it)") +
+          " - raise counters and rerun")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(topRows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tok",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } finally summaries.unpersist()
+  }
 }

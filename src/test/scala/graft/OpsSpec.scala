@@ -1471,6 +1471,31 @@ class OpsSpec extends AnyFunSuite {
     assert(rr256 >= adc256, "rerank must not lose recall")
   }
 
+  test("heavyHittersExact: equals full-shuffle top-k under adversarial partitioning; guard fails loud") {
+    // long-tailed universe: 31 hot base tokens + one unique token per doc
+    val toks = docs.select(explode(filter(
+        split(lower(trim($"text")), "\\s+"), t => t =!= "")).as("tok"))
+      .unionAll(docs.select(concat(lit("u"), $"doc_id").as("tok")))
+      .repartition(13) // force many partial summaries + real pruning
+    val got = TextStats.heavyHittersExact(toks, "tok", k = 10, counters = 128)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, "two-pass MG must equal the full-shuffle exact top-k")
+    // provability guard: 2 counters cannot certify a top-10 on this tail
+    val e = intercept[IllegalArgumentException] {
+      TextStats.heavyHittersExact(toks, "tok", k = 10, counters = 2)
+    }
+    assert(e.getMessage.contains("raise counters"), e.getMessage)
+    // floor == 0 regime: N <= counters means nothing was ever pruned, so
+    // fewer-than-k candidates IS the complete exact answer
+    val tiny = Seq("a", "b", "a", "c", "a", "b").toDF("tok")
+    val small = TextStats.heavyHittersExact(tiny, "tok", k = 10, counters = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(small == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("vectorHygiene: every flag fires on exactly its family; null vector → null vec_ok") {
     val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
       1L -> Some(Seq(1.0f, 2.0f, 3.0f)),                       // clean

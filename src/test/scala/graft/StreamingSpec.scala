@@ -100,6 +100,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.where(col("has_lorem")).count() > 0)
   }
 
+  test("streaming PQ encode: stateless scan-stage twin agrees with batch codes") {
+    // encode is a pure projection, so the incremental pipeline must emit
+    // byte-identical codes — the shape a continuous embedding-ingest job
+    // uses to keep an ANN index's code table current
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_pq").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    emb.write.mode("overwrite").parquet(s"$dir/in")
+    val cb = graft.ops.Pq.fixedCodebook()
+    val q = graft.ops.Pq.encode(
+        spark.readStream.schema(emb.schema).parquet(s"$dir/in"), cb)
+      .writeStream.format("memory").queryName("pq_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val h = (df: org.apache.spark.sql.DataFrame) =>
+      df.selectExpr("sum(hash(n_id, codes))").first().getLong(0)
+    val got = spark.sql("SELECT * FROM pq_stream")
+    val want = graft.ops.Pq.encode(spark.read.parquet(s"$dir/in"), cb)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(h(got) == h(want))
+  }
+
   test("windowed entity counts with watermark produce rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     TurnsGen.turns(spark, "/root/testdata/sf0.001").limit(200)

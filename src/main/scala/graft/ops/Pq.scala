@@ -140,8 +140,9 @@ object Pq {
     }
   }
 
-  /** (id, codes) — zero-shuffle scan projection; malformed vectors get null
-    * codes (three-valued — [[Similarity.vectorHygiene]] is the loud path).
+  /** `(n_id, codes)` — zero-shuffle scan projection; malformed vectors get
+    * null codes (three-valued — [[Similarity.vectorHygiene]] is the loud
+    * path).
     */
   def encode(
       corpus: DataFrame,
@@ -202,6 +203,11 @@ object Pq {
   ): DataFrame = {
     require(nprobe >= 1 && nprobe <= coarse.length,
       s"nprobe must be in [1, ${coarse.length}], got $nprobe")
+    // a dimension mismatch between the two quantizers would null every cid
+    // (or every code) and silently return an empty result — refuse loudly
+    require(coarse.head.length == codebook.length * codebook.head.head.length,
+      s"coarse dim ${coarse.head.length} != codebook dim " +
+        s"${codebook.length} x ${codebook.head.head.length}")
     val coarseBook: Seq[Seq[Seq[Int]]] = Seq(coarse)
     val ncent = codebook.head.length
     val c = corpus.select(col(idCol).as("n_id"),

@@ -719,7 +719,7 @@ object TextStats {
     summaries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = summaries.where(col("tok").isNull)
-        .agg(sum("lb")).collect()(0).getLong(0)
+        .agg(coalesce(sum("lb"), lit(0L))).collect()(0).getLong(0)
       val cands = summaries.where(col("tok").isNotNull).select("tok").distinct()
       val topRows = tokens.select(col(tokenCol).cast("string").as("tok"))
         .join(broadcast(cands), "tok")

@@ -1331,6 +1331,33 @@ object SparkEntry {
         .withColumn("is_boilerplate", col("n_copies") > 100)
         .orderBy("conv_id", "turn_idx")),
 
+    // per-conversation structure report (the transcript-corpus health
+    // table: role mix, tool-call rate, char volume, wall-clock span) — one
+    // conv_id-keyed shuffle absorbed by partial aggregation; a mod-keyed
+    // turn drop makes n_turns/role mix genuinely vary (the generated
+    // conversations are otherwise all 3 turns). All integers + two
+    // trailing divisions ⇒ exact replay; span via unix epoch (session TZ
+    // is UTC, so DuckDB's epoch() agrees)
+    "conv_stats" -> ((s, dir) => {
+      val t = turns(s, dir).where(
+        (col("conv_id").cast("long") * 7 + col("turn_idx") * 3) % 5 =!= 0)
+      t.groupBy("conv_id").agg(
+          count(lit(1)).as("n_turns"),
+          sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+          sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+          sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool_role"),
+          sum(when(col("tool").isNotNull, 1L).otherwise(0L)).as("n_tool_calls"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          max(length(col("text"))).as("max_chars"),
+          (max(unix_timestamp(col("ts"))) - min(unix_timestamp(col("ts"))))
+            .as("span_secs"))
+        .withColumn("tool_call_rate",
+          col("n_tool_calls").cast("double") / col("n_turns").cast("double"))
+        .withColumn("chars_per_turn",
+          col("sum_chars").cast("double") / col("n_turns").cast("double"))
+        .orderBy("conv_id")
+    }),
+
     "sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3142,6 +3169,30 @@ object SparkEntry {
           "SELECT conv_id, turn_idx, CAST(n_copies AS BIGINT) AS n_copies, " +
           "rn > 1 AS is_dup, n_copies > 100 AS is_boilerplate " +
           "FROM r ORDER BY conv_id, turn_idx"),
+
+      // conv_stats replay: same mod-keyed turn drop, same role/tool sums,
+      // ts rebuilt with the generator's formula and spanned via epoch()
+      "conv_stats" ->
+        (cte + """, f AS (
+          |  SELECT *, epoch(TIMESTAMP '2024-01-01 00:00:00'
+          |    + to_seconds(CAST(conv_id AS BIGINT) % 86400 + turn_idx)) AS ep
+          |  FROM turns
+          |  WHERE (CAST(conv_id AS BIGINT) * 7 + turn_idx * 3) % 5 <> 0),
+          |g AS (SELECT conv_id,
+          |    CAST(count(*) AS BIGINT) AS n_turns,
+          |    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+          |    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+          |    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_role,
+          |    CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+          |    CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+          |    CAST(max(length(text)) AS INTEGER) AS max_chars,
+          |    CAST(max(ep) - min(ep) AS BIGINT) AS span_secs
+          |  FROM f GROUP BY conv_id)
+          |SELECT conv_id, n_turns, n_user, n_assistant, n_tool_role, n_tool_calls,
+          |  sum_chars, max_chars, span_secs,
+          |  CAST(n_tool_calls AS DOUBLE) / CAST(n_turns AS DOUBLE) AS tool_call_rate,
+          |  CAST(sum_chars AS DOUBLE) / CAST(n_turns AS DOUBLE) AS chars_per_turn
+          |FROM g ORDER BY conv_id""".stripMargin.replace("\n", " ")),
 
       "sessionize" ->
         ("WITH g AS (SELECT user_id, ts, " +

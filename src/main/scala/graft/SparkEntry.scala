@@ -1331,6 +1331,16 @@ object SparkEntry {
         .withColumn("is_boilerplate", col("n_copies") > 100)
         .orderBy("conv_id", "turn_idx")),
 
+    // exact quantiles WITHOUT the exact-path row bound: counting bisection
+    // over the integer value domain — O(log range) cheap counting passes,
+    // no sort, no per-group heap (the summarizeNumbers guard's declared
+    // gap), all four ranks bisecting simultaneously. Lower nearest-rank
+    // k = floor(q·(n−1))+1, the reference's p95 convention — answers are
+    // data values, so the row_number oracle replays them exactly
+    "quantiles_bisect" -> ((s, dir) =>
+      Metrics.exactQuantilesBisect(docs(s, dir), "n_chars",
+        Seq(0.5, 0.9, 0.95, 0.99))),
+
     // per-conversation structure report (the transcript-corpus health
     // table: role mix, tool-call rate, char volume, wall-clock span) — one
     // conv_id-keyed shuffle absorbed by partial aggregation; a mod-keyed
@@ -3169,6 +3179,26 @@ object SparkEntry {
           "SELECT conv_id, turn_idx, CAST(n_copies AS BIGINT) AS n_copies, " +
           "rn > 1 AS is_dup, n_copies > 100 AS is_boilerplate " +
           "FROM r ORDER BY conv_id, turn_idx"),
+
+      // bisection replay: the k-th order statistic by row_number — the
+      // bisection's smallest-v-with-count(<=v)>=k IS that value; same
+      // floor(q·(n−1))+1 double arithmetic for the ranks
+      "quantiles_bisect" ->
+        ("""WITH t AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL),
+          |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+          |k AS (SELECT n,
+          |    CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 AS k50,
+          |    CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 AS k90,
+          |    CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 AS k95,
+          |    CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1 AS k99
+          |  FROM c),
+          |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
+          |SELECT k.n,
+          |  max(CASE WHEN rn = k50 THEN v END) AS p50,
+          |  max(CASE WHEN rn = k90 THEN v END) AS p90,
+          |  max(CASE WHEN rn = k95 THEN v END) AS p95,
+          |  max(CASE WHEN rn = k99 THEN v END) AS p99
+          |FROM r, k GROUP BY k.n""".stripMargin.replace("\n", " ")),
 
       // conv_stats replay: same mod-keyed turn drop, same role/tool sums,
       // ts rebuilt with the generator's formula and spanned via epoch()

@@ -68,6 +68,82 @@ object Metrics {
       .drop("min_", "max_", "mean_", "p50_", "p95_")
   }
 
+  /** EXACT quantiles at UNBOUNDED scale — the third leg beside
+    * [[summarizeNumbers]] (exact, per-group heap, fail-loud row bound) and
+    * [[summarizeNumbersApprox]] (sketch, not exact): counting bisection
+    * over an integer value domain. Each rank is the smallest v with
+    * `count(x <= v) >= k`, found by binary search — O(log(max−min))
+    * passes, each ONE partial-aggregated count over the (persisted)
+    * column, O(#quantiles) driver state, no sort, no heap: exact p99 of a
+    * 10¹²-row column in ≤ 64 cheap scans. All requested quantiles bisect
+    * SIMULTANEOUSLY (one conditional-sum aggregate carries every
+    * unconverged midpoint per pass), so the pass count does not grow with
+    * the quantile count.
+    *
+    * Rank convention: lower nearest-rank `k = floor(q·(n−1)) + 1` — the
+    * reference's p95 formula (`training/quality.py:10-23`), so answers are
+    * actual data values and a DuckDB `row_number()` oracle replays them
+    * exactly. Empty input → one row with n=0 and null quantiles.
+    */
+  def exactQuantilesBisect(
+      df: DataFrame,
+      valueCol: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.95, 0.99)
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    val spark = df.sparkSession
+    // name from integer per-mille (q·100 in double is not exact: 0.95·100
+    // = 94.999…): p50, p95, p99, p99_9
+    def colName(q: Double) = {
+      val pm = math.round(q * 1000)
+      if (pm % 10 == 0) s"p${pm / 10}" else s"p${pm / 10}_${pm % 10}"
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        qs.map(q => org.apache.spark.sql.types.StructField(colName(q),
+          org.apache.spark.sql.types.LongType, nullable = true)))
+    val base = df.select(col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = base.agg(count(lit(1)), min(col("v")), max(col("v"))).collect()(0)
+      val n = head.getLong(0)
+      if (n == 0L)
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            Seq(org.apache.spark.sql.Row.fromSeq(0L +: qs.map(_ => null))), 1),
+          schema)
+      val ks = qs.map(q => math.floor(q * (n - 1)).toLong + 1L)
+      // invariant per rank: answer ∈ [lo, hi]; converged when lo == hi
+      val lo = Array.fill(qs.size)(head.getLong(1))
+      val hi = Array.fill(qs.size)(head.getLong(2))
+      var passes = 0
+      while (lo.indices.exists(i => lo(i) < hi(i))) {
+        passes += 1
+        require(passes <= 70, s"bisection failed to converge in $passes passes")
+        val open = lo.indices.filter(i => lo(i) < hi(i))
+        // midpoint that can't overflow and always moves: lo + (hi-lo)/2
+        val mids = open.map(i => lo(i) + (hi(i) - lo(i)) / 2)
+        val counts = base.agg(
+            sum(when(col("v") <= mids.head, 1L).otherwise(0L)),
+            open.tail.zipWithIndex.map { case (_, j) =>
+              sum(when(col("v") <= mids(j + 1), 1L).otherwise(0L))
+            }: _*)
+          .collect()(0)
+        open.zipWithIndex.foreach { case (i, j) =>
+          if (counts.getLong(j) >= ks(i)) hi(i) = mids(j)
+          else lo(i) = mids(j) + 1
+        }
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row.fromSeq(n +: lo.toSeq)), 1),
+        schema)
+    } finally base.unpersist()
+  }
+
   /** G5 — `TYPE_PATTERNS` (`training/deid_eval.py:99-112`), as Spark regex
     * strings (Java syntax; these 13 are portable as-is).
     */

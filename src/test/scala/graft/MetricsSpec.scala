@@ -128,4 +128,38 @@ class MetricsSpec extends AnyFunSuite {
       assert(got.sorted.toSeq == wantKinds, s"text=$text got=$got want=$wantKinds")
     }
   }
+  test("exactQuantilesBisect: matches sort-based order statistics; edges covered") {
+    // duplicates, negatives, n not a power of two
+    val vals = Seq(5L, -3L, 7L, 7L, 7L, 0L, -3L, 12L, 1L, 5L, 5L)
+    val df = vals.toDF("x")
+    val qs = Seq(0.0, 0.5, 0.95, 1.0)
+    val got = Metrics.exactQuantilesBisect(df, "x", qs).first()
+    val sorted = vals.sorted
+    def want(q: Double) = sorted(math.floor(q * (vals.size - 1)).toInt)
+    assert(got.getLong(0) == vals.size)
+    assert(got.getLong(1) == want(0.0) && got.getLong(2) == want(0.5))
+    assert(got.getLong(3) == want(0.95) && got.getLong(4) == want(1.0))
+    assert(got.schema.fieldNames.toSeq == Seq("n", "p0", "p50", "p95", "p100"))
+    // n = 1: every quantile is the single value
+    val one = Metrics.exactQuantilesBisect(Seq(42L).toDF("x"), "x", Seq(0.5, 0.99)).first()
+    assert(one.getLong(0) == 1L && one.getLong(1) == 42L && one.getLong(2) == 42L)
+    // empty (and all-null) input: n=0, null quantiles - no crash, no index
+    val empty = Metrics.exactQuantilesBisect(
+      Seq.empty[Option[Long]].toDF("x"), "x", Seq(0.5)).first()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+    val allNull = Metrics.exactQuantilesBisect(
+      Seq[Option[Long]](None, None).toDF("x"), "x", Seq(0.5)).first()
+    assert(allNull.getLong(0) == 0L && allNull.isNullAt(1))
+    // agreement with the bounded exact path's p95 on real data (same
+    // lower-nearest-rank convention)
+    val chars = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = Metrics.exactQuantilesBisect(chars, "n_chars", Seq(0.95)).first()
+    val viaSort = Metrics.summarizeNumbers(chars, "n_chars", Seq.empty)
+      .first().getAs[Double]("p95")
+    assert(b.getLong(1).toDouble == viaSort)
+    intercept[IllegalArgumentException] {
+      Metrics.exactQuantilesBisect(chars, "n_chars", Seq(1.5))
+    }
+  }
+
 }

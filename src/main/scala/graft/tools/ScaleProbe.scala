@@ -115,7 +115,25 @@ object ScaleProbe {
         .withColumn("keep", graft.ops.WebClean.c4Keep())))
       val tHq = best3(force(graft.ops.WebClean.hashedLinearScore(d)))
       val tSpan = best3(force(graft.ops.WebClean.sentenceSpanDedup(pages)))
-      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs ccnet=$tCcnet%.2fs tfidf=$tTfidf%.2fs unigram=$tUni%.2fs conrep=$tRep%.2fs gopher_full=$tGopherFull%.2fs bloom_decon=$tBloom%.2fs c4=$tC4%.2fs hashq=$tHq%.2fs spandd=$tSpan%.2fs")
+      // round-7 third half: PQ ADC top-k and IVF-PQ (corpus scales ×N,
+      // query side fixed — the rank-window candidate volume is the linear
+      // term; IVF-PQ's should stay ~nprobe/ncoarse of PQ's), two-pass
+      // heavy hitters (two scans + candidate-bounded agg), and the
+      // counting-bisection quantiles (log-range × one counting scan —
+      // near-flat in ×N since passes don't grow with rows)
+      val cbP = graft.ops.Pq.fixedCodebook()
+      val qv = embs.where(col("vec_id") < 20)
+      val tPq = best3(force(graft.ops.Pq.topK(e, qv, cbP, k = 5)))
+      val tIvfpq = best3(force(graft.ops.Pq.ivfPqTopK(e, qv,
+        graft.ops.Pq.fixedCodebook(1, 16, 64).head, cbP, k = 5, nprobe = 2)))
+      val hhToks = d.select(explode(filter(
+          split(lower(trim(col("text"))), "\\s+"), t => t =!= "")).as("tok"))
+        .unionAll(d.select(concat(lit("u"), col("doc_id")).as("tok")))
+      val tHh = best3(force(
+        graft.ops.TextStats.heavyHittersExact(hhToks, "tok", k = 20, counters = 256)))
+      val tQb = best3(force(graft.metrics.Metrics.exactQuantilesBisect(
+        d.select(length(col("text")).as("len")), "len")))
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs ccnet=$tCcnet%.2fs tfidf=$tTfidf%.2fs unigram=$tUni%.2fs conrep=$tRep%.2fs gopher_full=$tGopherFull%.2fs bloom_decon=$tBloom%.2fs c4=$tC4%.2fs hashq=$tHq%.2fs spandd=$tSpan%.2fs knn_pq=$tPq%.2fs ivfpq=$tIvfpq%.2fs heavy_hitters=$tHh%.2fs quantiles_bisect=$tQb%.2fs")
     }
     spark.stop()
   }

@@ -1341,6 +1341,15 @@ object SparkEntry {
       Metrics.exactQuantilesBisect(docs(s, dir), "n_chars",
         Seq(0.5, 0.9, 0.95, 0.99))),
 
+    // grouped variant: exact per-source p50/p95 with NO per-group heap —
+    // per-group bisection intervals on the driver (bounded by the group
+    // count, a reporting dimension), one broadcast-join + conditional-
+    // count groupBy per pass
+    "quantiles_by_source" -> ((s, dir) =>
+      Metrics.groupedQuantilesBisect(docs(s, dir), "source", "n_chars",
+          Seq(0.5, 0.95))
+        .orderBy("source")),
+
     // per-conversation structure report (the transcript-corpus health
     // table: role mix, tool-call rate, char volume, wall-clock span) — one
     // conv_id-keyed shuffle absorbed by partial aggregation; a mod-keyed
@@ -3199,6 +3208,22 @@ object SparkEntry {
           |  max(CASE WHEN rn = k95 THEN v END) AS p95,
           |  max(CASE WHEN rn = k99 THEN v END) AS p99
           |FROM r, k GROUP BY k.n""".stripMargin.replace("\n", " ")),
+
+      // grouped bisection replay: per-group k-th order statistics by a
+      // partitioned row_number
+      "quantiles_by_source" ->
+        ("""WITH t AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+          |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+          |k AS (SELECT g, n,
+          |    CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 AS k50,
+          |    CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1 AS k95
+          |  FROM c),
+          |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM t)
+          |SELECT k.g AS source, k.n,
+          |  max(CASE WHEN rn = k50 THEN v END) AS p50,
+          |  max(CASE WHEN rn = k95 THEN v END) AS p95
+          |FROM r JOIN k USING (g) GROUP BY k.g, k.n
+          |ORDER BY source""".stripMargin.replace("\n", " ")),
 
       // conv_stats replay: same mod-keyed turn drop, same role/tool sums,
       // ts rebuilt with the generator's formula and spanned via epoch()

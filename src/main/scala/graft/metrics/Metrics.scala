@@ -144,6 +144,105 @@ object Metrics {
     } finally base.unpersist()
   }
 
+  /** Grouped [[exactQuantilesBisect]]: exact per-group order statistics
+    * with UNBOUNDED group sizes — the shape [[summarizeNumbers]]'s
+    * fail-loud guard refuses (a billion-row group would sit on one task's
+    * heap there; here it is never materialized at all). Driver state is
+    * one (lo, hi) interval per (group, quantile) — the bounded-collect
+    * contract of the IVF centroid path: #groups must be a reporting
+    * dimension (sources, languages), enforced by `maxGroups`. Each pass
+    * broadcast-joins the per-group midpoints and runs ONE partial-
+    * aggregated conditional-count `groupBy` — groups converge
+    * independently, total passes = log(max value range over groups).
+    *
+    * Output: one row per group — n plus a value column per quantile
+    * (lower nearest-rank, as [[exactQuantilesBisect]]).
+    */
+  def groupedQuantilesBisect(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      qs: Seq[Double] = Seq(0.5, 0.95),
+      maxGroups: Int = 100000
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0,1], got $qs")
+    val spark = df.sparkSession
+    def colName(q: Double) = {
+      val pm = math.round(q * 1000)
+      if (pm % 10 == 0) s"p${pm / 10}" else s"p${pm / 10}_${pm % 10}"
+    }
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val heads = base.groupBy("g")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+        .limit(maxGroups + 1).collect()
+      require(heads.length <= maxGroups,
+        s"more than $maxGroups groups - grouped bisection state is " +
+          "driver-side; use a reporting dimension or raise maxGroups")
+      // per (group, quantile): rank k and the bisection interval
+      case class St(g: String, n: Long, k: Long, var lo: Long, var hi: Long)
+      val states = heads.flatMap { r =>
+        val (g, n) = (r.getString(0), r.getLong(1))
+        qs.map(q => St(g, n, math.floor(q * (n - 1)).toLong + 1L,
+          r.getLong(2), r.getLong(3)))
+      }
+      var passes = 0
+      while (states.exists(s => s.lo < s.hi)) {
+        passes += 1
+        require(passes <= 70, s"bisection failed to converge in $passes passes")
+        // one row per group carrying every open midpoint for that group
+        // (array aligned with qs); converged slots carry null
+        val midRows = states.groupBy(_.g).toSeq.map { case (g, sts) =>
+          val byK = sts // in qs order per construction
+          org.apache.spark.sql.Row(g, byK.map(s =>
+            if (s.lo < s.hi) java.lang.Long.valueOf(s.lo + (s.hi - s.lo) / 2)
+            else null).toSeq)
+        }
+        val midSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("mids",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, containsNull = true),
+            nullable = false)))
+        val mids = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(midRows, 1), midSchema))
+        val condCounts = qs.indices.map(i => sum(when(
+          element_at(col("mids"), i + 1).isNotNull &&
+            col("v") <= element_at(col("mids"), i + 1), 1L)
+          .otherwise(0L)).as(s"c$i"))
+        val counts = base.join(mids, "g")
+          .groupBy("g").agg(condCounts.head, condCounts.tail: _*)
+          .collect().map(r => r.getString(0) ->
+            qs.indices.map(i => r.getLong(i + 1))).toMap
+        states.groupBy(_.g).foreach { case (g, sts) =>
+          val cs = counts(g)
+          sts.zipWithIndex.foreach { case (s, i) =>
+            if (s.lo < s.hi) {
+              val mid = s.lo + (s.hi - s.lo) / 2
+              if (cs(i) >= s.k) s.hi = mid else s.lo = mid + 1
+            }
+          }
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(groupCol,
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false) +:
+          qs.map(q => org.apache.spark.sql.types.StructField(colName(q),
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = states.groupBy(_.g).toSeq.map { case (g, sts) =>
+        org.apache.spark.sql.Row.fromSeq(g +: sts.head.n +: sts.map(_.lo).toSeq)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } finally base.unpersist()
+  }
+
   /** G5 — `TYPE_PATTERNS` (`training/deid_eval.py:99-112`), as Spark regex
     * strings (Java syntax; these 13 are portable as-is).
     */

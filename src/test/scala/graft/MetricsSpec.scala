@@ -162,4 +162,28 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedQuantilesBisect: per-group sort-equality, independent convergence, group guard") {
+    // groups with wildly different ranges and sizes converge independently
+    val rows = Seq(
+      ("a", 1L), ("a", 1000000L), ("a", 3L), ("a", 3L), ("a", 7L),
+      ("b", -5L), ("b", -5L), ("b", -5L),
+      ("c", 42L))
+    val df = rows.toDF("g", "x")
+    val got = Metrics.groupedQuantilesBisect(df, "g", "x", Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def want(g: String, q: Double) = {
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      vs(math.floor(q * (vs.size - 1)).toInt)
+    }
+    rows.map(_._1).distinct.foreach { g =>
+      val n = rows.count(_._1 == g).toLong
+      assert(got(g) == ((n, want(g, 0.5), want(g, 0.95))), s"group $g")
+    }
+    // bounded driver-state contract: refuse loudly past maxGroups
+    val e = intercept[IllegalArgumentException] {
+      Metrics.groupedQuantilesBisect(df, "g", "x", Seq(0.5), maxGroups = 2)
+    }
+    assert(e.getMessage.contains("maxGroups"), e.getMessage)
+  }
+
 }

@@ -862,6 +862,13 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // RAG/pretraining chunking: 32-token windows at stride 24 (8-token
+    // overlap), token-index offsets carried for traceability — zero-shuffle
+    // scan-stage explode, exact list-slice replay
+    "chunk_docs" -> ((s, dir) =>
+      TextStats.chunkDocs(docs(s, dir), chunkTokens = 32, stride = 24)
+        .coalesce(1).sortWithinPartitions("doc_id", "chunk_idx")),
+
     // EXACT top-k heavy hitters via two bounded-memory passes (Misra–Gries
     // candidates + broadcast-filtered exact verify, fail-loud provability
     // guard) — the token universe is made genuinely long-tailed by planting
@@ -2531,6 +2538,23 @@ object SparkEntry {
           |  has_lorem, has_brace, has_bad_word,
           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
           |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // chunking replay: 1-based list slices over the same token class;
+      // chunk count = ceil(n/stride) via the same floor arithmetic
+      "chunk_docs" ->
+        ("""WITH tk AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS t
+          |  FROM documents),
+          |w AS (SELECT doc_id, t, CAST(floor((len(t) + 23) / 24.0) AS INTEGER) AS nch FROM tk),
+          |u AS (SELECT doc_id, t,
+          |    unnest([{'ci': i - 1} for i in range(1, nch + 1)], recursive := true) AS x
+          |  FROM w WHERE nch > 0)
+          |SELECT doc_id, ci AS chunk_idx,
+          |  CAST(ci * 24 AS INTEGER) AS tok_start,
+          |  CAST(least(ci * 24 + 32, len(t)) AS INTEGER) AS tok_end,
+          |  array_to_string(t[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text,
+          |  CAST(least(ci * 24 + 32, len(t)) - ci * 24 AS INTEGER) AS n_chunk_tokens
+          |FROM u ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")),
 
       // heavy-hitters replay: the two-pass MG machinery is output-identical
       // to the exact full-shuffle top-k (that IS its contract), so the

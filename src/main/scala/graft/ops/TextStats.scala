@@ -650,6 +650,39 @@ object TextStats {
       .toDF(idCol, "n_tokens", "bucket", "pack")
   }
 
+  /** Fixed-size token chunking with stride overlap — the RAG/pretraining
+    * document-splitting step (chunk i covers tokens
+    * `[i·stride, i·stride + chunkTokens)`, truncated at the document end;
+    * `stride < chunkTokens` ⇒ overlapping context windows). Pure
+    * zero-shuffle scan-stage explode; token-index offsets are emitted so
+    * spans can be traced back (the token-scrub contract). A document with
+    * no tokens emits no chunks (`posexplode` of an empty repeat — the
+    * `sequence()` auto-reverse hazard avoided).
+    */
+  def chunkDocs(
+      df: DataFrame,
+      chunkTokens: Int = 128,
+      stride: Int = 96,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      s"need 1 <= stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val nChunks = floor((size(col("toks")) + lit(stride - 1)) / lit(stride))
+      .cast("int")
+    df.select(col(idCol), toks.as("toks"))
+      .select(col(idCol), col("toks"), size(col("toks")).as("n_tokens"),
+        posexplode(array_repeat(lit(true), nChunks)).as(Seq("chunk_idx", "dummy")))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + chunkTokens, col("n_tokens"))
+          .as("tok_end"),
+        array_join(slice(col("toks"), col("chunk_idx") * stride + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+      .withColumn("n_chunk_tokens", col("tok_end") - col("tok_start"))
+  }
+
   /** EXACT top-k heavy hitters in two bounded-memory passes (Misra–Gries
     * 1982 candidates + exact verify) — the shape for token/URL/n-gram
     * universes too large to `groupBy` whole: a 100-TB corpus has billions

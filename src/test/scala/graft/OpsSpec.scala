@@ -1471,6 +1471,30 @@ class OpsSpec extends AnyFunSuite {
     assert(rr256 >= adc256, "rerank must not lose recall")
   }
 
+  test("chunkDocs: stride coverage, tail truncation, empty-doc drop, guards") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than one chunk
+      (3L, ""), (4L, " \t ")       // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val out = TextStats.chunkDocs(df, chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getInt(5)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // ceil(10/3) = 4 chunks; starts 0,3,6,9; last truncated to 1 token
+    assert(d1.map(c => (c._3, c._4)).toSeq == Seq((0, 4), (3, 7), (6, 10), (9, 10)))
+    assert(d1.head._5 == "a b c d" && d1.last._5 == "j" && d1.last._6 == 1)
+    // consecutive chunks overlap by chunkTokens - stride = 1 token
+    assert(d1(0)._5.split(" ").last == d1(1)._5.split(" ").head)
+    // full coverage: every token index falls in some chunk
+    assert(d1.flatMap(c => c._3 until c._4).distinct.sorted.toSeq == (0 until 10))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 2, "x y", 2)))
+    assert(!out.exists(c => c._1 == 3L || c._1 == 4L), "token-less docs emit no chunks")
+    intercept[IllegalArgumentException] {
+      TextStats.chunkDocs(df, chunkTokens = 4, stride = 5)
+    }
+  }
+
   test("heavyHittersExact: equals full-shuffle top-k under adversarial partitioning; guard fails loud") {
     // long-tailed universe: 31 hot base tokens + one unique token per doc
     val toks = docs.select(explode(filter(

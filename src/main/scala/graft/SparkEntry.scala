@@ -862,6 +862,25 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // INCREMENTAL exact dedup — the daily-ingest shape: the delta joins
+    // yesterday's narrow (digest, keeper) key table; the historical corpus
+    // is never rescanned. Plants put delta docs on all three paths:
+    // dup-of-history (%20 copies of old texts), dup-within-delta (%30
+    // copies), and fresh classes (everything else → is_new_key rows the
+    // caller appends for the next increment)
+    "dedup_incremental" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val old = base.where(col("doc_id") < 250)
+      val delta = base.where(col("doc_id") >= 250)
+        .unionAll(old.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionAll(base.where(col("doc_id") >= 250 && col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val keys = old.groupBy(sha2(col("text"), 256).as("dup_key"))
+        .agg(min("doc_id").as("keeper_id"))
+      Dedup.exactIncremental(keys, delta).orderBy("doc_id")
+    }),
+
     // RAG/pretraining chunking: 32-token windows at stride 24 (8-token
     // overlap), token-index offsets carried for traceability — zero-shuffle
     // scan-stage explode, exact list-slice replay
@@ -2538,6 +2557,24 @@ object SparkEntry {
           |  has_lorem, has_brace, has_bad_word,
           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
           |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // incremental-dedup replay: digest equality == text equality (a sha2
+      // collision would fail this text-keyed oracle loudly), so keepers
+      // replay as min-id by text with history precedence
+      "dedup_incremental" ->
+        ("""WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+          |delta AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+          |  UNION ALL SELECT doc_id + 1000000, text FROM old WHERE doc_id % 20 = 0
+          |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id >= 250 AND doc_id % 30 = 0),
+          |k AS (SELECT text, min(doc_id) AS old_keeper FROM old GROUP BY text),
+          |dm AS (SELECT text, min(doc_id) AS delta_min FROM delta GROUP BY text)
+          |SELECT d.doc_id,
+          |  coalesce(k.old_keeper, dm.delta_min) AS keeper_id,
+          |  d.doc_id <> coalesce(k.old_keeper, dm.delta_min) AS is_dup,
+          |  (k.old_keeper IS NULL AND d.doc_id = dm.delta_min) AS is_new_key
+          |FROM delta d LEFT JOIN k USING (text) JOIN dm USING (text)
+          |ORDER BY d.doc_id""".stripMargin.replace("\n", " ")),
 
       // chunking replay: 1-based list slices over the same token class;
       // chunk count = ceil(n/stride) via the same floor arithmetic

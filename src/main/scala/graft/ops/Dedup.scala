@@ -53,6 +53,49 @@ object Dedup {
         (col(idCol) =!= col("keeper_id")).as("is_dup"))
   }
 
+  /** INCREMENTAL exact dedup — the daily-ingest shape: classify a DELTA of
+    * new documents against the running corpus's keeper-key table WITHOUT
+    * rescanning (or even storing the text of) the historical corpus. At
+    * 100 TB the history is the whole point: yesterday's corpus never moves;
+    * only `(dup_key, keeper_id)` — one narrow row per distinct document —
+    * is joined, keyed on the same sha2 text digest as [[exact]], so
+    * `exact(old ∪ delta)` and `exactIncremental(keysOf(old), delta)` make
+    * IDENTICAL decisions — an existing keeper always wins, within the
+    * delta min-id wins — provided delta ids exceed old ids (the natural
+    * ingest-order id contract; with backdated ids the incremental form
+    * deliberately keeps the ESTABLISHED keeper stable instead of
+    * re-electing, which is what a production key table wants anyway).
+    *
+    * Returns the delta's decisions `(idCol, keeper_id, is_dup)` plus
+    * `is_new_key` — true on the one row per previously-unseen class whose
+    * `(dup_key, keeper_id)` the caller appends to the key table for the
+    * next increment. Shuffle shape: one digest groupBy over the DELTA only
+    * + one equi-join against the key table (broadcast it when it fits;
+    * both sides narrow).
+    */
+  def exactIncremental(
+      existingKeys: DataFrame,
+      delta: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val keyed = delta.select(col(idCol), sha2(col(textCol), 256).as("dup_key"))
+    val deltaClasses = keyed.groupBy("dup_key")
+      .agg(min(col(idCol)).as("delta_min"))
+    val old = existingKeys
+      .select(col("dup_key").as("old_key"), col("keeper_id").as("old_keeper"))
+    val classes = deltaClasses
+      .join(old, col("dup_key") <=> col("old_key"), "left")
+      .select(col("dup_key").as("class_key"),
+        coalesce(col("old_keeper"), col("delta_min")).as("keeper_id"),
+        col("old_keeper").isNull.as("class_is_new"),
+        col("delta_min"))
+    keyed.join(classes, col("dup_key") <=> col("class_key"))
+      .select(col(idCol), col("keeper_id"),
+        (col(idCol) =!= col("keeper_id")).as("is_dup"),
+        (col("class_is_new") && col(idCol) === col("delta_min")).as("is_new_key"))
+  }
+
   /** A class key that leaves null-text docs as SINGLETONS (each its own
     * class, keyed by its own id) instead of letting `Window.partitionBy`
     * group every NULL key into one giant bogus duplicate class. This is the

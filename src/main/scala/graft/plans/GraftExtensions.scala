@@ -242,5 +242,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case args => throw new IllegalArgumentException(
         s"graft_shingles expects 2 args, got ${args.length}")
     }
+
+    def litInt(e: Expression, what: String): Int = e match {
+      case Literal(i: Int, _) => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    inject("graft_pq_encode",
+      "graft_pq_encode(vec[, nsub, ncent, subdim]) - integer-grid PQ codes " +
+        "over the fixed deterministic codebook (default 8x16x8)") { args =>
+      val (v, geo) = args match {
+        case Seq(v0) => (v0, (8, 16, 8))
+        case Seq(v0, a, b, c) =>
+          (v0, (litInt(a, "nsub"), litInt(b, "ncent"), litInt(c, "subdim")))
+        case other => throw new IllegalArgumentException(
+          s"graft_pq_encode expects 1 or 4 args, got ${other.length}")
+      }
+      val vd = org.apache.spark.sql.catalyst.expressions.Cast(v,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+      PqEncodeExpr(vd, graft.ops.Pq.fixedCodebook(geo._1, geo._2, geo._3))
+    }
   }
 }

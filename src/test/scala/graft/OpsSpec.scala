@@ -1471,6 +1471,43 @@ class OpsSpec extends AnyFunSuite {
     assert(rr256 >= adc256, "rerank must not lose recall")
   }
 
+  test("exactIncremental: decisions identical to exact(old ∪ delta); key table self-maintains") {
+    val base = docs.select($"doc_id", $"text").where($"doc_id" < 120)
+    val old = base.where($"doc_id" < 60)
+    val delta = base.where($"doc_id" >= 60)
+      .unionAll(old.where($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+    val keys = old.groupBy(sha2($"text", 256).as("dup_key"))
+      .agg(min("doc_id").as("keeper_id"))
+    val inc = Dedup.exactIncremental(keys, delta).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // batch ground truth over the union, restricted to the delta ids
+    val batch = Dedup.exact(old.unionAll(delta)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    inc.foreach { case (id, (keeper, isDup, _)) =>
+      assert(batch(id) == ((keeper, isDup)), s"delta doc $id diverges from batch")
+    }
+    // copies of history are dups pointing at OLD keepers; delta-only texts
+    // elect a new keeper and emit exactly one is_new_key row per class
+    assert(inc.exists { case (id, (k, d, _)) => id >= 100000L && d && k < 60L })
+    val newKeyIds = inc.collect { case (id, (_, _, true)) => id }
+    assert(newKeyIds.nonEmpty && newKeyIds.toSet == newKeyIds.toSet.intersect(
+      inc.collect { case (id, (k, _, _)) if k == id => id }.toSet),
+      "is_new_key rows must be their own keepers")
+    // appending the new keys makes a re-run of the SAME delta all-dup,
+    // no new keys — the self-maintaining key-table loop
+    val keys2 = keys.unionAll(
+      delta.select($"doc_id", sha2($"text", 256).as("dup_key"))
+        .join(Dedup.exactIncremental(keys, delta).where($"is_new_key")
+          .select($"doc_id", $"keeper_id"), "doc_id")
+        .select($"dup_key", $"keeper_id"))
+    val rerun = Dedup.exactIncremental(keys2,
+        delta.select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+      .collect()
+    assert(rerun.forall(_.getBoolean(2)), "every re-ingested doc must be a dup")
+    assert(rerun.forall(!_.getBoolean(3)), "no class may be new on re-ingest")
+  }
+
   test("chunkDocs: stride coverage, tail truncation, empty-doc drop, guards") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens

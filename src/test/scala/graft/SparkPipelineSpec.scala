@@ -107,6 +107,15 @@ class SparkPipelineSpec extends AnyFunSuite {
       "SELECT graft_shingles('The quick Brown fox', 3) AS s")
       .first().getSeq[String](0)
     assert(shg == Seq("the quick brown", "quick brown fox"))
+    // PQ codes on the SQL surface: fixed codebook, library parity
+    val pq = spark.sql(
+      "SELECT graft_pq_encode(array_repeat(CAST(0.5 AS FLOAT), 64), 8, 16, 8) AS c")
+      .first().getSeq[Int](0)
+    val lib = graft.ops.Pq.encode(
+        spark.sql("SELECT 1L AS vec_id, array_repeat(CAST(0.5 AS FLOAT), 64) AS embedding"),
+        graft.ops.Pq.fixedCodebook())
+      .first().getSeq[Int](1)
+    assert(pq == lib && pq.length == 8)
   }
 
   test("same original + same conv text => identical replacement; different turn text => different") {

@@ -3242,7 +3242,7 @@ object SparkEntry {
       // (unique key; both engines compare ASCII ids byte-wise).
       "turn_dedup_ccnet" ->
         (s"$cte, n AS (SELECT conv_id, turn_idx, " +
-          "lower(regexp_replace(text, '[0-9]', '0', 'g')) AS norm FROM turns), " +
+          "regexp_replace(lower(regexp_replace(trim(text), '[0-9]', '0', 'g')), '\\p{P}', '', 'g') AS norm FROM turns), " +
           "r AS (SELECT conv_id, turn_idx, " +
           "count(*) OVER (PARTITION BY norm) AS n_copies, " +
           "row_number() OVER (PARTITION BY norm ORDER BY conv_id, turn_idx) AS rn FROM n) " +

@@ -1098,17 +1098,21 @@ object Dedup {
       .distinct()
   }
 
-  /** CCNet-style text-unit normalization (Wenzek et al. 2020: lowercase,
-    * unify digits) for paragraph/turn-level dedup: lowercasing plus mapping
-    * every ASCII digit to '0', so text units that differ only in embedded
-    * numbers (order ids, timestamps, counters) collapse into one class —
-    * the normalization that makes template boilerplate detectable in
-    * machine-generated corpora. ASCII-scoped lowering caveat as elsewhere
-    * (the fixture corpus has no cased non-ASCII letters); both engines
-    * treat `[0-9]` identically.
+  /** CCNet dedup normalization (Wenzek et al. 2020 — the
+    * `normalize_for_dedup` recipe: strip, lowercase, unify digits, REMOVE
+    * unicode punctuation) for paragraph/turn-level dedup: text units that
+    * differ only in embedded numbers (order ids, timestamps, counters) or
+    * punctuation variants collapse into one class — the normalization that
+    * makes template boilerplate detectable in machine-generated corpora.
+    * Punctuation = Unicode general category P (both engines' regex classes
+    * implement GC membership, so `\p{P}` replays in the RE2 oracle;
+    * ASCII symbol chars like `$ + < > ~` are category S and deliberately
+    * survive). ASCII-scoped lowering caveat as elsewhere (the fixture
+    * corpus has no cased non-ASCII letters); both engines treat `[0-9]`
+    * identically.
     */
   def ccnetNormalize(text: Column): Column =
-    lower(regexp_replace(text, "[0-9]", "0"))
+    regexp_replace(lower(regexp_replace(trim(text), "[0-9]", "0")), "\\p{P}", "")
 
   /** CCNet/RefinedWeb-style duplicate-text-unit removal over a corpus of
     * small text units (paragraphs, lines, transcript turns): group units by

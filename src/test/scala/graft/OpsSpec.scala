@@ -912,6 +912,9 @@ class OpsSpec extends AnyFunSuite {
       ("c1", 0, "Order 123 shipped"),
       ("c2", 0, "order 999 SHIPPED"), // same class after lower + digit→0
       ("c1", 1, "order 12 shipped"),  // digit RUN length differs → own class
+      ("c2", 1, "Order 123 shipped!!"), // punctuation (GC P) removed → c1/t0's class
+      ("c2", 2, " Order 123 shipped "), // edge whitespace stripped → same class
+      ("c2", 3, "Order 123 shipped >"), // '>' is category S, survives → own class
       ("c3", 0, null.asInstanceOf[String]),
       ("c4", 0, null.asInstanceOf[String])) // nulls: singletons, NOT one class
       .toDF("conv_id", "turn_idx", "text")
@@ -919,8 +922,10 @@ class OpsSpec extends AnyFunSuite {
         Seq("conv_id" -> $"conv_id", "turn_idx" -> $"turn_idx")).collect()
       .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) ->
         ((r.getAs[Long]("n_copies"), r.getAs[Boolean]("is_dup")))).toMap
-    assert(got(("c1", 0)) == ((2L, false))) // keeper: "c1" < "c2"
-    assert(got(("c2", 0)) == ((2L, true)))
+    assert(got(("c1", 0)) == ((4L, false))) // keeper: "c1" < "c2"
+    assert(got(("c2", 0)) == ((4L, true)))
+    assert(got(("c2", 1)) == ((4L, true)) && got(("c2", 2)) == ((4L, true)))
+    assert(got(("c2", 3)) == ((1L, false))) // symbol chars are NOT punctuation
     assert(got(("c1", 1)) == ((1L, false)))
     assert(got(("c3", 0)) == ((1L, false)) && got(("c4", 0)) == ((1L, false)))
 

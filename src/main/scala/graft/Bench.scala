@@ -526,6 +526,10 @@ object Bench {
     // PQ ADC top-k (memory-path ANN; fixed codebook = the oracle config)
     results("knn_pq") = timed("knn_pq")(
       force(SparkEntry.queries("knn_pq")(spark, sfDir)))
+    // sparse lexical retrieval: corpus-side tf/dl shuffles + broadcast
+    // query joins (the BM25 half of hybrid search)
+    results("bm25_topk") = timed("bm25_topk")(
+      force(SparkEntry.queries("bm25_topk")(spark, sfDir)))
     (results, nTurns)
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.gf
 import graft.metrics.Metrics
-import graft.ops.{Conversations, Dedup, Multimodal, Pq, Sampling, Similarity, TextStats, WebClean}
+import graft.ops.{Conversations, Dedup, Multimodal, Pq, Retrieval, Sampling, Similarity, TextStats, WebClean}
 import graft.pipeline.{Deid, TurnsGen}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -635,6 +635,36 @@ object SparkEntry {
       Similarity.hardNegatives(embeddings(s, dir),
         embeddings(s, dir).where(col("vec_id") < 20), k = 5)
         .orderBy("q_id", "rank")),
+
+    // sparse lexical retrieval (ops/Retrieval.scala): BM25 top-5 under the
+    // integer-exact contract — division idf, per-term contributions as one
+    // double division of exact BIGINT products, term-sorted fold — so the
+    // SCORE column itself is bit-exact in DuckDB (list_reduce replays the
+    // fold), unlike dense cosine which ships ids/ranks only. Queries = the
+    // first 6 distinct tokens of docs 0..19 in first-occurrence order.
+    "bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Retrieval.bm25TopK(d,
+          Retrieval.queryTerms(d.where(col("doc_id") < 20)), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 run with the
+    // dense brute-force cosine run over the aligned (doc_id == vec_id)
+    // corpus — the standard RAG hybrid-search fusion; rrf = fixed-order sum
+    // of 1/(60+rank) terms, bit-exact cross-engine, missing docs contribute
+    // exactly 0.0
+    "hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sparse = Retrieval.bm25TopK(d,
+          Retrieval.queryTerms(d.where(col("doc_id") < 20)), k = 5)
+        .select("q_id", "rank", "doc_id")
+      val dense = Similarity.bruteForceTopK(embeddings(s, dir),
+          embeddings(s, dir).where(col("vec_id") < 20), k = 5)
+        .select(col("q_id"), col("rank"), col("n_id").as("doc_id"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 8)
+        .orderBy("q_id", "rank")
+    }),
 
     // product quantization under the integer-exact contract (ops/Pq.scala):
     // the one ANN path whose ENTIRE approximate pipeline — scalar
@@ -1617,6 +1647,25 @@ object SparkEntry {
         |s AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim FROM q JOIN c ON q_id <> n_id),
         |r AS (SELECT q_id, n_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank FROM s)
         |SELECT q_id, rank, n_id FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")
+    // BM25 CTE chain shared by bm25_topk and hybrid_rrf: full replay of the
+    // integer-exact contract — tokens → tf/dl/df/corpus stats → BIGINT
+    // num/den per matched term → term-ordered list_reduce fold (bit-exact
+    // double) → ranks. Final CTE `bm` carries (q_id, doc_id, rank, score).
+    val bm25Cte =
+      """tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS term FROM tk),
+        |tfr AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dlr AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tfr GROUP BY doc_id),
+        |str AS (SELECT CAST(sum(dl) AS BIGINT) AS s, count(*) AS n FROM dlr),
+        |qp AS (SELECT doc_id AS q_id, unnest([{'p': i, 'term': t[i]} for i in range(1, len(t)+1)], recursive := true) FROM tk WHERE doc_id < 20),
+        |qf AS (SELECT q_id, term, min(p) AS fpos FROM qp GROUP BY q_id, term),
+        |qt AS (SELECT q_id, term FROM (SELECT q_id, term, row_number() OVER (PARTITION BY q_id ORDER BY fpos) AS rn FROM qf) WHERE rn <= 6),
+        |dfq AS (SELECT term, count(*) AS df FROM tfr WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |mt AS (SELECT qt.q_id, tfr.doc_id, tfr.term, tfr.tf, dlr.dl, dfq.df, str.s, str.n FROM qt JOIN tfr USING (term) JOIN dfq USING (term) JOIN dlr USING (doc_id) CROSS JOIN str),
+        |ctr AS (SELECT q_id, doc_id, term, 22*tf*s*(2*(n-df)+1) AS num, (10*tf*s + 3*s + 9*dl*n)*(2*df+1) AS den FROM mt),
+        |ga AS (SELECT q_id, doc_id, list({'term': term, 'num': num, 'den': den} ORDER BY term) AS arr FROM ctr GROUP BY q_id, doc_id),
+        |scb AS (SELECT q_id, doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(arr, x -> CAST(x.num AS DOUBLE)/CAST(x.den AS DOUBLE))), (a,b) -> a+b) AS score FROM ga),
+        |bm AS (SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank, score FROM scb)""".stripMargin
     // corpus-window prefix shared by all three window-based oracles: the
     // planted subset's 8-token windows (1-based DuckDB list slices) as
     // (doc_id, i1, wt) rows in CTE `w2`
@@ -2160,6 +2209,32 @@ object SparkEntry {
           |s AS (SELECT q_id, q_label, n_id, n_label, list_cosine_similarity(qv, nv) AS sim FROM q JOIN c ON q_id <> n_id AND q_label <> n_label),
           |r AS (SELECT q_id, q_label, n_id, n_label, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INTEGER) AS rank FROM s)
           |SELECT q_id, q_label, rank, n_id, n_label FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")),
+
+      // BM25 under the integer-exact contract: the score column itself is
+      // hash-compared (one correctly-rounded division per term + a
+      // term-ordered fold replays bit-exactly)
+      "bm25_topk" ->
+        (s"WITH $bm25Cte " +
+          "SELECT q_id, rank, doc_id, score FROM bm WHERE rank <= 5 ORDER BY q_id, rank")
+          .replace("\n", " "),
+
+      // hybrid RRF: BM25 CTEs + the knn oracle CTEs (k-prefixed to avoid
+      // collision), fused with the fixed-order 1/(60+rank) sum
+      "hybrid_rrf" ->
+        (s"WITH $bm25Cte, " +
+          """kq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+            |kc AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+            |ks AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim FROM kq JOIN kc ON q_id <> n_id),
+            |kr AS (SELECT q_id, n_id AS doc_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM ks),
+            |kd AS (SELECT q_id, doc_id, rank FROM kr WHERE rank <= 5),
+            |bm5 AS (SELECT q_id, doc_id, rank FROM bm WHERE rank <= 5),
+            |fu AS (SELECT coalesce(bm5.q_id, kd.q_id) AS q_id, coalesce(bm5.doc_id, kd.doc_id) AS doc_id,
+            |  coalesce(CAST(1.0 AS DOUBLE)/(CAST(60.0 AS DOUBLE) + CAST(bm5.rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+            |  + coalesce(CAST(1.0 AS DOUBLE)/(CAST(60.0 AS DOUBLE) + CAST(kd.rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf
+            |  FROM bm5 FULL OUTER JOIN kd ON bm5.q_id = kd.q_id AND bm5.doc_id = kd.doc_id),
+            |fr AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank, doc_id, rrf FROM fu)
+            |SELECT q_id, rank, doc_id, rrf FROM fr WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin)
+          .replace("\n", " "),
 
       // heuristic language id: zh on CJK share > 0.2, else argmax stopword
       // hits with ties broken by lexicographically LARGEST lang (Spark's

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval (BM25) and rank fusion — the retrieval half a
+  * RAG / retrieval-training data pipeline runs next to the dense ANN family
+  * ([[Similarity.bruteForceTopK]], [[Pq]], [[Ivf]]): build postings stats
+  * over the corpus, score keyword queries with BM25, and fuse sparse +
+  * dense runs with reciprocal-rank fusion (hybrid search).
+  *
+  * Exactness contract (what makes the whole ranking — and the score column
+  * itself — replayable in a DuckDB oracle, which generic float BM25 is
+  * not):
+  *
+  *  - BM25 constants are exact rationals: k1 = 1.2 = 6/5, b = 0.75 = 3/4.
+  *    With `avgdl = S/N` (S = corpus token count, N = docs), the per-term
+  *    contribution rewrites to a ratio of two BIGINT products:
+  *    {{{
+  *      tfNorm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *             = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)
+  *      idf    = (N − df + 0.5)/(df + 0.5) = (2·(N − df) + 1)/(2·df + 1)
+  *    }}}
+  *    (division idf — the transcendental-free variant of Robertson's
+  *    log-idf, the [[TextStats.tfIdfTopTerms]] precedent: `ln` is not
+  *    bit-stable across engines, integer ratios are. Monotone in df, so
+  *    single-term rankings agree with the log form; multi-term sums are
+  *    the documented variant.)
+  *  - Each contribution is ONE double division of two exact BIGINTs
+  *    (correctly rounded ⇒ bit-identical in both engines), and the
+  *    per-(query, doc) sum folds contributions in TERM-SORTED order
+  *    (Spark `aggregate` over `sort_array(collect_list(...))`; DuckDB
+  *    `list_reduce` over `list(... ORDER BY term)`) — float addition is
+  *    order-sensitive, a fixed fold order makes the sum bit-identical
+  *    too. Group state is bounded by the query's term count.
+  *  - A fail-loud exactness-domain guard: the BIGINT products stay exact
+  *    only below 2^63; the guard evaluates both products in DOUBLE first
+  *    and `raise_error`s (naming the fix) before Spark's non-ANSI int64
+  *    arithmetic could wrap silently where DuckDB would error loudly.
+  *
+  * Scale shape (10^12-doc corpus): the corpus is NEVER broadcast and never
+  * sees a corpus-wide window — one (doc, term) partial-agg shuffle for tf,
+  * one doc-keyed join for dl, query terms and their df rows broadcast
+  * (both bounded by the query workload, not the corpus), one (q, doc)
+  * partial-agg shuffle for scoring, and a two-stage top-k (per-bucket
+  * row_number, then a global window over ≤ buckets·k rows per query) so no
+  * single task ever sorts a query's full candidate set. A stopword-dense
+  * query term turns the candidate set into a corpus scan — `maxDfFrac`
+  * drops terms with df > maxDfFrac·N at match time (WAND-style common-term
+  * pruning; default 1.0 = off, and the driver oracle runs with it off).
+  *
+  * Robertson & Zaragoza 2009 (BM25); Cormack, Clarke & Buettcher 2009
+  * (reciprocal-rank fusion).
+  */
+object Retrieval {
+
+  /** Deterministic keyword-query derivation: the first `nTerms` DISTINCT
+    * tokens of each selected doc, in first-occurrence order (position ties
+    * impossible — positions are unique). Output (q_id, term); the window
+    * partitions by q_id over one doc's distinct tokens, bounded by doc
+    * length, and the query set is small by contract.
+    */
+  def queryTerms(
+      docs: DataFrame,
+      nTerms: Int = 6,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(nTerms > 0, s"nTerms must be positive, got $nTerms")
+    val tok = docs
+      .select(col(idCol).as("q_id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "term")))
+      .where(col("term") =!= "")
+    tok.groupBy("q_id", "term").agg(min("pos").as("fpos"))
+      .withColumn("qrank",
+        row_number().over(Window.partitionBy("q_id").orderBy("fpos")))
+      .where(col("qrank") <= nTerms)
+      .select("q_id", "term")
+  }
+
+  /** BM25 top-k: queries as (q_id, term) rows (multi-query term sharing
+    * fans out at the broadcast join). Returns (q_id, rank, doc_id, score)
+    * with rank 1..k by (score DESC, doc_id ASC); `score` is bit-exact
+    * cross-engine under the contract above. Documents with no matching
+    * term are absent (BM25 of an empty match set is 0 — emitting every
+    * corpus doc per query would be a cartesian at scale); docs with null /
+    * whitespace-only text have no tokens and join nothing. N counts docs
+    * with at least one token.
+    */
+  def bm25TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 64,
+      maxDfFrac: Double = 1.0,
+      safeBound: Double = 9.2e18
+  ): DataFrame = {
+    require(k > 0 && buckets > 0, s"k and buckets must be positive, got k=$k buckets=$buckets")
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+    val tf = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // one-row corpus stats carried as a broadcast literal frame (no driver
+    // action; the SQL twin is a CROSS JOIN on a count(*) CTE)
+    val st = dl.agg(sum("dl").as("s_tokens"), count(lit(1)).as("n_docs"))
+    // df over query terms only: tf filtered to a term still holds EVERY doc
+    // containing it, so the per-term count is the true corpus df — and the
+    // frame is bounded by the query vocabulary, hence broadcastable
+    val tfq = tf.join(broadcast(queries.select("term").distinct()), Seq("term"))
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val matched = tfq
+      .join(broadcast(queries.select("q_id", "term")), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .where(col("df").cast("double") <= lit(maxDfFrac) * col("n_docs").cast("double"))
+
+    val numApprox = lit(22.0d) * col("tf").cast("double") * col("s_tokens").cast("double") *
+      (lit(2.0d) * (col("n_docs") - col("df")).cast("double") + lit(1.0d))
+    val denApprox = (lit(10.0d) * col("tf").cast("double") * col("s_tokens").cast("double") +
+      lit(3.0d) * col("s_tokens").cast("double") +
+      lit(9.0d) * col("dl").cast("double") * col("n_docs").cast("double")) *
+      (lit(2.0d) * col("df").cast("double") + lit(1.0d))
+    val num = lit(22L) * col("tf") * col("s_tokens") *
+      (lit(2L) * (col("n_docs") - col("df")) + lit(1L))
+    val den = (lit(10L) * col("tf") * col("s_tokens") + lit(3L) * col("s_tokens") +
+      lit(9L) * col("dl") * col("n_docs")) * (lit(2L) * col("df") + lit(1L))
+    val guardedNum = when(numApprox >= lit(safeBound) || denApprox >= lit(safeBound),
+        raise_error(concat(lit("bm25TopK: 64-bit exactness domain exceeded (corpus tokens x "),
+          lit("docs too large for BIGINT-exact contributions); shard the corpus or "),
+          lit("accept float BM25 outside the oracle contract"))).cast("long"))
+      .otherwise(num)
+
+    val perPair = matched
+      .select(col("q_id"), col("doc_id"),
+        struct(col("term"), guardedNum.as("num"), den.as("den")).as("c"))
+      .groupBy("q_id", "doc_id")
+      .agg(sort_array(collect_list(col("c"))).as("arr"))
+    val scored = perPair.withColumn("score",
+        aggregate(col("arr"), lit(0.0d),
+          (acc, x) => acc + x.getField("num").cast("double") / x.getField("den").cast("double")))
+      .drop("arr")
+    val pruned = scored
+      .withColumn("bkt", pmod(xxhash64(col("doc_id")), lit(buckets.toLong)))
+      .withColumn("rn1", row_number().over(
+        Window.partitionBy("q_id", "bkt").orderBy(desc("score"), asc("doc_id"))))
+      .where(col("rn1") <= k)
+    pruned
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("score"), asc("doc_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion of retrieval runs (hybrid sparse + dense
+    * search): each run is (q_id, rank, doc_id); `rrf = Σ_runs 1/(kRrf +
+    * rank)`, missing docs contribute exactly 0.0, and the sum folds in RUN
+    * order (left-assoc) so the double is bit-identical cross-engine (each
+    * term is one correctly-rounded division of exact integers). Output
+    * (q_id, rank, doc_id, rrf), rank 1..k by (rrf DESC, doc_id ASC).
+    * Candidates per query are bounded by Σ run-k's, so the ranking window
+    * is tiny at any corpus size.
+    */
+  def rrfFuse(runs: Seq[DataFrame], k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    val tagged = runs.zipWithIndex.map { case (r, i) =>
+      r.select(col("q_id"), col("doc_id"), col("rank").cast("long").as(s"r$i"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq("q_id", "doc_id"), "full_outer"))
+    val score = tagged.indices
+      .map(i => coalesce(lit(1.0d) / (lit(kRrf.toDouble) + col(s"r$i").cast("double")), lit(0.0d)))
+      .reduce(_ + _)
+    joined.withColumn("rrf", score)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("rrf"), asc("doc_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
+}

@@ -133,7 +133,12 @@ object ScaleProbe {
         graft.ops.TextStats.heavyHittersExact(hhToks, "tok", k = 20, counters = 256)))
       val tQb = best3(force(graft.metrics.Metrics.exactQuantilesBisect(
         d.select(length(col("text")).as("len")), "len")))
-      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs ccnet=$tCcnet%.2fs tfidf=$tTfidf%.2fs unigram=$tUni%.2fs conrep=$tRep%.2fs gopher_full=$tGopherFull%.2fs bloom_decon=$tBloom%.2fs c4=$tC4%.2fs hashq=$tHq%.2fs spandd=$tSpan%.2fs knn_pq=$tPq%.2fs ivfpq=$tIvfpq%.2fs heavy_hitters=$tHh%.2fs quantiles_bisect=$tQb%.2fs")
+      // BM25: query side fixed (20 queries × 6 terms) while the corpus
+      // scales ×N — tf/dl shuffles are linear in tokens, the match join is
+      // bounded by postings of the 120-term query vocabulary
+      val tBm25 = best3(force(graft.ops.Retrieval.bm25TopK(d,
+        graft.ops.Retrieval.queryTerms(d.where(col("doc_id") < 20)), k = 5)))
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs ccnet=$tCcnet%.2fs tfidf=$tTfidf%.2fs unigram=$tUni%.2fs conrep=$tRep%.2fs gopher_full=$tGopherFull%.2fs bloom_decon=$tBloom%.2fs c4=$tC4%.2fs hashq=$tHq%.2fs spandd=$tSpan%.2fs knn_pq=$tPq%.2fs ivfpq=$tIvfpq%.2fs heavy_hitters=$tHh%.2fs quantiles_bisect=$tQb%.2fs bm25=$tBm25%.2fs")
     }
     spark.stop()
   }

@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sparse retrieval + rank fusion (ops/Retrieval.scala): BM25 under the
+  * integer-exact contract (hand-computed rational scores), the prune path's
+  * equivalence to the plain window, the exactness-domain guard, df-based
+  * common-term pruning, and RRF's fixed-order exact arithmetic.
+  */
+class RetrievalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** 4-doc corpus with one null-text doc (excluded from N and S by the
+    * no-tokens contract): S = 3 + 2 + 4 = 9 tokens, N = 3 docs.
+    */
+  private lazy val corpus = Seq(
+    (1L, "a b a"),
+    (2L, "a c"),
+    (3L, "d d d d"),
+    (4L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  test("queryTerms: first-n DISTINCT tokens in first-occurrence order") {
+    val d = Seq((1L, "b a b c a d e f"), (2L, " \t ")).toDF("doc_id", "text")
+    val q = Retrieval.queryTerms(d, nTerms = 4).orderBy("q_id", "term").collect()
+    // doc 1 first-occurrence order: b a c d (e/f cut by nTerms); doc 2 has
+    // no tokens and contributes no query rows
+    assert(q.map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d")))
+    intercept[IllegalArgumentException](Retrieval.queryTerms(d, nTerms = 0))
+  }
+
+  test("bm25TopK: scores equal the hand-derived BIGINT rationals exactly") {
+    // query {a, b} = the first two distinct tokens of doc 1
+    val queries = Retrieval.queryTerms(corpus.where($"doc_id" === 1), nTerms = 6)
+    val out = Retrieval.bm25TopK(corpus, queries, k = 5)
+      .orderBy("rank").collect()
+    // num = 22·tf·S·(2(N−df)+1); den = (10·tf·S + 3·S + 9·dl·N)·(2df+1)
+    // doc 1: a(tf=2,dl=3,df=2) = 1188/1440; b(tf=1,df=1) = 990/594
+    // doc 2: a(tf=1,dl=2)      = 594/855
+    // doc 3: no matching term → absent; doc 4: no tokens → absent
+    val d1 = 1188.0 / 1440.0 + 990.0 / 594.0 // term-sorted fold: a then b
+    val d2 = 594.0 / 855.0
+    assert(out.map(r => (r.getInt(1), r.getLong(2))).toSeq === Seq((1, 1L), (2, 2L)))
+    assert(out(0).getDouble(3) === d1) // bit-exact, not approx
+    assert(out(1).getDouble(3) === d2)
+  }
+
+  test("bm25TopK: bucketed prune == plain ranking; k truncates; doc_id tie-break") {
+    // every doc identical → all scores equal, rank purely by doc_id asc
+    val ties = (1L to 20L).map(i => (i, "x y")).toDF("doc_id", "text")
+    val q = Seq((0L, "x")).toDF("q_id", "term")
+    val r1 = Retrieval.bm25TopK(ties, q, k = 3, buckets = 1).orderBy("rank").collect()
+    val r7 = Retrieval.bm25TopK(ties, q, k = 3, buckets = 7).orderBy("rank").collect()
+    assert(r1.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq ===
+      r7.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq)
+    assert(r1.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("bm25TopK: maxDfFrac drops common terms at match time") {
+    // 'a' appears in 2 of 3 docs (df/N = 0.667) — pruned at 0.5, so only
+    // 'b' scores and doc 2 (which matched only via 'a') disappears
+    val queries = Retrieval.queryTerms(corpus.where($"doc_id" === 1), nTerms = 6)
+    val out = Retrieval.bm25TopK(corpus, queries, k = 5, maxDfFrac = 0.5).collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L))
+    assert(out(0).getDouble(3) === 990.0 / 594.0)
+    intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(corpus, queries, maxDfFrac = 0.0))
+  }
+
+  test("bm25TopK: exactness-domain guard fails loudly, naming the fix") {
+    val queries = Retrieval.queryTerms(corpus.where($"doc_id" === 1), nTerms = 6)
+    val e = intercept[Exception] {
+      Retrieval.bm25TopK(corpus, queries, k = 5, safeBound = 100.0).collect()
+    }
+    assert(e.getMessage.contains("exactness domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("exactness domain")))
+  }
+
+  test("rrfFuse: fixed-order exact sums, missing docs contribute 0.0, doc_id tie-break") {
+    val run1 = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("q_id", "rank", "doc_id")
+    val run2 = Seq((1L, 1, 11L), (1L, 2, 12L)).toDF("q_id", "rank", "doc_id")
+    val out = Retrieval.rrfFuse(Seq(run1, run2), k = 10).orderBy("rank").collect()
+    // doc 11: 1/62 + 1/61 (run order); doc 10: 1/61 + 0; doc 12: 0 + 1/62
+    val d11 = 1.0 / 62.0 + 1.0 / 61.0
+    assert(out.map(r => (r.getInt(1), r.getLong(2))).toSeq ===
+      Seq((1, 11L), (2, 10L), (3, 12L)))
+    assert(out(0).getDouble(3) === d11)
+    assert(out(1).getDouble(3) === 1.0 / 61.0)
+    assert(out(2).getDouble(3) === 1.0 / 62.0)
+    // equal rrf (same single-run rank) → doc_id ascending
+    val tie = Seq((1L, 1, 7L), (1L, 1, 3L)).toDF("q_id", "rank", "doc_id")
+    // two docs at rank 1 is not a legal run, but fusion only reads ranks:
+    // both get 1/61 and the tie breaks 3 before 7
+    val t = Retrieval.rrfFuse(Seq(tie), k = 2).orderBy("rank").collect()
+    assert(t.map(_.getLong(2)).toSeq === Seq(3L, 7L))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(run1), kRrf = 0))
+  }
+
+  test("bm25TopK plan: corpus is never broadcast; query-side joins are") {
+    val queries = Retrieval.queryTerms(corpus.where($"doc_id" === 1), nTerms = 6)
+    val plan = Retrieval.bm25TopK(corpus, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    // query terms, df, per-query terms and the one-row stats frame all
+    // arrive via broadcast; the only shuffled joins key on doc_id (dl) —
+    // bounded by the corpus, never a corpus×query blow-up
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

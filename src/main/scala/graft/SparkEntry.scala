@@ -666,6 +666,40 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // IR run evaluation (trec_eval semantics) of the sparse and dense runs
+    // against a deterministic 3-doc qrel set per query ({q, q+20, q+40} —
+    // the self doc plus two arbitrary ids, so n_rel > hits for most
+    // queries and every code path bites): per-query reciprocal rank,
+    // hits@5, recall@5 — each ONE double division of exact integers
+    "retrieval_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val qrels = d.where(col("doc_id") < 20)
+        .select(col("doc_id").as("q_id"),
+          explode(array(col("doc_id"), col("doc_id") + 20, col("doc_id") + 40))
+            .as("doc_id"))
+      val sparse = Retrieval.bm25TopK(d,
+        Retrieval.queryTerms(d.where(col("doc_id") < 20)), k = 5)
+      val dense = Similarity.bruteForceTopK(embeddings(s, dir),
+          embeddings(s, dir).where(col("vec_id") < 20), k = 5)
+        .select(col("q_id"), col("rank"), col("n_id").as("doc_id"))
+      Retrieval.evalRun(sparse, qrels, k = 5).withColumn("run", lit("bm25"))
+        .unionByName(
+          Retrieval.evalRun(dense, qrels, k = 5).withColumn("run", lit("dense")))
+        .select("run", "q_id", "n_rel", "hits_at_k", "first_rel_rank",
+          "rr", "recall_at_k")
+        .orderBy("run", "q_id")
+    }),
+
+    // run-level summary: MRR via the lcm(1..k)-rationalized ORDER-FREE
+    // integer sum (no fixed-order float fold, no single-task reduce —
+    // scales to unbounded query workloads), hit rate and micro recall as
+    // integer-sum ratios; one trailing division each ⇒ bit-exact
+    "retrieval_eval_macro" -> ((s, dir) => {
+      val perQ = queries("retrieval_eval")(s, dir)
+      Retrieval.evalSummary(perQ, k = 5, groupCols = Seq("run"))
+        .orderBy("run")
+    }),
+
     // product quantization under the integer-exact contract (ops/Pq.scala):
     // the one ANN path whose ENTIRE approximate pipeline — scalar
     // quantization → per-subspace assignment → ADC scoring → ranks — is
@@ -1666,6 +1700,21 @@ object SparkEntry {
         |ga AS (SELECT q_id, doc_id, list({'term': term, 'num': num, 'den': den} ORDER BY term) AS arr FROM ctr GROUP BY q_id, doc_id),
         |scb AS (SELECT q_id, doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(arr, x -> CAST(x.num AS DOUBLE)/CAST(x.den AS DOUBLE))), (a,b) -> a+b) AS score FROM ga),
         |bm AS (SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank, score FROM scb)""".stripMargin
+    // IR-eval CTE chain shared by retrieval_eval and retrieval_eval_macro
+    // (appends to bm25Cte): dense run (knn CTEs k-prefixed), qrels
+    // {q, q+20, q+40}, per-run hit stats, per-query eval rows in CTE `ev`
+    val retrievalEvalCte =
+      """kq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 20),
+        |kc AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |ks AS (SELECT q_id, n_id, list_cosine_similarity(qv, nv) AS sim FROM kq JOIN kc ON q_id <> n_id),
+        |kr AS (SELECT q_id, n_id AS doc_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM ks),
+        |qr AS (SELECT doc_id AS q_id, unnest([doc_id, doc_id + 20, doc_id + 40]) AS rdoc FROM documents WHERE doc_id < 20),
+        |nr AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel FROM qr GROUP BY q_id),
+        |hb AS (SELECT qr.q_id, CAST(count(*) AS BIGINT) AS hits, CAST(min(bm.rank) AS INTEGER) AS fr FROM bm JOIN qr ON bm.q_id = qr.q_id AND bm.doc_id = qr.rdoc WHERE bm.rank <= 5 GROUP BY qr.q_id),
+        |hd AS (SELECT qr.q_id, CAST(count(*) AS BIGINT) AS hits, CAST(min(kr.rank) AS INTEGER) AS fr FROM kr JOIN qr ON kr.q_id = qr.q_id AND kr.doc_id = qr.rdoc WHERE kr.rank <= 5 GROUP BY qr.q_id),
+        |eb AS (SELECT 'bm25' AS run, nr.q_id, nr.n_rel, coalesce(hb.hits, CAST(0 AS BIGINT)) AS hits_at_k, hb.fr AS first_rel_rank, coalesce(CAST(1.0 AS DOUBLE) / CAST(hb.fr AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr, CAST(coalesce(hb.hits, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE) AS recall_at_k FROM nr LEFT JOIN hb USING (q_id)),
+        |ed AS (SELECT 'dense' AS run, nr.q_id, nr.n_rel, coalesce(hd.hits, CAST(0 AS BIGINT)) AS hits_at_k, hd.fr AS first_rel_rank, coalesce(CAST(1.0 AS DOUBLE) / CAST(hd.fr AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr, CAST(coalesce(hd.hits, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE) AS recall_at_k FROM nr LEFT JOIN hd USING (q_id)),
+        |ev AS (SELECT * FROM eb UNION ALL SELECT * FROM ed)""".stripMargin
     // corpus-window prefix shared by all three window-based oracles: the
     // planted subset's 8-token windows (1-based DuckDB list slices) as
     // (doc_id, i1, wt) rows in CTE `w2`
@@ -2235,6 +2284,23 @@ object SparkEntry {
             |fr AS (SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank, doc_id, rrf FROM fu)
             |SELECT q_id, rank, doc_id, rrf FROM fr WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin)
           .replace("\n", " "),
+
+      // IR eval: qrels {q, q+20, q+40}; per-query rr/recall as single
+      // divisions of exact integers (coalesce replays the no-hit 0.0)
+      "retrieval_eval" ->
+        (s"WITH $bm25Cte, $retrievalEvalCte " +
+          "SELECT run, q_id, n_rel, hits_at_k, first_rel_rank, rr, recall_at_k " +
+          "FROM ev ORDER BY run, q_id").replace("\n", " "),
+
+      // run-level summary: MRR rationalized over lcm(1..5) = 60 (integer
+      // // division, order-free sum, one trailing double division)
+      "retrieval_eval_macro" ->
+        (s"WITH $bm25Cte, $retrievalEvalCte " +
+          """SELECT run, CAST(count(*) AS BIGINT) AS n_queries,
+            |CAST(CAST(sum(coalesce(60 // first_rel_rank, 0)) AS BIGINT) AS DOUBLE) / CAST(count(*) * 60 AS DOUBLE) AS mrr,
+            |CAST(CAST(sum(CASE WHEN hits_at_k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hit_rate_at_k,
+            |CAST(CAST(sum(hits_at_k) AS BIGINT) AS DOUBLE) / CAST(CAST(sum(n_rel) AS BIGINT) AS DOUBLE) AS micro_recall_at_k
+            |FROM ev GROUP BY run ORDER BY run""".stripMargin).replace("\n", " "),
 
       // heuristic language id: zh on CJK share > 0.2, else argmax stopword
       // hits with ties broken by lexicographically LARGEST lang (Spark's

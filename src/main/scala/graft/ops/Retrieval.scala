@@ -158,6 +158,92 @@ object Retrieval {
       .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** lcm(1..k) — the common denominator that turns a reciprocal-rank SUM
+    * into an integer sum. Fits in a long for k ≤ 42 (lcm(1..43) > 2^63).
+    */
+  private[graft] def lcmTo(k: Int): Long = {
+    @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  /** Per-query run evaluation against a qrels frame (q_id, doc_id) —
+    * trec_eval semantics: evaluated over the QRELS query set (a query
+    * missing from the run scores 0; run-only queries are ignored). Output
+    * (q_id, n_rel, hits_at_k, first_rel_rank, rr, recall_at_k):
+    *
+    *  - `first_rel_rank` = rank of the first relevant doc within the run's
+    *    top k (null when none), `rr` = 1/first_rel_rank or 0.0, `recall_at_k`
+    *    = hits/n_rel — each metric is ONE double division of exact integers
+    *    (correctly rounded ⇒ bit-identical cross-engine).
+    *
+    * Scale shape: everything is an equi-join / partial agg keyed on q_id
+    * (or (q_id, doc_id)) — qrels sets of any size flow through ordinary
+    * shuffles; nothing is ever collected or windowed over the full set.
+    */
+  def evalRun(run: DataFrame, qrels: DataFrame, k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rel = qrels.select(col("q_id"), col("doc_id")).distinct()
+    val perQ = rel.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val hits = run.where(col("rank") <= k)
+      .join(rel, Seq("q_id", "doc_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("hits_at_k"), min("rank").cast("int").as("first_rel_rank"))
+    perQ.join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        col("first_rel_rank"),
+        coalesce(lit(1.0d) / col("first_rel_rank").cast("double"), lit(0.0d)).as("rr"),
+        (coalesce(col("hits_at_k"), lit(0L)).cast("double") / col("n_rel").cast("double"))
+          .as("recall_at_k"))
+  }
+
+  /** Macro/micro summary of [[evalRun]] output, grouped by `groupCols`
+    * (e.g. a run-name column; empty = one global row). Output per group:
+    * (n_queries, mrr, hit_rate_at_k, micro_recall_at_k).
+    *
+    * MRR is exact WITHOUT a fixed-order float fold (which would need one
+    * task to see every per-query row): each rr is rationalized over
+    * L = lcm(1..k), so Σ rr = (Σ L/first_rank)/L is an ORDER-FREE integer
+    * sum under partial aggregation, and mrr = that sum / (n·L) — one double
+    * division of two exact BIGINTs. hit_rate (queries with ≥1 relevant in
+    * top k / queries) and micro recall (Σ hits / Σ n_rel) are likewise
+    * integer-sum ratios. All three scale to unbounded query workloads and
+    * replay bit-exactly. k ≤ 42 keeps L in int64; the numerator sum is
+    * guarded (≤ n·L, loud overflow check) like [[bm25TopK]].
+    */
+  def evalSummary(perQuery: DataFrame, k: Int = 10,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(k > 0 && k <= 42, s"k must be in [1, 42] (lcm(1..k) must fit int64), got $k")
+    val l = lcmTo(k)
+    // BIGINT division (Spark's Column./ is true division to double, and
+    // lcm(1..42) ≈ 2.2e17 exceeds double's 2^53 integer domain)
+    val num = coalesce(
+      expr(s"CAST($l AS BIGINT) div CAST(first_rel_rank AS BIGINT)"), lit(0L))
+    val grouped =
+      if (groupCols.isEmpty) perQuery.groupBy()
+      else perQuery.groupBy(groupCols.map(col): _*)
+    val agg = grouped.agg(
+      count(lit(1)).as("n_queries"),
+      sum(num).as("rr_num"),
+      sum(num.cast("double")).as("rr_num_approx"),
+      sum(when(col("hits_at_k") > 0, 1L).otherwise(0L)).as("n_hit"),
+      sum(col("hits_at_k")).as("sum_hits"),
+      sum(col("n_rel")).as("sum_rel"))
+    val guardedNum = when(col("rr_num_approx") >= lit(9.2e18) ||
+        col("n_queries").cast("double") * lit(l.toDouble) >= lit(9.2e18),
+      raise_error(lit("evalSummary: 64-bit exactness domain exceeded " +
+        "(queries x lcm(1..k) too large for a BIGINT-exact MRR); lower k or " +
+        "shard the query workload"))
+        .cast("long"))
+      .otherwise(col("rr_num"))
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n_queries"),
+      (guardedNum.cast("double") / (col("n_queries") * lit(l)).cast("double")).as("mrr"),
+      (col("n_hit").cast("double") / col("n_queries").cast("double")).as("hit_rate_at_k"),
+      (col("sum_hits").cast("double") / col("sum_rel").cast("double")).as("micro_recall_at_k")
+    ): _*)
+  }
+
   /** Reciprocal-rank fusion of retrieval runs (hybrid sparse + dense
     * search): each run is (q_id, rank, doc_id); `rrf = Σ_runs 1/(kRrf +
     * rank)`, missing docs contribute exactly 0.0, and the sum folds in RUN

@@ -102,6 +102,57 @@ class RetrievalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(run1), kRrf = 0))
   }
 
+  test("evalRun: trec_eval semantics with hand-computed exact metrics") {
+    // q1: rel {10, 11, 12}; run top-5 hits 11 at rank 2, 12 at rank 4
+    // q2: rel {20}; run has no relevant docs → rr 0, recall 0
+    // q3: rel {30, 31}; missing from the run entirely → rr 0, recall 0
+    // run-only query 9 (no qrels) must be ignored
+    val run = Seq(
+      (1L, 1, 99L), (1L, 2, 11L), (1L, 3, 98L), (1L, 4, 12L), (1L, 5, 97L),
+      (2L, 1, 50L), (2L, 2, 51L),
+      (9L, 1, 10L)
+    ).toDF("q_id", "rank", "doc_id")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (3L, 30L), (3L, 31L))
+      .toDF("q_id", "doc_id")
+    val out = Retrieval.evalRun(run, qrels, k = 5).orderBy("q_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val q1 = out(0)
+    assert((q1.getLong(1), q1.getLong(2), q1.getInt(3)) === ((3L, 2L, 2)))
+    assert(q1.getDouble(4) === 0.5) // rr = 1/2
+    assert(q1.getDouble(5) === 2.0 / 3.0) // recall = 2/3, one exact division
+    Seq(out(1), out(2)).foreach { r =>
+      assert(r.getLong(2) === 0L && r.isNullAt(3))
+      assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0)
+    }
+    // k truncation: at k=1 the rank-2 hit no longer counts
+    val k1 = Retrieval.evalRun(run, qrels, k = 1).where($"q_id" === 1).collect()(0)
+    assert(k1.getLong(2) === 0L && k1.getDouble(4) === 0.0)
+  }
+
+  test("evalSummary: lcm-rationalized MRR equals the per-query mean exactly") {
+    val perQ = Seq(
+      ("a", 1L, 3L, 2L, Some(2)), // rr 1/2
+      ("a", 2L, 1L, 1L, Some(3)), // rr 1/3
+      ("a", 3L, 2L, 0L, None),    // rr 0
+      ("b", 1L, 1L, 1L, Some(1))  // rr 1
+    ).toDF("run", "q_id", "n_rel", "hits_at_k", "first_rel_rank")
+    val m = Retrieval.evalSummary(perQ, k = 5, groupCols = Seq("run"))
+      .orderBy("run").collect()
+    // run a: lcm(1..5)=60; Σ 60/rank = 30+20+0 = 50 → mrr = 50/180
+    assert(m(0).getLong(1) === 3L)
+    assert(m(0).getDouble(2) === 50.0 / 180.0)
+    assert(m(0).getDouble(3) === 2.0 / 3.0)       // 2 of 3 queries hit
+    assert(m(0).getDouble(4) === 3.0 / 6.0)       // micro recall Σhits/Σrel
+    assert(m(1).getDouble(2) === 1.0 && m(1).getDouble(3) === 1.0)
+    // global (ungrouped) row covers the empty-groupCols path
+    val g = Retrieval.evalSummary(perQ, k = 5).collect()(0)
+    assert(g.getLong(0) === 4L && g.getDouble(1) === 110.0 / 240.0)
+    intercept[IllegalArgumentException](Retrieval.evalSummary(perQ, k = 43))
+    assert(Retrieval.lcmTo(5) === 60L)
+    assert(Retrieval.lcmTo(10) === 2520L)
+    assert(Retrieval.lcmTo(42) === 219060189739591200L) // last k that fits int64
+  }
+
   test("bm25TopK plan: corpus is never broadcast; query-side joins are") {
     val queries = Retrieval.queryTerms(corpus.where($"doc_id" === 1), nTerms = 6)
     val plan = Retrieval.bm25TopK(corpus, queries, k = 5)

@@ -2,9 +2,9 @@ package graft
 
 import graft.functions.gf
 import graft.metrics.Metrics
-import graft.ops.{Conversations, Dedup, Multimodal, Pq, Retrieval, Sampling, Similarity, TextStats, WebClean}
+import graft.ops.{Conversations, Dedup, Multimodal, Pq, Retrieval, Sampling, Similarity, TextStats, UrlOps, WebClean}
 import graft.pipeline.{Deid, TurnsGen}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — queries over `/root/testdata/<sf>/` parquet with DuckDB
@@ -60,6 +60,43 @@ object SparkEntry {
 
   private def turns(s: SparkSession, dir: String): DataFrame =
     TurnsGen.turns(s, dir)
+
+  /** Raw crawl-URL plant for the URL-curation queries: 50 logical pages
+    * (k = doc_id % 50 decides scheme/host/path/query — everything the
+    * canonical form keeps) dressed with doc_id-keyed decorations
+    * (everything [[UrlOps.canonicalizeUrl]] must remove: scheme case %2,
+    * `www.` %3, default port %5, trailing slash %7, fragment %11, host
+    * case %13, a `utm_` tracking param %17) plus two invalid families
+    * (%19 garbage text, %23 relative path) that must canonicalize to NULL.
+    * The DuckDB oracles rebuild the same CASE chain verbatim.
+    */
+  private def urlPlant: Column = {
+    val d = col("doc_id")
+    val k = pmod(d, lit(50L))
+    val httpK = k % 2 === 0
+    val scheme = when(d % 2 === 0,
+        when(httpK, lit("HTTP://")).otherwise(lit("HTTPS://")))
+      .otherwise(when(httpK, lit("http://")).otherwise(lit("https://")))
+    val host = when(k % 4 === 0, lit("example.com"))
+      .when(k % 4 === 1, lit("news.example.co.uk"))
+      .when(k % 4 === 2, lit("blog.hot-site.org"))
+      .otherwise(lit("cdn.example.com"))
+    val decorated = concat(
+      scheme,
+      when(d % 3 === 0, lit("www.")).otherwise(lit("")),
+      when(d % 13 === 0, upper(host)).otherwise(host),
+      when(d % 5 === 0, when(httpK, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit("")),
+      lit("/Articles/item-"), k.cast("string"),
+      when(d % 7 === 0, lit("/")).otherwise(lit("")),
+      when(k % 3 === 2, lit(""))
+        .when(d % 17 === 0, lit("?utm_source=feed&b=2&a=1"))
+        .otherwise(lit("?b=2&a=1")),
+      when(d % 11 === 0, lit("#section-2")).otherwise(lit("")))
+    when(d % 19 === 0, lit("not a url, just text"))
+      .when(d % 23 === 0, lit("/relative/path?x=1"))
+      .otherwise(decorated)
+  }
 
   /** Plant texts for `token_fertility` — shared verbatim with the DuckDB
     * oracle (ASCII for es/de so `lower()` parity is trivial; the zh page
@@ -926,6 +963,59 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- URL curation (RefinedWeb §3.1 / C4-style crawl stage) -----------
+    // URL canonicalization: raw crawl URLs carry mod-keyed decoration
+    // families (scheme/host case, www., default ports, tracking params,
+    // unsorted params, trailing slash, fragments) over 50 logical pages,
+    // plus two invalid-URL families (%19 garbage, %23 relative) that must
+    // map to NULL. The oracle derives canonical + domain INDEPENDENTLY
+    // from the plant semantics (not by replaying the regex chain), so a
+    // chain bug cannot hide in a shared replay. Pure scan-stage projection
+    // — zero shuffle (plan-pinned in UrlOpsSpec).
+    "url_canonicalize" -> ((s, dir) => {
+      val raw = urlPlant.as("raw_url")
+      docs(s, dir).select(col("doc_id"), raw)
+        .withColumn("url", UrlOps.canonicalizeUrl(col("raw_url")))
+        .withColumn("domain", UrlOps.registeredDomain(col("url")))
+        .coalesce(1).sortWithinPartitions("doc_id")
+    }),
+
+    // URL-level dedup in the window-free keeper form: all decoration
+    // variants of one logical page collapse to one canonical class
+    // (~n_docs/50 members each at every scale); invalid-URL docs stay
+    // singletons via the id-keyed sentinel (null class key would pool
+    // them into one bogus mega-class)
+    "url_dedup" -> ((s, dir) =>
+      UrlOps.urlKeepers(
+          docs(s, dir).select(col("doc_id"), urlPlant.as("url")))
+        .orderBy("doc_id")),
+
+    // per-domain volume cap: 3 hot domains (~n/4 docs each — always over
+    // cap, the hash keep-branch bites), count-scaled tail domains (~5 docs
+    // each at EVERY scale — always under cap, kept whole), and a null
+    // domain class (%19) exercising the SQL null-grouping semantics. The
+    // mulHashSlot keep decision is pure BIGINT arithmetic — bit-exact
+    // replay; ONE domain-keyed count + join back
+    "domain_cap_sample" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id")
+      val n = base.agg(count(lit(1)).as("n_docs"))
+      val k = pmod(col("doc_id"), lit(50L))
+      val tailMod = greatest(floor(col("n_docs") / lit(20)), lit(1L))
+      val withDomain = base.crossJoin(broadcast(n))
+        .withColumn("domain",
+          when(col("doc_id") % 19 === 0, lit(null).cast("string"))
+            .when(k % 4 === 0, lit("example.com"))
+            .when(k % 4 === 1, lit("example.co.uk"))
+            .when(k % 4 === 2, lit("hot-site.org"))
+            .otherwise(concat(lit("tail-"),
+              pmod(col("doc_id"), tailMod).cast("string"), lit(".net"))))
+        .select("doc_id", "domain")
+      UrlOps.domainCapSample(withDomain, "domain", "doc_id", cap = 25,
+          slotOf = UrlOps.mulHashSlot)
+        .select("doc_id", "domain", "n_domain", "keep")
+        .orderBy("doc_id")
+    }),
+
     // INCREMENTAL exact dedup — the daily-ingest shape: the delta joins
     // yesterday's narrow (digest, keeper) key table; the historical corpus
     // is never rescanned. Plants put delta docs on all three paths:
@@ -1715,6 +1805,40 @@ object SparkEntry {
         |eb AS (SELECT 'bm25' AS run, nr.q_id, nr.n_rel, coalesce(hb.hits, CAST(0 AS BIGINT)) AS hits_at_k, hb.fr AS first_rel_rank, coalesce(CAST(1.0 AS DOUBLE) / CAST(hb.fr AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr, CAST(coalesce(hb.hits, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE) AS recall_at_k FROM nr LEFT JOIN hb USING (q_id)),
         |ed AS (SELECT 'dense' AS run, nr.q_id, nr.n_rel, coalesce(hd.hits, CAST(0 AS BIGINT)) AS hits_at_k, hd.fr AS first_rel_rank, coalesce(CAST(1.0 AS DOUBLE) / CAST(hd.fr AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr, CAST(coalesce(hd.hits, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE) AS recall_at_k FROM nr LEFT JOIN hd USING (q_id)),
         |ev AS (SELECT * FROM eb UNION ALL SELECT * FROM ed)""".stripMargin
+    // URL-curation plant shared by url_canonicalize and url_dedup: `ur`
+    // rebuilds the raw decorated URL exactly as SparkEntry.urlPlant; `uc`
+    // derives canonical + registered domain INDEPENDENTLY (functions of
+    // k = doc_id % 50 alone — everything else is decoration the engine
+    // chain must strip)
+    val urlPlantCte =
+      """uh AS (SELECT doc_id, doc_id % 50 AS k,
+        |  CASE WHEN (doc_id % 50) % 4 = 0 THEN 'example.com'
+        |       WHEN (doc_id % 50) % 4 = 1 THEN 'news.example.co.uk'
+        |       WHEN (doc_id % 50) % 4 = 2 THEN 'blog.hot-site.org'
+        |       ELSE 'cdn.example.com' END AS hostk FROM documents),
+        |ur AS (SELECT doc_id, k, CASE
+        |  WHEN doc_id % 19 = 0 THEN 'not a url, just text'
+        |  WHEN doc_id % 23 = 0 THEN '/relative/path?x=1'
+        |  ELSE (CASE WHEN doc_id % 2 = 0 THEN (CASE WHEN k % 2 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END) ELSE (CASE WHEN k % 2 = 0 THEN 'http://' ELSE 'https://' END) END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |    || (CASE WHEN doc_id % 13 = 0 THEN upper(hostk) ELSE hostk END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN k % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END)
+        |    || '/Articles/item-' || CAST(k AS VARCHAR)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN k % 3 = 2 THEN '' WHEN doc_id % 17 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '?b=2&a=1' END)
+        |    || (CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END)
+        |  END AS raw_url FROM uh),
+        |uc AS (SELECT doc_id, k, raw_url,
+        |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+        |    ELSE (CASE WHEN k % 2 = 0 THEN 'http://' ELSE 'https://' END)
+        |      || (CASE WHEN k % 4 = 1 THEN 'news.example.co.uk' WHEN k % 4 = 2 THEN 'blog.hot-site.org' WHEN k % 4 = 3 THEN 'cdn.example.com' ELSE 'example.com' END)
+        |      || '/Articles/item-' || CAST(k AS VARCHAR)
+        |      || (CASE WHEN k % 3 = 2 THEN '' ELSE '?a=1&b=2' END) END AS url,
+        |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
+        |    WHEN k % 4 = 1 THEN 'example.co.uk'
+        |    WHEN k % 4 = 2 THEN 'hot-site.org'
+        |    ELSE 'example.com' END AS domain
+        |  FROM ur)""".stripMargin.replace("\n", " ")
     // corpus-window prefix shared by all three window-based oracles: the
     // planted subset's 8-token windows (1-based DuckDB list slices) as
     // (doc_id, i1, wt) rows in CTE `w2`
@@ -2698,6 +2822,40 @@ object SparkEntry {
           |  has_lorem, has_brace, has_bad_word,
           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
           |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // URL curation: the oracle rebuilds the raw-URL plant verbatim but
+      // derives canonical + domain INDEPENDENTLY from the plant semantics
+      // (scheme/host/path/query are functions of k alone) — a bug in the
+      // engine's regex chain cannot hide in a shared replay
+      "url_canonicalize" ->
+        (s"WITH $urlPlantCte " +
+          "SELECT doc_id, raw_url, url, domain FROM uc ORDER BY doc_id"),
+
+      // URL keeper form: min id per canonical class; invalid-URL docs are
+      // singletons via the id-keyed sentinel
+      "url_dedup" ->
+        (s"WITH $urlPlantCte " +
+          """SELECT doc_id,
+            |  min(doc_id) OVER (PARTITION BY coalesce(url, 'null#' || CAST(doc_id AS VARCHAR))) AS keeper_id,
+            |  doc_id <> min(doc_id) OVER (PARTITION BY coalesce(url, 'null#' || CAST(doc_id AS VARCHAR))) AS is_dup
+            |FROM uc ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // per-domain cap: count + Knuth-multiplicative slot arithmetic, all
+      // BIGINT — bit-exact; null domains one SQL-semantics class
+      "domain_cap_sample" ->
+        ("""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |dm AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 19 = 0 THEN NULL
+          |       WHEN (doc_id % 50) % 4 = 0 THEN 'example.com'
+          |       WHEN (doc_id % 50) % 4 = 1 THEN 'example.co.uk'
+          |       WHEN (doc_id % 50) % 4 = 2 THEN 'hot-site.org'
+          |       ELSE 'tail-' || CAST(doc_id % greatest(n_docs // 20, 1) AS VARCHAR) || '.net' END AS domain
+          |  FROM documents, nd),
+          |ct AS (SELECT domain AS cdom, CAST(count(*) AS BIGINT) AS n_domain FROM dm GROUP BY domain)
+          |SELECT dm.doc_id, dm.domain, ct.n_domain,
+          |  (ct.n_domain <= 25 OR ((dm.doc_id % 1048573) * 2654435761) % ct.n_domain < 25) AS keep
+          |FROM dm JOIN ct ON dm.domain IS NOT DISTINCT FROM ct.cdom
+          |ORDER BY dm.doc_id""".stripMargin.replace("\n", " ")),
 
       // incremental-dedup replay: digest equality == text equality (a sha2
       // collision would fail this text-keyed oracle loudly), so keepers

@@ -43,7 +43,7 @@ object Dedup {
     * entry points ([[exact]], [[multisetKeepers]], [[shingleSetKeepers]])
     * differ only in the class-key expression.
     */
-  private def keepersByKey(docs: DataFrame, idCol: String, key: Column): DataFrame = {
+  private[ops] def keepersByKey(docs: DataFrame, idCol: String, key: Column): DataFrame = {
     val keyed = docs.select(col(idCol), key.as("dup_key"))
     val classes = keyed.groupBy(col("dup_key"))
       .agg(min(col(idCol)).as("keeper_id"))
@@ -104,7 +104,7 @@ object Dedup {
     * pairs for null texts and CC leaves them singletons — the keeper twins
     * must decide the same relation.
     */
-  private def nullSafeKey(key: Column, idCol: String): Column =
+  private[ops] def nullSafeKey(key: Column, idCol: String): Column =
     coalesce(key, concat(lit("null#"), col(idCol).cast("string")))
 
   /** Shared hot-key guard for the pair-emitting paths: if any key of

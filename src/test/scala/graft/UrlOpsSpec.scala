@@ -1,0 +1,126 @@
+package graft
+
+import graft.ops.UrlOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL curation (ops/UrlOps.scala): canonicalization rule-by-rule,
+  * idempotence, the NULL contract for relative/garbage URLs, registered
+  * domains (incl. multi-part TLDs), keeper-form URL dedup with singleton
+  * nulls, the per-domain cap's determinism and branch behavior, and the
+  * zero-shuffle plan shape of the scan-stage pieces.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def canon(raw: String): String = {
+    val r = Seq(Tuple1(raw)).toDF("u")
+      .select(UrlOps.canonicalizeUrl(col("u")).as("c")).collect()(0)
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("canonicalizeUrl: every rule bites on a hand-built case") {
+    // fragment, scheme+host case, default port, www, tracking params,
+    // param sort, trailing slash — all in one URL
+    assert(canon("  HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag  ")
+      === "https://example.com/A/b?a=1&b=2")
+    // http default port; path case preserved per RFC 3986
+    assert(canon("HTTP://news.SITE.org:80/Items/") === "http://news.site.org/Items")
+    // non-default port survives; no query; root slash dropped
+    assert(canon("http://x.com:8080/") === "http://x.com:8080")
+    // all params tracking -> '?' dropped entirely (incl. bare name + UTM case)
+    assert(canon("https://a.io/p?UTM_medium=e&fbclid=1&gclid&ref=z") === "https://a.io/p")
+    // ref only matches as a NAME ("ref" / "ref=..."), not a prefix
+    assert(canon("https://a.io/p?refresh=1") === "https://a.io/p?refresh=1")
+    // www only strips as the leading label; params keep their value case
+    assert(canon("https://www.www2.net/q?B=UPPER") === "https://www2.net/q?B=UPPER")
+  }
+
+  test("canonicalizeUrl: null contract and idempotence") {
+    assert(canon(null) === null)
+    assert(canon("not a url, just text") === null)
+    assert(canon("/relative/path?x=1") === null)
+    assert(canon("") === null)
+    // idempotence: canonical output re-canonicalizes to itself
+    val raws = Seq(
+      "  HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag  ",
+      "HTTP://news.SITE.org:80/Items/", "http://x.com:8080/",
+      "https://a.io/p?z=9&a=1&m=3", "https://e.co.uk")
+    val df = raws.map(Tuple1(_)).toDF("u")
+      .select(UrlOps.canonicalizeUrl(col("u")).as("c"))
+      .select(col("c"), UrlOps.canonicalizeUrl(col("c")).as("cc"))
+    assert(df.where(!(col("c") <=> col("cc"))).count() === 0)
+  }
+
+  test("registeredDomain: last-2 labels, multi-part TLDs take 3, edge hosts") {
+    val cases = Seq(
+      ("https://a.b.example.com/x", "example.com"),
+      ("https://news.example.co.uk/y?a=1", "example.co.uk"),
+      ("http://example.co.uk", "example.co.uk"),   // exactly 3 labels
+      ("http://co.uk", "co.uk"),                   // 2 labels, rule wants 3 -> last 2
+      ("http://localhost/z", "localhost"),         // single label passes through
+      ("http://x.com:8080/z", "x.com"),            // non-default port excluded from host
+      (null, null))
+    val out = cases.map(c => Tuple1(c._1)).toDF("u")
+      .select(UrlOps.registeredDomain(UrlOps.canonicalizeUrl(col("u"))).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.toSeq === cases.map(_._2))
+  }
+
+  test("urlKeepers: variants collapse to one class, null URLs stay singletons") {
+    val docs = Seq(
+      (1L, "https://example.com/a?b=2&a=1"),
+      (2L, "HTTPS://WWW.example.com:443/a/?a=1&b=2&utm_source=z#f"),
+      (3L, "https://example.com/a?a=1"),   // different query -> own class
+      (4L, "garbage"),
+      (5L, "also garbage")
+    ).toDF("doc_id", "url")
+    val out = UrlOps.urlKeepers(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 3L, false),
+      (4L, 4L, false), (5L, 5L, false)))
+  }
+
+  test("domainCapSample: under-cap kept whole, over-cap expected fraction, deterministic") {
+    val docs = (0L until 400L).map(i =>
+      (i, if (i < 390) "big.com" else s"tiny-${i % 5}.net")).toDF("doc_id", "domain")
+    val out = UrlOps.domainCapSample(docs, "domain", cap = 30).cache()
+    try {
+      // tiny domains (2 docs each) all kept
+      assert(out.where(col("domain") =!= "big.com" && !col("keep")).count() === 0)
+      // big.com: n_domain correct; kept count near cap (hash expectation),
+      // and strictly fewer than the domain size
+      val big = out.where(col("domain") === "big.com")
+      assert(big.agg(min("n_domain"), max("n_domain")).collect()(0)
+        .toSeq === Seq(390L, 390L))
+      val kept = big.where(col("keep")).count()
+      assert(kept > 10 && kept < 60, s"expected ~30 kept, got $kept")
+      // deterministic: a second run makes identical decisions
+      val again = UrlOps.domainCapSample(docs, "domain", cap = 30)
+      assert(out.select("doc_id", "keep").except(
+        again.select("doc_id", "keep")).count() === 0)
+    } finally out.unpersist()
+    // mulHashSlot replay: keep == arithmetic replay on the driver
+    val mul = UrlOps.domainCapSample(docs, "domain", cap = 30,
+        slotOf = UrlOps.mulHashSlot)
+      .select("doc_id", "n_domain", "keep").collect()
+    mul.foreach { r =>
+      val (id, n, keep) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      val slot = ((id % 1048573L) * 2654435761L) % n
+      assert(keep === (n <= 30 || slot < 30), s"doc $id")
+    }
+    intercept[IllegalArgumentException](
+      UrlOps.domainCapSample(docs, "domain", cap = 0))
+  }
+
+  test("plan shape: canonicalize+domain is a zero-exchange scan-stage projection") {
+    val plan = Seq(Tuple1("https://a.io/p")).toDF("u")
+      .select(UrlOps.canonicalizeUrl(col("u")).as("c"))
+      .withColumn("d", UrlOps.registeredDomain(col("c")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.gf
 import graft.metrics.Metrics
-import graft.ops.{Conversations, Dedup, Multimodal, Pq, Retrieval, Sampling, Similarity, TextStats, UrlOps, WebClean}
+import graft.ops.{Conversations, Dedup, Dsir, Multimodal, Pq, Retrieval, Sampling, Similarity, TextStats, UrlOps, WebClean}
 import graft.pipeline.{Deid, TurnsGen}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -961,6 +961,26 @@ object SparkEntry {
           ((-col("top.nc")).cast("double") / col("n_tokens").cast("double"))
             .as("top_token_share"))
         .orderBy("source")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // profiles, add-1-smoothed target/raw likelihood ratios, exact-rational
+    // contributions folded bucket-ascending (the bm25 contract) + ONE
+    // trailing division by n_features. Plants: the target corpus is the
+    // %10 docs with a marker phrase appended; the scored corpus appends the
+    // SAME marker to %6 docs — marker-bearing docs score visibly above the
+    // rest, so keep bites both ways at every scale
+    "dsir_importance" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val marker = lit(" premium curated encyclopedia reference article")
+      val corpus = base.withColumn("text",
+        when(col("doc_id") % 6 === 0, concat(col("text"), marker))
+          .otherwise(col("text")))
+      val target = base.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), marker).as("text"))
+      Dsir.importanceScores(corpus, target, nBuckets = 4096)
+        .withColumn("keep", col("score") >= 0.9)
+        .orderBy("doc_id")
     }),
 
     // ---- URL curation (RefinedWeb §3.1 / C4-style crawl stage) -----------
@@ -2822,6 +2842,31 @@ object SparkEntry {
           |  has_lorem, has_brace, has_bad_word,
           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
           |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // DSIR replay: hashed feature histograms, add-1 ratio contributions
+      // as exact BIGINTs, bucket-ordered left fold, one trailing division
+      "dsir_importance" ->
+        ("""WITH cr AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN text || ' premium curated encyclopedia reference article' ELSE text END AS text FROM documents),
+          |tg AS (SELECT doc_id, text || ' premium curated encyclopedia reference article' AS text FROM documents WHERE doc_id % 10 = 0),
+          |ct AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM cr),
+          |tt0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM tg),
+          |cf AS (SELECT doc_id, unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM ct),
+          |tf2 AS (SELECT doc_id, unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM tt0),
+          |cb AS (SELECT doc_id, ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 4096 AS bucket FROM cf),
+          |tb AS (SELECT ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 4096 AS bucket FROM tf2),
+          |rh AS (SELECT bucket, CAST(count(*) AS BIGINT) AS raw_cnt FROM cb GROUP BY bucket),
+          |th AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tgt_cnt FROM tb GROUP BY bucket),
+          |rt AS (SELECT CAST(count(*) AS BIGINT) AS raw_total FROM cb),
+          |tt AS (SELECT CAST(count(*) AS BIGINT) AS tgt_total FROM tb),
+          |dfb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS f FROM cb GROUP BY doc_id, bucket),
+          |jc AS (SELECT dfb.doc_id, dfb.bucket, dfb.f,
+          |    dfb.f * (coalesce(th.tgt_cnt, 0) + 1) * (rt.raw_total + 4096) AS num,
+          |    (coalesce(rh.raw_cnt, 0) + 1) * (tt.tgt_total + 4096) AS den
+          |  FROM dfb LEFT JOIN rh USING (bucket) LEFT JOIN th USING (bucket), rt, tt),
+          |ga AS (SELECT doc_id, list({'b': bucket, 'num': num, 'den': den} ORDER BY bucket) AS arr, CAST(sum(f) AS BIGINT) AS n_features FROM jc GROUP BY doc_id),
+          |sc AS (SELECT doc_id, n_features,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(arr, x -> CAST(x.num AS DOUBLE) / CAST(x.den AS DOUBLE))), (a, b) -> a + b) / CAST(n_features AS DOUBLE) AS score FROM ga)
+          |SELECT doc_id, n_features, score, score >= 0.9 AS keep FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       // URL curation: the oracle rebuilds the raw-URL plant verbatim but
       // derives canonical + domain INDEPENDENTLY from the plant semantics

@@ -530,6 +530,13 @@ object Bench {
     // query joins (the BM25 half of hybrid search)
     results("bm25_topk") = timed("bm25_topk")(
       force(SparkEntry.queries("bm25_topk")(spark, sfDir)))
+    // fourth-half additions: DSIR scoring (two bounded-key histogram aggs +
+    // one (id,bucket) shuffle + in-row fold) and URL keeper dedup
+    // (scan-stage canonicalization + agg/join-back)
+    results("dsir_importance") = timed("dsir_importance")(
+      force(SparkEntry.queries("dsir_importance")(spark, sfDir)))
+    results("url_dedup") = timed("url_dedup")(
+      force(SparkEntry.queries("url_dedup")(spark, sfDir)))
     (results, nTurns)
   }
 

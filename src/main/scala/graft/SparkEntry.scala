@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.gf
 import graft.metrics.Metrics
-import graft.ops.{Conversations, Dedup, Dsir, Multimodal, Pq, Retrieval, Sampling, Similarity, TextStats, UrlOps, WebClean}
+import graft.ops.{BpeTrain, Conversations, Dedup, Dsir, Multimodal, Pq, Retrieval, Sampling, Similarity, TextStats, UrlOps, WebClean}
 import graft.pipeline.{Deid, TurnsGen}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -963,6 +963,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // BPE training, step 1 (Sennrich 2016 §3.2): weighted symbol-pair
+    // counts over the initial char+</w> symbolization of the word-frequency
+    // table — the distributed half of merge learning (the sequential loop
+    // is BpeTrain.learnMerges, driver-bounded, spec-gated on the paper's
+    // example). Top-50 by (count, pair) — the deterministic merge ranking.
+    // ASCII corpus contract for the oracle (char slicing parity); the
+    // engine itself is codepoint-based
+    "bpe_pair_counts" -> ((s, dir) =>
+      BpeTrain.pairCounts(BpeTrain.wordCounts(docs(s, dir).select("text")))
+        .orderBy(desc("pair_cnt"), asc("left"), asc("right"))
+        .limit(50)),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     // profiles, add-1-smoothed target/raw likelihood ratios, exact-rational
     // contributions folded bucket-ascending (the bm25 contract) + ONE
@@ -980,7 +992,9 @@ object SparkEntry {
         .select(col("doc_id"), concat(col("text"), marker).as("text"))
       Dsir.importanceScores(corpus, target, nBuckets = 4096)
         .withColumn("keep", col("score") >= 0.9)
-        .orderBy("doc_id")
+        // coalesce, not orderBy: the range sampler would re-run the
+        // histogram joins + fold a second time (benched query)
+        .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
     // ---- URL curation (RefinedWeb §3.1 / C4-style crawl stage) -----------
@@ -1008,7 +1022,7 @@ object SparkEntry {
     "url_dedup" -> ((s, dir) =>
       UrlOps.urlKeepers(
           docs(s, dir).select(col("doc_id"), urlPlant.as("url")))
-        .orderBy("doc_id")),
+        .coalesce(1).sortWithinPartitions("doc_id")),
 
     // per-domain volume cap: 3 hot domains (~n/4 docs each — always over
     // cap, the hash keep-branch bites), count-scaled tail domains (~5 docs
@@ -2842,6 +2856,16 @@ object SparkEntry {
           |  has_lorem, has_brace, has_bad_word,
           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
           |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // BPE pair counts: char+</w> symbolization, adjacency comprehension,
+      // weighted pair sum; "left"/"right" quoted (SQL keywords)
+      "bpe_pair_counts" ->
+        ("""WITH wd AS (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word FROM documents),
+          |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM wd GROUP BY word),
+          |sy AS (SELECT cnt, list_append([word[i] for i in range(1, len(word) + 1)], '</w>') AS s FROM wc),
+          |pr AS (SELECT cnt, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM sy)
+          |SELECT p.l AS "left", p.r AS "right", CAST(sum(cnt) AS BIGINT) AS pair_cnt
+          |FROM pr GROUP BY 1, 2 ORDER BY pair_cnt DESC, "left", "right" LIMIT 50""".stripMargin.replace("\n", " ")),
 
       // DSIR replay: hashed feature histograms, add-1 ratio contributions
       // as exact BIGINTs, bucket-ordered left fold, one trailing division

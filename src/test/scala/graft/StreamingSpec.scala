@@ -100,6 +100,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.where(col("has_lorem")).count() > 0)
   }
 
+  test("streaming URL canonicalization: stateless scan-stage twin agrees with batch") {
+    // canonicalize + registeredDomain are pure per-row projections — the
+    // continuous crawl-ingest shape normalizes URLs on the stream and only
+    // the keeper/cap aggregations run batchwise downstream
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_url").toString
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 19 === 0, lit("garbage not a url"))
+          .otherwise(concat(
+            when(col("doc_id") % 2 === 0, lit("HTTP://www.")).otherwise(lit("https://")),
+            lit("Site-"), pmod(col("doc_id"), lit(7L)), lit(".example.co.uk"),
+            when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+            lit("/p/"), col("doc_id") % 50,
+            when(col("doc_id") % 3 === 0, lit("/?utm_source=x&b=1#f"))
+              .otherwise(lit("?b=1")))).as("url"))
+    raw.write.mode("overwrite").parquet(s"$dir/in")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("c", graft.ops.UrlOps.canonicalizeUrl(col("url")))
+        .withColumn("domain", graft.ops.UrlOps.registeredDomain(col("c")))
+    val q = canon(spark.readStream.schema(raw.schema).parquet(s"$dir/in"))
+      .writeStream.format("memory").queryName("url_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val h = (df: org.apache.spark.sql.DataFrame) =>
+      df.selectExpr("sum(hash(doc_id, url, c, domain))").first().getLong(0)
+    val got = spark.sql("SELECT * FROM url_stream")
+    val want = canon(spark.read.parquet(s"$dir/in"))
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(h(got) == h(want))
+    assert(want.where(col("c").isNull).count() > 0)    // garbage branch fired
+    assert(want.where(col("domain") === "example.co.uk").count() > 0)
+  }
+
   test("streaming PQ encode: stateless scan-stage twin agrees with batch codes") {
     // encode is a pure projection, so the incremental pipeline must emit
     // byte-identical codes — the shape a continuous embedding-ingest job

@@ -1050,6 +1050,59 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END crawl curation: canonicalize → URL-keeper dedup →
+    // per-domain cap over the SURVIVORS → hashed quality gate, composed in
+    // the order a real crawl build runs them (dedup before cap: mirror
+    // copies must not inflate a domain's budget). 200 logical pages
+    // (k2 = doc_id % 200) keep the post-dedup survivor counts — and hence
+    // every cap branch — IDENTICAL at every scale: 3 hot domains ~50-100
+    // survivors (over cap 25), tiny-site.net 2 survivors (under cap),
+    // %19 garbage URLs fail url_ok. Reason flags per doc, one final AND.
+    "crawl_curation_pipeline" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val d = col("doc_id")
+      val k2 = pmod(d, lit(200L))
+      val host = when(k2 % 100 === 47, lit("tiny-site.net"))
+        .when(k2 % 4 === 0, lit("example.com"))
+        .when(k2 % 4 === 1, lit("news.example.co.uk"))
+        .when(k2 % 4 === 2, lit("blog.hot-site.org"))
+        .otherwise(lit("cdn.example.com"))
+      val httpK = k2 % 2 === 0
+      val scheme = when(d % 2 === 0,
+          when(httpK, lit("HTTP://")).otherwise(lit("HTTPS://")))
+        .otherwise(when(httpK, lit("http://")).otherwise(lit("https://")))
+      val raw = when(d % 19 === 0, lit("not a url"))
+        .otherwise(concat(scheme,
+          when(d % 3 === 0, lit("www.")).otherwise(lit("")),
+          host, lit("/page-"), k2.cast("string"),
+          when(d % 7 === 0, lit("/")).otherwise(lit("")),
+          when(d % 5 === 0, lit("?utm_source=f&x=1")).otherwise(lit("?x=1")),
+          when(d % 11 === 0, lit("#top")).otherwise(lit(""))))
+      val canon = base.withColumn("url", raw)
+        .withColumn("curl", UrlOps.canonicalizeUrl(col("url")))
+        .withColumn("url_ok", col("curl").isNotNull)
+      val keepers = UrlOps.urlKeepers(canon.select(col("doc_id"), col("url")))
+      val staged = canon.join(keepers, Seq("doc_id"))
+        .withColumn("is_url_dup", col("url_ok") && col("is_dup"))
+      val surv = staged.where(col("url_ok") && !col("is_dup"))
+        .select(col("doc_id"), UrlOps.registeredDomain(col("curl")).as("domain"))
+      val capd = UrlOps.domainCapSample(surv, "domain", cap = 25,
+          slotOf = UrlOps.mulHashSlot)
+        .select(col("doc_id"), col("domain"), col("n_domain"),
+          col("keep").as("domain_kept"))
+      val hq = WebClean.hashedLinearScore(base)
+        .select(col("doc_id"), col("keep").as("hq_keep"))
+      staged.join(capd, Seq("doc_id"), "left")
+        .join(hq, Seq("doc_id"))
+        .select(col("doc_id"), col("url_ok"), col("is_url_dup"),
+          col("domain"), col("n_domain"),
+          coalesce(col("domain_kept"), lit(false)).as("domain_kept"),
+          col("hq_keep"),
+          (col("url_ok") && !col("is_url_dup") &&
+            coalesce(col("domain_kept"), lit(false)) && col("hq_keep")).as("keep"))
+        .coalesce(1).sortWithinPartitions("doc_id")
+    }),
+
     // INCREMENTAL exact dedup — the daily-ingest shape: the delta joins
     // yesterday's narrow (digest, keeper) key table; the historical corpus
     // is never rescanned. Plants put delta docs on all three paths:
@@ -2925,6 +2978,42 @@ object SparkEntry {
           |  (ct.n_domain <= 25 OR ((dm.doc_id % 1048573) * 2654435761) % ct.n_domain < 25) AS keep
           |FROM dm JOIN ct ON dm.domain IS NOT DISTINCT FROM ct.cdom
           |ORDER BY dm.doc_id""".stripMargin.replace("\n", " ")),
+
+      // crawl curation: canonical derived independently (functions of k2),
+      // keeper window over url_ok docs, cap arithmetic over survivors,
+      // hashed-quality keep, one final AND — each stage's branch bites
+      "crawl_curation_pipeline" ->
+        ("""WITH pp AS (SELECT doc_id, text, doc_id % 200 AS k2 FROM documents),
+          |ph AS (SELECT *, CASE WHEN (k2 % 100) = 47 THEN 'tiny-site.net'
+          |  WHEN k2 % 4 = 0 THEN 'example.com'
+          |  WHEN k2 % 4 = 1 THEN 'news.example.co.uk'
+          |  WHEN k2 % 4 = 2 THEN 'blog.hot-site.org'
+          |  ELSE 'cdn.example.com' END AS hostk FROM pp),
+          |pc AS (SELECT doc_id, text, k2, hostk, doc_id % 19 <> 0 AS url_ok,
+          |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
+          |    (CASE WHEN k2 % 2 = 0 THEN 'http://' ELSE 'https://' END) || hostk || '/page-' || CAST(k2 AS VARCHAR) || '?x=1'
+          |  END AS curl FROM ph),
+          |kp AS (SELECT *, CASE WHEN url_ok THEN min(doc_id) OVER (PARTITION BY curl) ELSE doc_id END AS keeper_id FROM pc),
+          |sv AS (SELECT doc_id, CASE WHEN hostk = 'tiny-site.net' THEN 'tiny-site.net'
+          |    WHEN hostk = 'news.example.co.uk' THEN 'example.co.uk'
+          |    WHEN hostk = 'blog.hot-site.org' THEN 'hot-site.org'
+          |    ELSE 'example.com' END AS domain
+          |  FROM kp WHERE url_ok AND doc_id = keeper_id),
+          |ct AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_domain FROM sv GROUP BY domain),
+          |cp AS (SELECT sv.doc_id, sv.domain, ct.n_domain,
+          |  (ct.n_domain <= 25 OR ((sv.doc_id % 1048573) * 2654435761) % ct.n_domain < 25) AS domain_kept
+          |  FROM sv JOIN ct USING (domain)),
+          |tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM pp),
+          |hq AS (SELECT doc_id, CASE WHEN n_tokens = 0 THEN FALSE ELSE
+          |    CAST(list_sum(list_transform(toks, t ->
+          |      ((('0x' || substr(sha256(t), 1, 6))::BIGINT % 1048576) * 2654435761) % 2001 - 1000)) AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.0
+          |  END AS hq_keep FROM tk)
+          |SELECT kp.doc_id, kp.url_ok, (kp.url_ok AND kp.doc_id <> kp.keeper_id) AS is_url_dup,
+          |  cp.domain, cp.n_domain, coalesce(cp.domain_kept, FALSE) AS domain_kept, hq.hq_keep,
+          |  (kp.url_ok AND kp.doc_id = kp.keeper_id AND coalesce(cp.domain_kept, FALSE) AND hq.hq_keep) AS keep
+          |FROM kp LEFT JOIN cp ON kp.doc_id = cp.doc_id JOIN hq ON kp.doc_id = hq.doc_id
+          |ORDER BY kp.doc_id""".stripMargin.replace("\n", " ")),
 
       // incremental-dedup replay: digest equality == text equality (a sha2
       // collision would fail this text-keyed oracle loudly), so keepers

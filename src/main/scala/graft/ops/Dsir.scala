@@ -88,8 +88,12 @@ object Dsir {
       .select(col(idCol), explode(featureArray(col(textCol))).as("feat"))
       .select(col(idCol), featureBucket(col("feat"), nBuckets).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("f"))
-    val rawHist = bucketHistogram(corpus, textCol, nBuckets)
-      .withColumnRenamed("cnt", "raw_cnt")
+    // raw histogram FROM the reduced per-doc profile (Σ f over docs), not a
+    // second corpus scan: the 100-TB side is exploded + sha-hashed exactly
+    // once, and the bucket rollup shuffles the already-reduced (id, bucket)
+    // frame — Catalyst additionally reuses the docFeat exchange for both
+    // consumers (same child subplan)
+    val rawHist = docFeat.groupBy("bucket").agg(sum("f").as("raw_cnt"))
     val tgtHist = bucketHistogram(target, textCol, nBuckets)
       .withColumnRenamed("cnt", "tgt_cnt")
     val rawTot = rawHist.agg(sum("raw_cnt").as("raw_total"))

@@ -66,7 +66,10 @@ object SparkEntry {
     * canonical form keeps) dressed with doc_id-keyed decorations
     * (everything [[UrlOps.canonicalizeUrl]] must remove: scheme case %2,
     * `www.` %3, default port %5, trailing slash %7, fragment %11, host
-    * case %13, a `utm_` tracking param %17) plus two invalid families
+    * case %13, a `utm_` tracking param %17), a blocklist path family
+    * (%29 — `-casino-games` in the path, canonical-significant), a
+    * mixed-case param family (%31 — `&C=Z`, pinning BINARY param-sort
+    * collation cross-engine: `C` < `a`), plus two invalid families
     * (%19 garbage text, %23 relative path) that must canonicalize to NULL.
     * The DuckDB oracles rebuild the same CASE chain verbatim.
     */
@@ -88,10 +91,12 @@ object SparkEntry {
       when(d % 5 === 0, when(httpK, lit(":80")).otherwise(lit(":443")))
         .otherwise(lit("")),
       lit("/Articles/item-"), k.cast("string"),
+      when(d % 29 === 0, lit("-casino-games")).otherwise(lit("")),
       when(d % 7 === 0, lit("/")).otherwise(lit("")),
       when(k % 3 === 2, lit(""))
         .when(d % 17 === 0, lit("?utm_source=feed&b=2&a=1"))
         .otherwise(lit("?b=2&a=1")),
+      when(k % 3 =!= 2 && d % 31 === 0, lit("&C=Z")).otherwise(lit("")),
       when(d % 11 === 0, lit("#section-2")).otherwise(lit("")))
     when(d % 19 === 0, lit("not a url, just text"))
       .when(d % 23 === 0, lit("/relative/path?x=1"))
@@ -1014,6 +1019,18 @@ object SparkEntry {
         .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
+    // URL blocklist gate (C4 drops pages whose URL hits the badwords
+    // blocklist; RefinedWeb scores blocklist words in the URL): flag over
+    // the canonical form; %29 docs carry '-casino-games' in the path.
+    // Null canonical -> null flag (three-valued, spec-pinned)
+    "url_blocklist" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), urlPlant.as("url"))
+        .withColumn("curl", UrlOps.canonicalizeUrl(col("url")))
+        .withColumn("blocked",
+          UrlOps.urlBlockFlag(col("curl"), Seq("casino", "xxx", "free-money")))
+        .select("doc_id", "curl", "blocked")
+        .coalesce(1).sortWithinPartitions("doc_id")),
+
     // URL-level dedup in the window-free keeper form: all decoration
     // variants of one logical page collapse to one canonical class
     // (~n_docs/50 members each at every scale); invalid-URL docs stay
@@ -1911,8 +1928,10 @@ object SparkEntry {
         |    || (CASE WHEN doc_id % 13 = 0 THEN upper(hostk) ELSE hostk END)
         |    || (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN k % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END)
         |    || '/Articles/item-' || CAST(k AS VARCHAR)
+        |    || (CASE WHEN doc_id % 29 = 0 THEN '-casino-games' ELSE '' END)
         |    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
         |    || (CASE WHEN k % 3 = 2 THEN '' WHEN doc_id % 17 = 0 THEN '?utm_source=feed&b=2&a=1' ELSE '?b=2&a=1' END)
+        |    || (CASE WHEN k % 3 <> 2 AND doc_id % 31 = 0 THEN '&C=Z' ELSE '' END)
         |    || (CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END)
         |  END AS raw_url FROM uh),
         |uc AS (SELECT doc_id, k, raw_url,
@@ -1920,7 +1939,8 @@ object SparkEntry {
         |    ELSE (CASE WHEN k % 2 = 0 THEN 'http://' ELSE 'https://' END)
         |      || (CASE WHEN k % 4 = 1 THEN 'news.example.co.uk' WHEN k % 4 = 2 THEN 'blog.hot-site.org' WHEN k % 4 = 3 THEN 'cdn.example.com' ELSE 'example.com' END)
         |      || '/Articles/item-' || CAST(k AS VARCHAR)
-        |      || (CASE WHEN k % 3 = 2 THEN '' ELSE '?a=1&b=2' END) END AS url,
+        |      || (CASE WHEN doc_id % 29 = 0 THEN '-casino-games' ELSE '' END)
+        |      || (CASE WHEN k % 3 = 2 THEN '' WHEN doc_id % 31 = 0 THEN '?C=Z&a=1&b=2' ELSE '?a=1&b=2' END) END AS url,
         |  CASE WHEN doc_id % 19 = 0 OR doc_id % 23 = 0 THEN NULL
         |    WHEN k % 4 = 1 THEN 'example.co.uk'
         |    WHEN k % 4 = 2 THEN 'hot-site.org'
@@ -2952,6 +2972,13 @@ object SparkEntry {
       "url_canonicalize" ->
         (s"WITH $urlPlantCte " +
           "SELECT doc_id, raw_url, url, domain FROM uc ORDER BY doc_id"),
+
+      // URL blocklist: flag over the independently-derived canonical
+      "url_blocklist" ->
+        (s"WITH $urlPlantCte " +
+          "SELECT doc_id, url AS curl, CASE WHEN url IS NULL THEN NULL ELSE " +
+          "regexp_matches(lower(url), '(casino|xxx|free-money)') END AS blocked " +
+          "FROM uc ORDER BY doc_id"),
 
       // URL keeper form: min id per canonical class; invalid-URL docs are
       // singletons via the id-keyed sentinel

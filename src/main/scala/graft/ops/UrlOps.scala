@@ -120,6 +120,19 @@ object UrlOps {
     Dedup.keepersByKey(docs, idCol,
       Dedup.nullSafeKey(canonicalizeUrl(col(urlCol)), idCol))
 
+  /** URL blocklist flag (C4 §2.2 drops pages whose URL matches the public
+    * "bad words" blocklist; RefinedWeb §3.1 scores blocklist words in the
+    * URL): true when the lowercased canonical URL matches any pattern.
+    * Patterns must be RE2-safe plain words/fragments (joined into one
+    * alternation — the [[WebClean.c4Signals]] badWords contract). Null
+    * canonical → null flag (three-valued; garbage URLs are already gated
+    * by the null contract).
+    */
+  def urlBlockFlag(canonicalUrl: Column, patterns: Seq[String]): Column = {
+    require(patterns.nonEmpty, "urlBlockFlag: empty pattern list")
+    lower(canonicalUrl).rlike("(" + patterns.mkString("|") + ")")
+  }
+
   /** Deterministic per-row slot in `[0, n)` for a per-row class size `n` —
     * the variable-modulus twin of [[Sampling.mulHashBucket]] (same
     * Knuth-multiplicative map, same bounded intermediates, same bit-exact

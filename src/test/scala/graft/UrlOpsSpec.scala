@@ -36,6 +36,20 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(canon("https://a.io/p?refresh=1") === "https://a.io/p?refresh=1")
     // www only strips as the leading label; params keep their value case
     assert(canon("https://www.www2.net/q?B=UPPER") === "https://www2.net/q?B=UPPER")
+    // param sort is BINARY (uppercase before lowercase: 'C' < 'a')
+    assert(canon("https://a.io/p?b=1&C=Z&a=2") === "https://a.io/p?C=Z&a=2&b=1")
+  }
+
+  test("urlBlockFlag: blocklist hits on the canonical form; null stays null") {
+    import graft.ops.UrlOps.urlBlockFlag
+    val out = Seq("https://a.io/casino-games/x", "https://a.io/fine", null)
+      .map(Tuple1(_)).toDF("u")
+      .select(urlBlockFlag(UrlOps.canonicalizeUrl(col("u")),
+        Seq("casino", "xxx")).as("b")).collect()
+    assert(out(0).getBoolean(0) === true)
+    assert(out(1).getBoolean(0) === false)
+    assert(out(2).isNullAt(0))
+    intercept[IllegalArgumentException](urlBlockFlag(col("u"), Seq.empty))
   }
 
   test("canonicalizeUrl: null contract and idempotence") {

@@ -1067,6 +1067,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // EXACT per-domain cap: keeps EXACTLY min(cap, n_domain) docs per
+    // domain — the order-statistic path the hash-threshold sampler
+    // cross-references. Engine = two grouped counting bisections (no
+    // window, no per-domain sort); oracle = the row_number window it must
+    // equal. Same plant as domain_cap_sample (hot/tail/null classes)
+    "domain_cap_exact" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id")
+      val n = base.agg(count(lit(1)).as("n_docs"))
+      val k = pmod(col("doc_id"), lit(50L))
+      val tailMod = greatest(floor(col("n_docs") / lit(20)), lit(1L))
+      val withDomain = base.crossJoin(broadcast(n))
+        .withColumn("domain",
+          when(col("doc_id") % 19 === 0, lit(null).cast("string"))
+            .when(k % 4 === 0, lit("example.com"))
+            .when(k % 4 === 1, lit("example.co.uk"))
+            .when(k % 4 === 2, lit("hot-site.org"))
+            .otherwise(concat(lit("tail-"),
+              pmod(col("doc_id"), tailMod).cast("string"), lit(".net"))))
+        .select("doc_id", "domain")
+      UrlOps.domainCapExact(withDomain, "domain", "doc_id", cap = 25)
+        .select("doc_id", "domain", "n_domain", "keep")
+        .orderBy("doc_id")
+    }),
+
     // END-TO-END crawl curation: canonicalize → URL-keeper dedup →
     // per-domain cap over the SURVIVORS → hashed quality gate, composed in
     // the order a real crawl build runs them (dedup before cap: mirror
@@ -3005,6 +3029,25 @@ object SparkEntry {
           |  (ct.n_domain <= 25 OR ((dm.doc_id % 1048573) * 2654435761) % ct.n_domain < 25) AS keep
           |FROM dm JOIN ct ON dm.domain IS NOT DISTINCT FROM ct.cdom
           |ORDER BY dm.doc_id""".stripMargin.replace("\n", " ")),
+
+      // exact cap: the engine's window-free bisection must equal this
+      // row_number window under the total order (v, doc_id); null domains
+      // one window partition == the engine's sentinel class
+      "domain_cap_exact" ->
+        ("""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+          |dm AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 19 = 0 THEN NULL
+          |       WHEN (doc_id % 50) % 4 = 0 THEN 'example.com'
+          |       WHEN (doc_id % 50) % 4 = 1 THEN 'example.co.uk'
+          |       WHEN (doc_id % 50) % 4 = 2 THEN 'hot-site.org'
+          |       ELSE 'tail-' || CAST(doc_id % greatest(n_docs // 20, 1) AS VARCHAR) || '.net' END AS domain
+          |  FROM documents, nd),
+          |vv AS (SELECT doc_id, domain, (doc_id % 1048573) * 2654435761 AS v FROM dm),
+          |rk AS (SELECT doc_id, domain,
+          |  row_number() OVER (PARTITION BY domain ORDER BY v, doc_id) AS rn,
+          |  CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain FROM vv)
+          |SELECT doc_id, domain, n_domain, rn <= 25 AS keep
+          |FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       // crawl curation: canonical derived independently (functions of k2),
       // keeper window over url_ok docs, cap arithmetic over survivors,

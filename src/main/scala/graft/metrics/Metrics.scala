@@ -243,6 +243,79 @@ object Metrics {
     } finally base.unpersist()
   }
 
+  /** Exact per-group k-th smallest of an integer column — the RANK twin of
+    * [[groupedQuantilesBisect]] (same counting-bisection machinery, same
+    * driver-bounded contract), with the rank chosen PER GROUP:
+    * `kOf(group, n)` clamped into [1, n]. Returns (groupCol, n, kth) where
+    * `kth` is the k-th smallest value (a data value). No per-group sort or
+    * heap anywhere: one broadcast-join + conditional-count pass per
+    * bisection round, O(log(max−min)) rounds, groups converge
+    * independently — the exact path for per-group top-k/threshold
+    * selection (e.g. [[graft.ops.UrlOps.domainCapExact]]) at corpus scale.
+    */
+  def groupedKthSmallest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      kOf: (String, Long) => Long,
+      maxGroups: Int = 100000
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val heads = base.groupBy("g")
+        .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+        .limit(maxGroups + 1).collect()
+      require(heads.length <= maxGroups,
+        s"more than $maxGroups groups - grouped bisection state is " +
+          "driver-side; use a reporting dimension or raise maxGroups")
+      case class St(g: String, n: Long, k: Long, var lo: Long, var hi: Long)
+      val states = heads.map { r =>
+        val (g, n) = (r.getString(0), r.getLong(1))
+        St(g, n, math.max(1L, math.min(kOf(g, n), n)), r.getLong(2), r.getLong(3))
+      }
+      var passes = 0
+      while (states.exists(s => s.lo < s.hi)) {
+        passes += 1
+        require(passes <= 70, s"bisection failed to converge in $passes passes")
+        val midRows = states.toSeq.map(s => org.apache.spark.sql.Row(s.g,
+          if (s.lo < s.hi) java.lang.Long.valueOf(s.lo + (s.hi - s.lo) / 2)
+          else null))
+        val midSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("mid",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        val mids = broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(midRows, 1), midSchema))
+        val counts = base.join(mids, "g")
+          .groupBy("g").agg(sum(when(
+            col("mid").isNotNull && col("v") <= col("mid"), 1L)
+            .otherwise(0L)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        states.foreach { s =>
+          if (s.lo < s.hi) {
+            val mid = s.lo + (s.hi - s.lo) / 2
+            if (counts(s.g) >= s.k) s.hi = mid else s.lo = mid + 1
+          }
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(groupCol,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("kth",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = states.toSeq.map(s =>
+        org.apache.spark.sql.Row(s.g, s.n, s.lo))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } finally base.unpersist()
+  }
+
   /** G5 — `TYPE_PATTERNS` (`training/deid_eval.py:99-112`), as Spark regex
     * strings (Java syntax; these 13 are portable as-is).
     */

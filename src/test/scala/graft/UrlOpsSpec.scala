@@ -130,6 +130,49 @@ class UrlOpsSpec extends AnyFunSuite {
       UrlOps.domainCapSample(docs, "domain", cap = 0))
   }
 
+  test("domainCapExact: exactly min(cap, n) kept per domain, incl. ties and null class") {
+    // big.com: 40 docs incl. a planted v-collision pair (ids i and
+    // i + 1048573 share v = (id mod p)·A — the tie path must break by id);
+    // tiny.net: 3 docs (under cap -> all kept); null domain: 30 docs
+    val docs = ((0L until 38L).map(i => (i, "big.com")) ++
+      Seq((5L + 1048573L, "big.com"), (6L + 1048573L, "big.com")) ++
+      (100L until 103L).map(i => (i, "tiny.net")) ++
+      (200L until 230L).map(i => (i, null.asInstanceOf[String])) ++
+      // 12 docs ALL sharing one v (ids ≡ 7 mod p) — the threshold lands ON
+      // the tie value and the second bisection must pick the 10 smallest ids
+      (0L until 12L).map(j => (7L + j * 1048573L, "ties.org")))
+      .toDF("doc_id", "domain")
+    val out = UrlOps.domainCapExact(docs, "domain", cap = 10).cache()
+    try {
+      val kept = out.groupBy("domain").agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("k"),
+        count(lit(1)).as("n")).collect()
+        .map(r => Option(r.getString(0)).getOrElse("null") ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(kept("big.com") === ((10L, 40L)))   // exactly cap
+      assert(kept("tiny.net") === ((3L, 3L)))    // under cap: all
+      assert(kept("null") === ((10L, 30L)))      // null class capped too
+      assert(kept("ties.org") === ((10L, 12L)))  // all-tied domain: still exact
+      // all-tied domain: kept == the 10 smallest ids
+      val tieKept = out.where(col("domain") === "ties.org" && col("keep"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(tieKept === (0L until 10L).map(j => 7L + j * 1048573L))
+      // tie correctness: of a colliding (v, v) pair the SMALLER id wins if
+      // only one fits — verify the kept set equals the (v, id)-order prefix
+      val rows = out.where(col("domain") === "big.com")
+        .select("doc_id", "keep").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)))
+      val byOrder = rows.map(_._1).sortBy(id => ((id % 1048573L) * 2654435761L, id))
+      val expectKept = byOrder.take(10).toSet
+      rows.foreach { case (id, keep) => assert(keep === expectKept.contains(id), s"id $id") }
+      // determinism
+      val again = UrlOps.domainCapExact(docs, "domain", cap = 10)
+      assert(out.select("doc_id", "keep").except(
+        again.select("doc_id", "keep")).count() === 0)
+    } finally out.unpersist()
+    intercept[IllegalArgumentException](UrlOps.domainCapExact(docs, "domain", cap = 0))
+  }
+
   test("plan shape: canonicalize+domain is a zero-exchange scan-stage projection") {
     val plan = Seq(Tuple1("https://a.io/p")).toDF("u")
       .select(UrlOps.canonicalizeUrl(col("u")).as("c"))

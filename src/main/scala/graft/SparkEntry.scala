@@ -1002,6 +1002,18 @@ object SparkEntry {
         .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
+    // DSIR resampling: keep ∝ score via max-normalized permille rate +
+    // deterministic hash holdout (the retry-stable twin of the paper's
+    // Gumbel resampling). floor(1000·score/max) is two correctly-rounded
+    // IEEE ops in fixed order — bit-exact replay with mulHashBucket
+    "dsir_resample" -> ((s, dir) => {
+      val scored = queries("dsir_importance")(s, dir)
+        .select("doc_id", "n_features", "score")
+      Dsir.resampleByScore(scored, bucketOf = Sampling.mulHashBucket(_))
+        .select("doc_id", "score", "rate_permille", "keep")
+        .coalesce(1).sortWithinPartitions("doc_id")
+    }),
+
     // ---- URL curation (RefinedWeb §3.1 / C4-style crawl stage) -----------
     // URL canonicalization: raw crawl URLs carry mod-keyed decoration
     // families (scheme/host case, www., default ports, tracking params,
@@ -1933,6 +1945,31 @@ object SparkEntry {
         |eb AS (SELECT 'bm25' AS run, nr.q_id, nr.n_rel, coalesce(hb.hits, CAST(0 AS BIGINT)) AS hits_at_k, hb.fr AS first_rel_rank, coalesce(CAST(1.0 AS DOUBLE) / CAST(hb.fr AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr, CAST(coalesce(hb.hits, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE) AS recall_at_k FROM nr LEFT JOIN hb USING (q_id)),
         |ed AS (SELECT 'dense' AS run, nr.q_id, nr.n_rel, coalesce(hd.hits, CAST(0 AS BIGINT)) AS hits_at_k, hd.fr AS first_rel_rank, coalesce(CAST(1.0 AS DOUBLE) / CAST(hd.fr AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr, CAST(coalesce(hd.hits, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE) AS recall_at_k FROM nr LEFT JOIN hd USING (q_id)),
         |ev AS (SELECT * FROM eb UNION ALL SELECT * FROM ed)""".stripMargin
+    // DSIR CTE chain shared by dsir_importance and dsir_resample: hashed
+    // feature histograms, add-1 ratio contributions as exact BIGINTs,
+    // bucket-ordered left fold, one trailing division -> per-doc scores in
+    // CTE `sc`
+    val dsirCte =
+      """cr AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN text || ' premium curated encyclopedia reference article' ELSE text END AS text FROM documents),
+          |tg AS (SELECT doc_id, text || ' premium curated encyclopedia reference article' AS text FROM documents WHERE doc_id % 10 = 0),
+          |ct AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM cr),
+          |tt0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM tg),
+          |cf AS (SELECT doc_id, unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM ct),
+          |tf2 AS (SELECT doc_id, unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM tt0),
+          |cb AS (SELECT doc_id, ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 4096 AS bucket FROM cf),
+          |tb AS (SELECT ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 4096 AS bucket FROM tf2),
+          |rh AS (SELECT bucket, CAST(count(*) AS BIGINT) AS raw_cnt FROM cb GROUP BY bucket),
+          |th AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tgt_cnt FROM tb GROUP BY bucket),
+          |rt AS (SELECT CAST(count(*) AS BIGINT) AS raw_total FROM cb),
+          |tt AS (SELECT CAST(count(*) AS BIGINT) AS tgt_total FROM tb),
+          |dfb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS f FROM cb GROUP BY doc_id, bucket),
+          |jc AS (SELECT dfb.doc_id, dfb.bucket, dfb.f,
+          |    dfb.f * (coalesce(th.tgt_cnt, 0) + 1) * (rt.raw_total + 4096) AS num,
+          |    (coalesce(rh.raw_cnt, 0) + 1) * (tt.tgt_total + 4096) AS den
+          |  FROM dfb LEFT JOIN rh USING (bucket) LEFT JOIN th USING (bucket), rt, tt),
+          |ga AS (SELECT doc_id, list({'b': bucket, 'num': num, 'den': den} ORDER BY bucket) AS arr, CAST(sum(f) AS BIGINT) AS n_features FROM jc GROUP BY doc_id),
+          |sc AS (SELECT doc_id, n_features,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(arr, x -> CAST(x.num AS DOUBLE) / CAST(x.den AS DOUBLE))), (a, b) -> a + b) / CAST(n_features AS DOUBLE) AS score FROM ga)""".stripMargin.replace("\n", " ")
     // URL-curation plant shared by url_canonicalize and url_dedup: `ur`
     // rebuilds the raw decorated URL exactly as SparkEntry.urlPlant; `uc`
     // derives canonical + registered domain INDEPENDENTLY (functions of
@@ -2964,30 +3001,19 @@ object SparkEntry {
           |SELECT p.l AS "left", p.r AS "right", CAST(sum(cnt) AS BIGINT) AS pair_cnt
           |FROM pr GROUP BY 1, 2 ORDER BY pair_cnt DESC, "left", "right" LIMIT 50""".stripMargin.replace("\n", " ")),
 
-      // DSIR replay: hashed feature histograms, add-1 ratio contributions
-      // as exact BIGINTs, bucket-ordered left fold, one trailing division
+      // DSIR replay (CTE factored above): scores then the keep threshold
       "dsir_importance" ->
-        ("""WITH cr AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN text || ' premium curated encyclopedia reference article' ELSE text END AS text FROM documents),
-          |tg AS (SELECT doc_id, text || ' premium curated encyclopedia reference article' AS text FROM documents WHERE doc_id % 10 = 0),
-          |ct AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM cr),
-          |tt0 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM tg),
-          |cf AS (SELECT doc_id, unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM ct),
-          |tf2 AS (SELECT doc_id, unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM tt0),
-          |cb AS (SELECT doc_id, ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 4096 AS bucket FROM cf),
-          |tb AS (SELECT ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 4096 AS bucket FROM tf2),
-          |rh AS (SELECT bucket, CAST(count(*) AS BIGINT) AS raw_cnt FROM cb GROUP BY bucket),
-          |th AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tgt_cnt FROM tb GROUP BY bucket),
-          |rt AS (SELECT CAST(count(*) AS BIGINT) AS raw_total FROM cb),
-          |tt AS (SELECT CAST(count(*) AS BIGINT) AS tgt_total FROM tb),
-          |dfb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS f FROM cb GROUP BY doc_id, bucket),
-          |jc AS (SELECT dfb.doc_id, dfb.bucket, dfb.f,
-          |    dfb.f * (coalesce(th.tgt_cnt, 0) + 1) * (rt.raw_total + 4096) AS num,
-          |    (coalesce(rh.raw_cnt, 0) + 1) * (tt.tgt_total + 4096) AS den
-          |  FROM dfb LEFT JOIN rh USING (bucket) LEFT JOIN th USING (bucket), rt, tt),
-          |ga AS (SELECT doc_id, list({'b': bucket, 'num': num, 'den': den} ORDER BY bucket) AS arr, CAST(sum(f) AS BIGINT) AS n_features FROM jc GROUP BY doc_id),
-          |sc AS (SELECT doc_id, n_features,
-          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(arr, x -> CAST(x.num AS DOUBLE) / CAST(x.den AS DOUBLE))), (a, b) -> a + b) / CAST(n_features AS DOUBLE) AS score FROM ga)
-          |SELECT doc_id, n_features, score, score >= 0.9 AS keep FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+        (s"WITH $dsirCte " +
+          """|SELECT doc_id, n_features, score, score >= 0.9 AS keep FROM sc ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // DSIR resampling: max-normalized permille rate + mul-hash holdout,
+      // every step a correctly-rounded IEEE op in the engine's order
+      "dsir_resample" ->
+        (s"WITH $dsirCte, mxx AS (SELECT max(score) AS mx FROM sc) " +
+          """SELECT doc_id, score,
+            |  CAST(floor(1000.0 * score / mx) AS BIGINT) AS rate_permille,
+            |  ((doc_id % 1048573) * 2654435761) % 1000 < CAST(floor(1000.0 * score / mx) AS BIGINT) AS keep
+            |FROM sc, mxx ORDER BY doc_id""".stripMargin.replace("\n", " ")),
 
       // URL curation: the oracle rebuilds the raw-URL plant verbatim but
       // derives canonical + domain INDEPENDENTLY from the plant semantics

@@ -142,4 +142,30 @@ object Dsir {
           col("n_features").cast("double"))
       .select(col(idCol), col("n_features"), col("score"))
   }
+
+  /** The RESAMPLING half of DSIR (paper §3 keeps doc i when its importance
+    * weight beats a Gumbel-noise threshold — sampling ∝ w): the
+    * deterministic, retry-stable twin keeps doc i with probability
+    * `score_i / max(score)` via hash-holdout — `rate_permille =
+    * ⌊1000·score/max_score⌋`, keep iff `bucket(id) < rate`. Max-pointwise
+    * normalization (not Σ-normalized) keeps every step one
+    * correctly-rounded IEEE op, so the decision replays bit-exactly in SQL
+    * when `bucketOf` does ([[Sampling.mulHashBucket]]); the default is the
+    * unbiased [[Sampling.avalancheBucket]]. One broadcast one-row max +
+    * a map-only projection — no shuffle beyond the scoring itself.
+    *
+    * Input: [[importanceScores]] output (or anything with idCol + score).
+    * Output: input + `rate_permille`, `keep`.
+    */
+  def resampleByScore(
+      scored: DataFrame,
+      idCol: String = "doc_id",
+      bucketOf: Column => Column = Sampling.avalancheBucket(_)): DataFrame = {
+    val mx = scored.agg(max("score").as("max_score"))
+    scored.crossJoin(broadcast(mx))
+      .withColumn("rate_permille",
+        floor(lit(1000.0d) * col("score") / col("max_score")))
+      .withColumn("keep", bucketOf(col(idCol)) < col("rate_permille"))
+      .drop("max_score")
+  }
 }

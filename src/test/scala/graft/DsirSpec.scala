@@ -106,6 +106,22 @@ class DsirSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("resampleByScore: rate = floor(1000·score/max), max doc always kept, deterministic") {
+    val scored = Seq((1L, 10L, 2.0), (2L, 10L, 1.0), (3L, 10L, 0.5), (4L, 10L, 0.0))
+      .toDF("doc_id", "n_features", "score")
+    val out = graft.ops.Dsir.resampleByScore(scored,
+        bucketOf = graft.ops.Sampling.mulHashBucket(_))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(3)).toSeq === Seq(1000L, 500L, 250L, 0L))
+    assert(out(0).getBoolean(4))   // rate 1000 -> bucket < 1000 always
+    assert(!out(3).getBoolean(4))  // rate 0 -> never kept
+    // keep replays the bucket arithmetic exactly
+    out.foreach { r =>
+      val b = ((r.getLong(0) % 1048573L) * 2654435761L) % 1000L
+      assert(r.getBoolean(4) === (b < r.getLong(3)))
+    }
+  }
+
   test("exactness-domain guard fires loudly, naming the fix") {
     val corpus = Seq((1L, "a b")).toDF("doc_id", "text")
     val target = Seq(Tuple1("a")).toDF("text")

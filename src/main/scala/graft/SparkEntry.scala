@@ -3068,7 +3068,7 @@ object SparkEntry {
           |       WHEN (doc_id % 50) % 4 = 2 THEN 'hot-site.org'
           |       ELSE 'tail-' || CAST(doc_id % greatest(n_docs // 20, 1) AS VARCHAR) || '.net' END AS domain
           |  FROM documents, nd),
-          |vv AS (SELECT doc_id, domain, (doc_id % 1048573) * 2654435761 AS v FROM dm),
+          |vv AS (SELECT doc_id, domain, ((doc_id % 1048573) * 2654435761) % 4294967296 AS v FROM dm),
           |rk AS (SELECT doc_id, domain,
           |  row_number() OVER (PARTITION BY domain ORDER BY v, doc_id) AS rn,
           |  CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain FROM vv)

@@ -183,9 +183,10 @@ object UrlOps {
   /** EXACT per-domain cap — keeps EXACTLY `min(cap, n_domain)` docs per
     * domain (the property [[domainCapSample]]'s hash thresholding only
     * gives in expectation): the kept set is the `cap` smallest docs under
-    * the deterministic order (v, id) with `v = (id mod 1048573)·2654435761`
-    * (hash-random selection, injective below the prime residue; the id
-    * tie-break makes the order total regardless). No window anywhere: the
+    * the deterministic order (v, id) with
+    * `v = ((id mod 1048573)·2654435761) mod 2^32` (hash-random selection;
+    * the id tie-break makes the order total, so v collisions are
+    * harmless). No window anywhere: the
     * per-domain threshold is [[graft.metrics.Metrics.groupedKthSmallest]]
     * (counting bisection, driver state = one interval per domain under the
     * `maxDomains` bounded-collect guard), ties at the threshold resolved by
@@ -200,28 +201,44 @@ object UrlOps {
       cap: Int = 1000, maxDomains: Int = 100000): DataFrame = {
     require(cap > 0, s"domainCapExact: cap must be positive, got $cap")
     import graft.metrics.Metrics
+    // v confined to 32 bits: halves the bisection pass count vs the full
+    // 51-bit product (each pass is a corpus-scan counting agg — the
+    // dominant cost); the tie stage below makes collisions harmless
     val keyed = docs
       .withColumn("cap_g", coalesce(col(domainCol).cast("string"), lit("null#domain")))
-      .withColumn("cap_v", mulHashSlot(col(idCol), lit(Long.MaxValue)))
+      .withColumn("cap_v", mulHashSlot(col(idCol), lit(1L << 32)))
     val kth = Metrics.groupedKthSmallest(keyed, "cap_g", "cap_v",
         (_, n) => math.min(cap.toLong, n), maxDomains)
       .select(col("cap_g").as("kth_g"), col("n").as("n_domain"), col("kth"))
     val staged = keyed.join(broadcast(kth), col("cap_g") === col("kth_g"))
-    // tie allowance per domain: min(cap, n) − #{v < kth}; ties (v == kth)
-    // fill the remainder in ascending id order via a second bisection
-    val cLt = staged.groupBy("cap_g")
+    // one counting pass sizes the tie stage: #{v < kth} and #{v <= kth} per
+    // domain. When NO domain has surplus ties at its threshold (c_le ==
+    // min(cap, n) everywhere — the common case), `v <= kth` IS the exact
+    // selection and the second bisection is skipped entirely.
+    val stats = staged.groupBy("cap_g")
       .agg(sum(when(col("cap_v") < col("kth"), 1L).otherwise(0L)).as("c_lt"),
+        sum(when(col("cap_v") <= col("kth"), 1L).otherwise(0L)).as("c_le"),
         first("n_domain").as("nd"))
-      .collect().map(r => r.getString(0) ->
-        (math.min(cap.toLong, r.getLong(2)) - r.getLong(1))).toMap
-    val ties = staged.where(col("cap_v") === col("kth"))
-    val tieKth = Metrics.groupedKthSmallest(ties, "cap_g", idCol,
-        (g, n) => cLt(g), maxDomains)
-      .select(col("cap_g").as("tie_g"), col("kth").as("tie_kth"))
-    staged.join(broadcast(tieKth), col("cap_g") === col("tie_g"), "left")
-      .withColumn("keep",
-        col("cap_v") < col("kth") ||
-          (col("cap_v") === col("kth") && col(idCol) <= col("tie_kth")))
-      .drop("cap_g", "cap_v", "kth_g", "kth", "tie_g", "tie_kth")
+      .collect()
+    val capOf = (n: Long) => math.min(cap.toLong, n)
+    val surplus = stats.exists(r => r.getLong(2) > capOf(r.getLong(3)))
+    if (!surplus)
+      staged.withColumn("keep", col("cap_v") <= col("kth"))
+        .drop("cap_g", "cap_v", "kth_g", "kth")
+    else {
+      // tie allowance per domain: min(cap, n) − #{v < kth}; ties (v == kth)
+      // fill the remainder in ascending id order via a second bisection
+      val allow = stats.map(r =>
+        r.getString(0) -> (capOf(r.getLong(3)) - r.getLong(1))).toMap
+      val ties = staged.where(col("cap_v") === col("kth"))
+      val tieKth = Metrics.groupedKthSmallest(ties, "cap_g", idCol,
+          (g, n) => allow(g), maxDomains)
+        .select(col("cap_g").as("tie_g"), col("kth").as("tie_kth"))
+      staged.join(broadcast(tieKth), col("cap_g") === col("tie_g"), "left")
+        .withColumn("keep",
+          col("cap_v") < col("kth") ||
+            (col("cap_v") === col("kth") && col(idCol) <= col("tie_kth")))
+        .drop("cap_g", "cap_v", "kth_g", "kth", "tie_g", "tie_kth")
+    }
   }
 }

@@ -162,7 +162,7 @@ class UrlOpsSpec extends AnyFunSuite {
       val rows = out.where(col("domain") === "big.com")
         .select("doc_id", "keep").collect()
         .map(r => (r.getLong(0), r.getBoolean(1)))
-      val byOrder = rows.map(_._1).sortBy(id => ((id % 1048573L) * 2654435761L, id))
+      val byOrder = rows.map(_._1).sortBy(id => (((id % 1048573L) * 2654435761L) % 4294967296L, id))
       val expectKept = byOrder.take(10).toSet
       rows.foreach { case (id, keep) => assert(keep === expectKept.contains(id), s"id $id") }
       // determinism

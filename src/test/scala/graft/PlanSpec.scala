@@ -270,6 +270,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("round-7 fourth half: URL keepers window-free; DSIR broadcasts histograms, one (id,bucket) agg exchange") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // URL keeper dedup: agg + null-safe join back — NO window, no cartesian
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://s"), pmod(col("doc_id"), lit(7L)),
+        lit(".net/p"), pmod(col("doc_id"), lit(50L))).as("url"))
+    val pu = plan(graft.ops.UrlOps.urlKeepers(urls))
+    assert(!pu.contains("Window"), pu)
+    assert(!pu.contains("CartesianProduct") && !pu.contains("BroadcastNestedLoopJoin"), pu)
+    // domain cap: ONE count agg + a null-safe equi-join back (EqualNullSafe
+    // extracts as join keys — never a nested-loop join)
+    val pd = plan(graft.ops.UrlOps.domainCapSample(
+      docs.select(col("doc_id"), col("source").as("domain")), "domain", cap = 10))
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"), pd)
+    assert(!pd.contains("Window"), pd)
+    // DSIR scoring: both histograms broadcast (bounded by nBuckets); the
+    // corpus side shuffles ONLY on (id, bucket) — no window, no cartesian
+    // beyond the one-row totals crossJoin (an explicit broadcast)
+    val target = docs.select("doc_id", "text").where(col("doc_id") % 10 === 0)
+    val ps = plan(graft.ops.Dsir.importanceScores(
+      docs.select("doc_id", "text"), target, nBuckets = 1024))
+    assert(!ps.contains("Window"), ps)
+    assert(!ps.contains("CartesianProduct"), ps)
+    assert(ps.contains("BroadcastHashJoin") || ps.contains("BroadcastExchange"), ps)
+  }
+
   test("connected components shuffles on the id key only (no cartesian)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")

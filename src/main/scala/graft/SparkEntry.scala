@@ -968,6 +968,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // incremental vocabulary novelty: the delta's words flagged against
+    // the history vocabulary (docs < 250) — the Heaps-law new-type-rate
+    // health signal; history is never rescanned. A planted suffix token
+    // ("neolex<id%40>") guarantees genuinely-new types at every scale
+    "vocab_delta" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val history = BpeTrain.wordCounts(base.where(col("doc_id") < 250))
+        .select("word")
+      val delta = base.where(col("doc_id") >= 250)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" neolex"),
+            pmod(col("doc_id"), lit(40L)).cast("string")).as("text"))
+      TextStats.vocabDelta(history, delta)
+        .orderBy("word")
+    }),
+
     // BPE training, step 1 (Sennrich 2016 §3.2): weighted symbol-pair
     // counts over the initial char+</w> symbolization of the word-frequency
     // table — the distributed half of merge learning (the sequential loop
@@ -2990,6 +3006,15 @@ object SparkEntry {
           |  has_lorem, has_brace, has_bad_word,
           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
           |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // vocab delta: word-level incremental novelty replay
+      "vocab_delta" ->
+        ("""WITH hw AS (SELECT DISTINCT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word FROM documents WHERE doc_id < 250),
+          |dd AS (SELECT doc_id, text || ' neolex' || CAST(doc_id % 40 AS VARCHAR) AS text FROM documents WHERE doc_id >= 250),
+          |dw AS (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word FROM dd),
+          |dc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM dw GROUP BY word)
+          |SELECT dc.word, dc.cnt, hw.word IS NULL AS is_new
+          |FROM dc LEFT JOIN hw ON dc.word = hw.word ORDER BY dc.word""".stripMargin.replace("\n", " ")),
 
       // BPE pair counts: char+</w> symbolization, adjacency comprehension,
       // weighted pair sum; "left"/"right" quoted (SQL keywords)

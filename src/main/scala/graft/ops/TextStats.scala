@@ -783,4 +783,27 @@ object TextStats {
             org.apache.spark.sql.types.LongType, nullable = false))))
     } finally summaries.unpersist()
   }
+
+  /** Incremental vocabulary novelty — the continuous-ingest twin of
+    * `vocab_stats` (the [[graft.ops.Dedup.exactIncremental]] shape applied
+    * to the type inventory): flag each DELTA word as new-vs-known against
+    * the running vocabulary table WITHOUT rescanning history. The
+    * new-type rate per snapshot is the Heaps-law health signal a corpus
+    * build tracks (a rate spike = a new source/language/garbage regime;
+    * collapse to 0 = the crawl has gone stale). Output (word, cnt,
+    * is_new); append the `is_new` rows to the vocab table for the next
+    * increment — the table stays bounded by Heaps' law while the corpus
+    * grows linearly.
+    *
+    * Scale shape: one partial-agg shuffle over the DELTA's words + one
+    * equi-join against the (narrow, Heaps-bounded) vocabulary — broadcast
+    * it while it fits; hot words reduce map-side.
+    */
+  def vocabDelta(vocab: DataFrame, delta: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val counts = BpeTrain.wordCounts(delta, textCol)
+    val known = vocab.select(col("word").as("known_word")).distinct()
+    counts.join(known, col("word") === col("known_word"), "left")
+      .select(col("word"), col("cnt"), col("known_word").isNull.as("is_new"))
+  }
 }

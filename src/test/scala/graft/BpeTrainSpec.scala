@@ -72,6 +72,19 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxWords"))
   }
 
+  test("vocabDelta: delta words flagged against history; empty history -> all new") {
+    val hist = Seq("low", "newest").map(Tuple1(_)).toDF("word")
+    val delta = Seq((1L, "low lower NEWEST"), (2L, "low")).toDF("doc_id", "text")
+    val out = graft.ops.TextStats.vocabDelta(hist, delta)
+      .orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq === Seq(("low", 2L, false), ("lower", 1L, true),
+      ("newest", 1L, false))) // lowercased before the join
+    val allNew = graft.ops.TextStats.vocabDelta(
+      spark.emptyDataFrame.select(lit("x").as("word")).limit(0), delta)
+    assert(allNew.where(!col("is_new")).count() === 0)
+  }
+
   test("segmentTable: bounded-vocab segmentation with piece counts") {
     val merges = BpeTrain.learnMerges(sennrich, nMerges = 5)
     val t = BpeTrain.segmentTable(sennrich.toDF("word", "cnt"), merges)

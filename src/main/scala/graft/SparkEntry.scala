@@ -2925,9 +2925,9 @@ object SparkEntry {
           |       WHEN hen = greatest(hen, hes, hde, hfr) THEN 'en'
           |       ELSE 'de' END AS lang_pred FROM h),
           |c AS (SELECT lang_pred, count(*) AS cnt FROM l GROUP BY lang_pred),
-          |m AS (SELECT max(cnt) AS mx FROM c),
+          |m AS (SELECT min(cnt) AS mn FROM c),
           |r AS (SELECT lang_pred,
-          |    CAST(floor(1000.0 * sqrt(CAST(cnt AS DOUBLE) / CAST(mx AS DOUBLE))) AS BIGINT) AS rate
+          |    CAST(floor(1000.0 * sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE))) AS BIGINT) AS rate
           |  FROM c CROSS JOIN m),
           |b AS (SELECT l.doc_id, l.lang_pred,
           |    ((l.doc_id % 1048573) * 2654435761) % 1000 AS bucket, r.rate

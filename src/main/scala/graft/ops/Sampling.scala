@@ -49,12 +49,19 @@ object Sampling {
 
   /** Square-root temperature source-balancing rates (the α = 0.5 sampling
     * temperature of multilingual/multi-source pretraining mixes): keep the
-    * LARGEST stratum whole and downsample every other stratum toward
-    * balance, `rate_s = ⌊1000·√(n_s / n_max)⌋` permille. Relative-to-max
-    * normalization (not sum-normalized) keeps every step a correctly
-    * rounded IEEE op — one divide, one sqrt, one multiply, one floor — so
-    * a SQL oracle replays the rates bit-for-bit; a Σ√n_j normalizer would
-    * hang the result on float summation ORDER, which neither engine pins.
+    * SMALLEST stratum whole and downsample every LARGER stratum toward the
+    * α = 0.5 mixture, `rate_s = ⌊1000·√(n_min / n_s)⌋` permille — kept
+    * mass per stratum is then `n_s·√(n_min/n_s) = √(n_min·n_s) ∝ √n_s`,
+    * exactly the `p(s) ∝ n_s^0.5` target (and the keep-only counterpart of
+    * [[sqrtUpsampleRates]], whose boost already realizes `∝ √n_s` from
+    * above). The round-6 form normalized by n_MAX — `√(n_s/n_max)` cuts
+    * SMALL strata hardest (kept ∝ n_s^1.5, a SHARPENER, α = 1.5) — fixed
+    * in round 7; its oracle replayed the arithmetic faithfully either way.
+    * Relative-to-min normalization (not sum-normalized) keeps every step a
+    * correctly rounded IEEE op — one divide, one sqrt, one multiply, one
+    * floor — so a SQL oracle replays the rates bit-for-bit; a Σ√n_j
+    * normalizer would hang the result on float summation ORDER, which
+    * neither engine pins.
     *
     * Driver-side on per-stratum counts (rows bounded by #distinct sources —
     * the same driver-bounded-collect contract as IVF's k×dim centroids);
@@ -63,9 +70,9 @@ object Sampling {
   def sqrtTemperatureRates(counts: Map[String, Long]): Map[String, Int] = {
     require(counts.nonEmpty, "sqrtTemperatureRates: no strata")
     require(counts.values.forall(_ > 0), "sqrtTemperatureRates: empty stratum")
-    val nMax = counts.values.max.toDouble
+    val nMin = counts.values.min.toDouble
     counts.map { case (s, n) =>
-      s -> math.floor(1000.0 * math.sqrt(n.toDouble / nMax)).toInt
+      s -> math.floor(1000.0 * math.sqrt(nMin / n.toDouble)).toInt
     }
   }
 

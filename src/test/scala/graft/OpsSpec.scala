@@ -970,11 +970,12 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(b == Map(1 -> "head", 2 -> "middle", 3 -> "tail", 4 -> "tail"))
 
-    // sqrt-temperature rates: largest stratum whole, floor semantics
+    // sqrt-temperature rates: SMALLEST stratum whole, larger strata cut to
+    // the alpha=0.5 mixture (kept mass 200:100 = sqrt(400):sqrt(100))
     assert(Sampling.sqrtTemperatureRates(Map("en" -> 400L, "unk" -> 100L)) ==
-      Map("en" -> 1000, "unk" -> 500))
-    // 1000*sqrt(1/3) = 577.35… → 577 (floor, not round)
-    assert(Sampling.sqrtTemperatureRates(Map("a" -> 3L, "b" -> 1L))("b") == 577)
+      Map("en" -> 500, "unk" -> 1000))
+    // 1000*sqrt(1/3) = 577.35… → 577 (floor, not round) — on the LARGER
+    assert(Sampling.sqrtTemperatureRates(Map("a" -> 3L, "b" -> 1L))("a") == 577)
     intercept[IllegalArgumentException] {
       Sampling.sqrtTemperatureRates(Map("a" -> 0L))
     }

@@ -968,6 +968,20 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // long-document retrieval: chunk-level BM25 + MaxP doc aggregation
+    // (Dai & Callan 2019) — 32-token chunks, top-50 chunks per query, doc
+    // score = max retrieved-chunk score. max() of the bit-exact chunk
+    // scores is bit-exact, so the whole pipeline keeps the bm25 oracle
+    // contract. liftBase 1024 pins the cid arithmetic in the oracle
+    "bm25_maxp" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Retrieval.bm25MaxP(d,
+          Retrieval.queryTerms(d.where(col("doc_id") < 20)),
+          chunkTokens = 32, stride = 32, kChunks = 50, k = 10,
+          liftBase = 1024L)
+        .orderBy("q_id", "rank")
+    }),
+
     // incremental vocabulary novelty: the delta's words flagged against
     // the history vocabulary (docs < 250) — the Heaps-law new-type-rate
     // health signal; history is never rescanned. A planted suffix token
@@ -3006,6 +3020,29 @@ object SparkEntry {
           |  has_lorem, has_brace, has_bad_word,
           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_bad_word) AS keep
           |FROM s2 ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+
+      // chunk-level BM25 + MaxP: the bm25 rational-score math over the
+      // 32-token chunk corpus (cid = doc_id·1024 + idx), chunk rank <= 50,
+      // doc score = max, final rank <= 10
+      "bm25_maxp" ->
+        ("""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM documents),
+          |cks AS (SELECT doc_id, unnest([{'cid': doc_id*1024 + i - 1, 'ct': t[(i-1)*32+1:(i-1)*32+32]} for i in range(1, CAST((len(t)+31)//32 AS BIGINT) + 1)], recursive := true) FROM tk),
+          |ctok AS (SELECT cid, unnest(ct) AS term FROM cks),
+          |tfr AS (SELECT cid, term, count(*) AS tf FROM ctok GROUP BY cid, term),
+          |dlr AS (SELECT cid, CAST(sum(tf) AS BIGINT) AS dl FROM tfr GROUP BY cid),
+          |str AS (SELECT CAST(sum(dl) AS BIGINT) AS s, count(*) AS n FROM dlr),
+          |qp AS (SELECT doc_id AS q_id, unnest([{'p': i, 'term': t[i]} for i in range(1, len(t)+1)], recursive := true) FROM tk WHERE doc_id < 20),
+          |qf AS (SELECT q_id, term, min(p) AS fpos FROM qp GROUP BY q_id, term),
+          |qt AS (SELECT q_id, term FROM (SELECT q_id, term, row_number() OVER (PARTITION BY q_id ORDER BY fpos) AS rn FROM qf) WHERE rn <= 6),
+          |dfq AS (SELECT term, count(*) AS df FROM tfr WHERE term IN (SELECT term FROM qt) GROUP BY term),
+          |mt AS (SELECT qt.q_id, tfr.cid, tfr.term, tfr.tf, dlr.dl, dfq.df, str.s, str.n FROM qt JOIN tfr USING (term) JOIN dfq USING (term) JOIN dlr USING (cid) CROSS JOIN str),
+          |ctr AS (SELECT q_id, cid, term, 22*tf*s*(2*(n-df)+1) AS num, (10*tf*s + 3*s + 9*dl*n)*(2*df+1) AS den FROM mt),
+          |ga AS (SELECT q_id, cid, list({'term': term, 'num': num, 'den': den} ORDER BY term) AS arr FROM ctr GROUP BY q_id, cid),
+          |scb AS (SELECT q_id, cid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(arr, x -> CAST(x.num AS DOUBLE)/CAST(x.den AS DOUBLE))), (a,b) -> a+b) AS score FROM ga),
+          |cr AS (SELECT q_id, cid, score, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cid) AS crank FROM scb),
+          |mp AS (SELECT q_id, cid // 1024 AS doc_id, max(score) AS score FROM cr WHERE crank <= 50 GROUP BY 1, 2),
+          |fr AS (SELECT q_id, doc_id, score, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM mp)
+          |SELECT q_id, rank, doc_id, score FROM fr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")),
 
       // vocab delta: word-level incremental novelty replay
       "vocab_delta" ->

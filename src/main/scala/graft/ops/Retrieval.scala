@@ -158,6 +158,61 @@ object Retrieval {
       .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Long-document retrieval via chunk-level BM25 + MaxP doc aggregation
+    * (Dai & Callan 2019, "Deeper Text Understanding for IR with Contextual
+    * Neural Language Modeling" — the max-passage-score rule, applied to
+    * the lexical scorer): the corpus is split into `chunkTokens`-token
+    * chunks ([[TextStats.chunkDocs]]), [[bm25TopK]] retrieves the top
+    * `kChunks` CHUNKS per query, and each document scores as the MAX of
+    * its retrieved chunks' scores — the standard fix for BM25's
+    * long-document length penalty when only a passage is relevant.
+    *
+    * Chunk ids lift into the doc-id space as `doc_id·liftBase +
+    * chunk_idx`; a doc with ≥ liftBase chunks fails LOUDLY (raise_error)
+    * rather than aliasing into a neighbor's id space. max() of the
+    * bit-exact chunk scores is itself bit-exact, so the whole pipeline
+    * stays inside the SQL-oracle contract. Output (q_id, rank, doc_id,
+    * score) with rank 1..k by (score DESC, doc_id ASC).
+    *
+    * Scale shape: chunking is a scan-stage explode; everything after is
+    * [[bm25TopK]]'s shape over ~len/stride× more, proportionally shorter
+    * rows (same token volume); the MaxP rollup groups the top-kChunks
+    * frame — bounded by queries × kChunks, not by the corpus.
+    */
+  def bm25MaxP(
+      corpus: DataFrame,
+      queries: DataFrame,
+      chunkTokens: Int = 128,
+      stride: Int = 128,
+      kChunks: Int = 100,
+      k: Int = 10,
+      liftBase: Long = 1L << 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k > 0 && kChunks >= k,
+      s"need 0 < k <= kChunks, got k=$k kChunks=$kChunks")
+    val chunks = TextStats.chunkDocs(corpus, chunkTokens, stride, idCol, textCol)
+      .select(
+        when(col("chunk_idx") >= liftBase,
+          raise_error(lit(s"bm25MaxP: a document has >= $liftBase chunks; " +
+            "raise liftBase (and mind the id-space headroom) or chunk coarser")))
+          .otherwise(col(idCol) * lit(liftBase) + col("chunk_idx")).as(idCol),
+        col("chunk_text").as(textCol))
+    val perChunk = bm25TopK(chunks, queries, k = kChunks, idCol = idCol,
+      textCol = textCol)
+    perChunk
+      // BIGINT `div`, not `/`: float division loses exactness above 2^53,
+      // which real doc-id spaces exceed once lifted by 2^20
+      .groupBy(col("q_id"), expr(s"$idCol div ${liftBase}L").as("maxp_doc"))
+      .agg(max("score").as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("score"), asc("maxp_doc")))
+        .cast("int"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("maxp_doc").as(idCol), col("score"))
+  }
+
   /** lcm(1..k) — the common denominator that turns a reciprocal-rank SUM
     * into an integer sum. Fits in a long for k ≤ 42 (lcm(1..43) > 2^63).
     */

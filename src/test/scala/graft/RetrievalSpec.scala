@@ -153,6 +153,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.lcmTo(42) === 219060189739591200L) // last k that fits int64
   }
 
+  test("bm25MaxP: a long doc's relevant passage escapes the length penalty; lift guard fires") {
+    // doc 1: short, one hit. doc 2: LONG (one dense relevant chunk + much
+    // padding): doc-level BM25 dl-penalizes it below doc 1; chunk-level
+    // MaxP scores its relevant chunk on that chunk's own length
+    val pad = (1 to 60).map(i => s"pad$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "needle haystack filler words here"),
+      (2L, s"needle needle needle relevant passage close $pad")
+    ).toDF("doc_id", "text")
+    val queries = Seq((9L, "needle")).toDF("q_id", "term")
+    val docLevel = Retrieval.bm25TopK(corpus, queries, k = 2)
+      .orderBy("rank").collect().map(_.getLong(2))
+    val maxp = Retrieval.bm25MaxP(corpus, queries, chunkTokens = 8,
+        stride = 8, kChunks = 10, k = 2, liftBase = 1024L)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(docLevel.toSeq === Seq(1L, 2L)) // length penalty wins at doc level
+    assert(maxp.toSeq === Seq(2L, 1L))     // MaxP recovers the passage
+    // lift guard: chunkTokens 1 over a 70-token doc with liftBase 4 blows up
+    val e = intercept[Exception](Retrieval.bm25MaxP(corpus, queries,
+      chunkTokens = 1, stride = 1, kChunks = 10, k = 1, liftBase = 4L).collect())
+    assert(e.getMessage.contains("liftBase") ||
+      (e.getCause != null && e.getCause.getMessage.contains("liftBase")))
+    intercept[IllegalArgumentException](Retrieval.bm25MaxP(corpus, queries,
+      kChunks = 1, k = 5))
+  }
+
   test("bm25TopK plan: corpus is never broadcast; query-side joins are") {
     val queries = Retrieval.queryTerms(corpus.where($"doc_id" === 1), nTerms = 6)
     val plan = Retrieval.bm25TopK(corpus, queries, k = 5)

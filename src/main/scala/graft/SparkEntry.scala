@@ -1186,6 +1186,23 @@ object SparkEntry {
         .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
+    // the rollup a crawl build emits per run: per domain (null = the
+    // invalid/dup-dropped pool with no domain), how many docs each gate
+    // dropped and how many survived — one GROUP BY over the same pipeline
+    // frame; integer counts, oracle replays the WITH + GROUP BY
+    "crawl_curation_report" -> ((s, dir) =>
+      queries("crawl_curation_pipeline")(s, dir)
+        .groupBy("domain").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("url_ok"), 1L).otherwise(0L)).as("n_invalid_url"),
+          sum(when(col("is_url_dup"), 1L).otherwise(0L)).as("n_url_dup"),
+          sum(when(col("url_ok") && !col("is_url_dup") && !col("domain_kept"), 1L)
+            .otherwise(0L)).as("n_cap_dropped"),
+          sum(when(col("domain_kept") && !col("hq_keep"), 1L).otherwise(0L))
+            .as("n_quality_dropped"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("domain")),
+
     // INCREMENTAL exact dedup — the daily-ingest shape: the delta joins
     // yesterday's narrow (digest, keeper) key table; the historical corpus
     // is never rescanned. Plants put delta docs on all three paths:
@@ -2000,6 +2017,41 @@ object SparkEntry {
           |ga AS (SELECT doc_id, list({'b': bucket, 'num': num, 'den': den} ORDER BY bucket) AS arr, CAST(sum(f) AS BIGINT) AS n_features FROM jc GROUP BY doc_id),
           |sc AS (SELECT doc_id, n_features,
           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(arr, x -> CAST(x.num AS DOUBLE) / CAST(x.den AS DOUBLE))), (a, b) -> a + b) / CAST(n_features AS DOUBLE) AS score FROM ga)""".stripMargin.replace("\n", " ")
+    // crawl-curation CTE chain (plant, canonical, keepers, cap, quality)
+    // with the per-doc decision frame in CTE `fin` — shared by the
+    // pipeline query and its per-domain report
+    val crawlCte =
+      """pp AS (SELECT doc_id, text, doc_id % 200 AS k2 FROM documents),
+          |ph AS (SELECT *, CASE WHEN (k2 % 100) = 47 THEN 'tiny-site.net'
+          |  WHEN k2 % 4 = 0 THEN 'example.com'
+          |  WHEN k2 % 4 = 1 THEN 'news.example.co.uk'
+          |  WHEN k2 % 4 = 2 THEN 'blog.hot-site.org'
+          |  ELSE 'cdn.example.com' END AS hostk FROM pp),
+          |pc AS (SELECT doc_id, text, k2, hostk, doc_id % 19 <> 0 AS url_ok,
+          |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
+          |    (CASE WHEN k2 % 2 = 0 THEN 'http://' ELSE 'https://' END) || hostk || '/page-' || CAST(k2 AS VARCHAR) || '?x=1'
+          |  END AS curl FROM ph),
+          |kp AS (SELECT *, CASE WHEN url_ok THEN min(doc_id) OVER (PARTITION BY curl) ELSE doc_id END AS keeper_id FROM pc),
+          |sv AS (SELECT doc_id, CASE WHEN hostk = 'tiny-site.net' THEN 'tiny-site.net'
+          |    WHEN hostk = 'news.example.co.uk' THEN 'example.co.uk'
+          |    WHEN hostk = 'blog.hot-site.org' THEN 'hot-site.org'
+          |    ELSE 'example.com' END AS domain
+          |  FROM kp WHERE url_ok AND doc_id = keeper_id),
+          |ct AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_domain FROM sv GROUP BY domain),
+          |cp AS (SELECT sv.doc_id, sv.domain, ct.n_domain,
+          |  (ct.n_domain <= 25 OR ((sv.doc_id % 1048573) * 2654435761) % ct.n_domain < 25) AS domain_kept
+          |  FROM sv JOIN ct USING (domain)),
+          |tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+          |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM pp),
+          |hq AS (SELECT doc_id, CASE WHEN n_tokens = 0 THEN FALSE ELSE
+          |    CAST(list_sum(list_transform(toks, t ->
+          |      ((('0x' || substr(sha256(t), 1, 6))::BIGINT % 1048576) * 2654435761) % 2001 - 1000)) AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.0
+          |  END AS hq_keep FROM tk),
+        |fin AS (SELECT kp.doc_id, kp.url_ok, (kp.url_ok AND kp.doc_id <> kp.keeper_id) AS is_url_dup,
+        |    cp.domain, cp.n_domain, coalesce(cp.domain_kept, FALSE) AS domain_kept, hq.hq_keep,
+        |    (kp.url_ok AND kp.doc_id = kp.keeper_id AND coalesce(cp.domain_kept, FALSE) AND hq.hq_keep) AS keep
+        |  FROM kp LEFT JOIN cp ON kp.doc_id = cp.doc_id JOIN hq ON kp.doc_id = hq.doc_id
+        |  )""".stripMargin.replace("\n", " ")
     // URL-curation plant shared by url_canonicalize and url_dedup: `ur`
     // rebuilds the raw decorated URL exactly as SparkEntry.urlPlant; `uc`
     // derives canonical + registered domain INDEPENDENTLY (functions of
@@ -3141,37 +3193,19 @@ object SparkEntry {
       // keeper window over url_ok docs, cap arithmetic over survivors,
       // hashed-quality keep, one final AND — each stage's branch bites
       "crawl_curation_pipeline" ->
-        ("""WITH pp AS (SELECT doc_id, text, doc_id % 200 AS k2 FROM documents),
-          |ph AS (SELECT *, CASE WHEN (k2 % 100) = 47 THEN 'tiny-site.net'
-          |  WHEN k2 % 4 = 0 THEN 'example.com'
-          |  WHEN k2 % 4 = 1 THEN 'news.example.co.uk'
-          |  WHEN k2 % 4 = 2 THEN 'blog.hot-site.org'
-          |  ELSE 'cdn.example.com' END AS hostk FROM pp),
-          |pc AS (SELECT doc_id, text, k2, hostk, doc_id % 19 <> 0 AS url_ok,
-          |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE
-          |    (CASE WHEN k2 % 2 = 0 THEN 'http://' ELSE 'https://' END) || hostk || '/page-' || CAST(k2 AS VARCHAR) || '?x=1'
-          |  END AS curl FROM ph),
-          |kp AS (SELECT *, CASE WHEN url_ok THEN min(doc_id) OVER (PARTITION BY curl) ELSE doc_id END AS keeper_id FROM pc),
-          |sv AS (SELECT doc_id, CASE WHEN hostk = 'tiny-site.net' THEN 'tiny-site.net'
-          |    WHEN hostk = 'news.example.co.uk' THEN 'example.co.uk'
-          |    WHEN hostk = 'blog.hot-site.org' THEN 'hot-site.org'
-          |    ELSE 'example.com' END AS domain
-          |  FROM kp WHERE url_ok AND doc_id = keeper_id),
-          |ct AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_domain FROM sv GROUP BY domain),
-          |cp AS (SELECT sv.doc_id, sv.domain, ct.n_domain,
-          |  (ct.n_domain <= 25 OR ((sv.doc_id % 1048573) * 2654435761) % ct.n_domain < 25) AS domain_kept
-          |  FROM sv JOIN ct USING (domain)),
-          |tk AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-          |  regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM pp),
-          |hq AS (SELECT doc_id, CASE WHEN n_tokens = 0 THEN FALSE ELSE
-          |    CAST(list_sum(list_transform(toks, t ->
-          |      ((('0x' || substr(sha256(t), 1, 6))::BIGINT % 1048576) * 2654435761) % 2001 - 1000)) AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.0
-          |  END AS hq_keep FROM tk)
-          |SELECT kp.doc_id, kp.url_ok, (kp.url_ok AND kp.doc_id <> kp.keeper_id) AS is_url_dup,
-          |  cp.domain, cp.n_domain, coalesce(cp.domain_kept, FALSE) AS domain_kept, hq.hq_keep,
-          |  (kp.url_ok AND kp.doc_id = kp.keeper_id AND coalesce(cp.domain_kept, FALSE) AND hq.hq_keep) AS keep
-          |FROM kp LEFT JOIN cp ON kp.doc_id = cp.doc_id JOIN hq ON kp.doc_id = hq.doc_id
-          |ORDER BY kp.doc_id""".stripMargin.replace("\n", " ")),
+        (s"WITH $crawlCte SELECT * FROM fin ORDER BY doc_id"),
+
+      // per-domain rollup of the same frame; NULLS FIRST matches Spark's
+      // ascending null ordering
+      "crawl_curation_report" ->
+        (s"WITH $crawlCte " +
+          """SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(CASE WHEN NOT url_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_url,
+            |  CAST(sum(CASE WHEN is_url_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_url_dup,
+            |  CAST(sum(CASE WHEN url_ok AND NOT is_url_dup AND NOT domain_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_cap_dropped,
+            |  CAST(sum(CASE WHEN domain_kept AND NOT hq_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+            |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            |FROM fin GROUP BY domain ORDER BY domain NULLS FIRST""".stripMargin.replace("\n", " ")),
 
       // incremental-dedup replay: digest equality == text equality (a sha2
       // collision would fail this text-keyed oracle loudly), so keepers

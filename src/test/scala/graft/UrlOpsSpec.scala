@@ -173,6 +173,52 @@ class UrlOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](UrlOps.domainCapExact(docs, "domain", cap = 0))
   }
 
+  test("canonicalize: idempotent over 500 randomized decorated URLs (seeded)") {
+    val rnd = new scala.util.Random(42)
+    def part(xs: Seq[String]) = xs(rnd.nextInt(xs.size))
+    val urls = (1 to 500).map { _ =>
+      part(Seq("http://", "HTTPS://", "hTtP://", "ftp://", "")) +
+        part(Seq("", "www.", "WWW.")) +
+        part(Seq("a.com", "X.Y.co.uk", "single", "x-1.org", "a.b.c.d.net")) +
+        part(Seq("", ":80", ":443", ":8080")) +
+        part(Seq("", "/", "/A/b", "/a//", "/p/q/")) +
+        part(Seq("", "?", "?a=1", "?b=2&a=1", "?utm_source=x",
+          "?utm_source=x&Z=9&a", "?&&a=1")) +
+        part(Seq("", "#f", "#a#b"))
+    }
+    val df = urls.map(Tuple1(_)).toDF("u")
+      .select(col("u"), UrlOps.canonicalizeUrl(col("u")).as("c"))
+      .select(col("u"), col("c"), UrlOps.canonicalizeUrl(col("c")).as("cc"))
+      .cache()
+    try {
+      assert(df.where(!(col("c") <=> col("cc"))).count() === 0)
+      // null exactly when no scheme:// prefix
+      assert(df.where(col("c").isNull && col("u").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"))
+        .count() === 0)
+      assert(df.where(col("c").isNotNull &&
+        !col("u").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")).count() === 0)
+      // canonical output never carries fragments, utm params, or default ports
+      assert(df.where(col("c").contains("#") || col("c").contains("utm_") ||
+        col("c").rlike("^http://[^/?]*:80(/|\\?|$)") ||
+        col("c").rlike("^https://[^/?]*:443(/|\\?|$)")).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("domainCapExact: exactness holds over randomized sparse ids and caps (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 300).map(_ =>
+      (math.abs(rnd.nextLong()) % 100000000L, s"d${rnd.nextInt(5)}.com"))
+      .distinct.toDF("doc_id", "domain")
+    for (cap <- Seq(1, 7)) {
+      val bad = UrlOps.domainCapExact(docs, "domain", cap = cap)
+        .groupBy("domain").agg(
+          sum(when(col("keep"), 1L).otherwise(0L)).as("k"),
+          count(lit(1)).as("n"))
+        .where(col("k") =!= least(lit(cap.toLong), col("n")))
+      assert(bad.count() === 0, s"cap=$cap")
+    }
+  }
+
   test("plan shape: canonicalize+domain is a zero-exchange scan-stage projection") {
     val plan = Seq(Tuple1("https://a.io/p")).toDF("u")
       .select(UrlOps.canonicalizeUrl(col("u")).as("c"))

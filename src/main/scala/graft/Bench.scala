@@ -537,6 +537,12 @@ object Bench {
       force(SparkEntry.queries("dsir_importance")(spark, sfDir)))
     results("url_dedup") = timed("url_dedup")(
       force(SparkEntry.queries("url_dedup")(spark, sfDir)))
+    // exact per-domain cap (grouped counting bisection — pass-bound at
+    // bench scale) and the composed crawl-curation decision
+    results("domain_cap_exact") = timed("domain_cap_exact")(
+      force(SparkEntry.queries("domain_cap_exact")(spark, sfDir)))
+    results("crawl_curation_pipeline") = timed("crawl_curation_pipeline")(
+      force(SparkEntry.queries("crawl_curation_pipeline")(spark, sfDir)))
     (results, nTurns)
   }
 

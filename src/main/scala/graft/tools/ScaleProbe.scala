@@ -149,7 +149,13 @@ object ScaleProbe {
           lit(".example.com/page-"), pmod(col("doc_id"), lit(1000L)),
           lit("/?utm_source=x&b=2&a=1#f")).as("url"))
       val tUrl = best3(force(graft.ops.UrlOps.urlKeepers(urld)))
-      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs ccnet=$tCcnet%.2fs tfidf=$tTfidf%.2fs unigram=$tUni%.2fs conrep=$tRep%.2fs gopher_full=$tGopherFull%.2fs bloom_decon=$tBloom%.2fs c4=$tC4%.2fs hashq=$tHq%.2fs spandd=$tSpan%.2fs knn_pq=$tPq%.2fs ivfpq=$tIvfpq%.2fs heavy_hitters=$tHh%.2fs quantiles_bisect=$tQb%.2fs bm25=$tBm25%.2fs dsir=$tDsir%.2fs url_dedup=$tUrl%.2fs")
+      // exact cap: pass count is log(range) (constant in N); per-pass scan
+      // grows linearly -> expect near-linear with a large constant
+      val capd = d.select(col("doc_id"),
+        concat(lit("dom-"), pmod(col("doc_id"), lit(23L))).as("domain"))
+      val tCapX = best3(force(
+        graft.ops.UrlOps.domainCapExact(capd, "domain", cap = 50)))
+      println(f"[scale] x$x docs=$n vecs=$m minhash=$tMin%.2fs simhash=$tSim%.2fs knn_lsh=$tLsh%.2fs cc=$tCc%.2fs cc_ls=$tCcLs%.2fs substr=$tSub%.2fs decon=$tDecon%.2fs ivf_train=$tTrain%.2fs keep_ms=$tKeepM%.2fs keep_sh=$tKeepS%.2fs conv_dup=$tConv%.2fs ccnet=$tCcnet%.2fs tfidf=$tTfidf%.2fs unigram=$tUni%.2fs conrep=$tRep%.2fs gopher_full=$tGopherFull%.2fs bloom_decon=$tBloom%.2fs c4=$tC4%.2fs hashq=$tHq%.2fs spandd=$tSpan%.2fs knn_pq=$tPq%.2fs ivfpq=$tIvfpq%.2fs heavy_hitters=$tHh%.2fs quantiles_bisect=$tQb%.2fs bm25=$tBm25%.2fs dsir=$tDsir%.2fs url_dedup=$tUrl%.2fs cap_exact=$tCapX%.2fs")
     }
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.gf
 import graft.metrics.Metrics
-import graft.ops.{BpeTrain, Conversations, Dedup, Dsir, Multimodal, Pq, Retrieval, Sampling, Similarity, TextStats, UrlOps, WebClean}
+import graft.ops.{BpeTrain, Conversations, Dedup, Drift, Dsir, Multimodal, Pq, Retrieval, Sampling, Similarity, TextStats, UrlOps, WebClean}
 import graft.pipeline.{Deid, TurnsGen}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1030,6 +1030,25 @@ object SparkEntry {
         // coalesce, not orderBy: the range sampler would re-run the
         // histogram joins + fold a second time (benched query)
         .coalesce(1).sortWithinPartitions("doc_id")
+    }),
+
+    // corpus drift monitor: Pearson χ² between hashed-bucket histograms of
+    // two snapshots (snapshot 2 drops the %7 docs and drifts the %5 docs
+    // with a marker topic) — D and den exact BIGINTs, one double square +
+    // division per bucket, bucket-ordered fold for the total. Output =
+    // top-20 drifting buckets + (chi2, df) totals
+    "corpus_drift" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val snap2 = base.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" drifted topic tokens emerging here")))
+          .otherwise(col("text")))
+      val per = Drift.chiSquareDrift(
+        Dsir.bucketHistogram(base, nBuckets = 1024),
+        Dsir.bucketHistogram(snap2, nBuckets = 1024))
+      per.orderBy(desc("term"), asc("bucket")).limit(20)
+        .crossJoin(broadcast(Drift.chiSquareTotal(per)))
+        .orderBy(desc("term"), asc("bucket"))
     }),
 
     // DSIR resampling: keep ∝ score via max-normalized permille rate +
@@ -3114,6 +3133,26 @@ object SparkEntry {
           |pr AS (SELECT cnt, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM sy)
           |SELECT p.l AS "left", p.r AS "right", CAST(sum(cnt) AS BIGINT) AS pair_cnt
           |FROM pr GROUP BY 1, 2 ORDER BY pair_cnt DESC, "left", "right" LIMIT 50""".stripMargin.replace("\n", " ")),
+
+      // χ² drift replay: dsir-style feature buckets for both snapshots,
+      // full outer join, exact D/den, bucket-ordered total fold
+      "corpus_drift" ->
+        ("""WITH s2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' drifted topic tokens emerging here' ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0),
+          |k1 AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM documents),
+          |k2 AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM s2),
+          |f1 AS (SELECT unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM k1),
+          |f2 AS (SELECT unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM k2),
+          |b1 AS (SELECT ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 1024 AS bucket, CAST(count(*) AS BIGINT) AS o1 FROM f1 GROUP BY 1),
+          |b2 AS (SELECT ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 1024 AS bucket, CAST(count(*) AS BIGINT) AS o2 FROM f2 GROUP BY 1),
+          |nn AS (SELECT (SELECT CAST(sum(o1) AS BIGINT) FROM b1) AS n1, (SELECT CAST(sum(o2) AS BIGINT) FROM b2) AS n2),
+          |j AS (SELECT coalesce(b1.bucket, b2.bucket) AS bucket, coalesce(o1, 0) AS o1, coalesce(o2, 0) AS o2 FROM b1 FULL JOIN b2 ON b1.bucket = b2.bucket),
+          |tm AS (SELECT bucket, o1, o2,
+          |    CAST(o1*n2 - o2*n1 AS DOUBLE) * CAST(o1*n2 - o2*n1 AS DOUBLE) / CAST(n1*n2*(o1+o2) AS DOUBLE) AS term
+          |  FROM j, nn),
+          |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list({'bucket': bucket, 'term': term} ORDER BY bucket), x -> x.term)), (a, b) -> a + b) AS chi2, CAST(count(*) - 1 AS BIGINT) AS df FROM tm),
+          |tp AS (SELECT * FROM tm ORDER BY term DESC, bucket LIMIT 20)
+          |SELECT tp.bucket, tp.o1, tp.o2, tp.term, tot.chi2, tot.df
+          |FROM tp, tot ORDER BY tp.term DESC, tp.bucket""".stripMargin.replace("\n", " ")),
 
       // DSIR replay (CTE factored above): scores then the keep threshold
       "dsir_importance" ->

@@ -1051,6 +1051,42 @@ object SparkEntry {
         .orderBy(desc("term"), asc("bucket"))
     }),
 
+    // drift ATTRIBUTION: name the features behind the top drifting buckets
+    // — per top-5 bucket, the top-3 features by combined count (ties to the
+    // lexicographically smallest feature). The per-feature frame is
+    // semi-joined to 5 buckets before the rank window, so the window input
+    // is bounded by the attribution target, not the corpus
+    "corpus_drift_tokens" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val snap2 = base.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" drifted topic tokens emerging here")))
+          .otherwise(col("text")))
+      def featCounts(df: DataFrame, cName: String) = df
+        .select(explode(Dsir.featureArray(col("text"))).as("feat"))
+        .groupBy("feat").agg(count(lit(1)).as(cName))
+        .withColumn("bucket", Dsir.featureBucket(col("feat"), 1024))
+      val per = Drift.chiSquareDrift(
+        Dsir.bucketHistogram(base, nBuckets = 1024),
+        Dsir.bucketHistogram(snap2, nBuckets = 1024))
+      val top = per.orderBy(desc("term"), asc("bucket")).limit(5)
+        .select(col("bucket"), col("term"))
+      val feats = featCounts(base, "c1")
+        .join(featCounts(snap2, "c2").drop("bucket"), Seq("feat"), "full_outer")
+        .select(col("feat"),
+          coalesce(col("bucket"), Dsir.featureBucket(col("feat"), 1024)).as("bucket"),
+          coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      feats.join(broadcast(top), Seq("bucket"))
+        .withColumn("combined", col("c1") + col("c2"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+            .orderBy(desc("combined"), asc("feat"))))
+        .where(col("rnk") <= 3)
+        .select(col("bucket"), col("rnk"), col("feat"), col("c1"), col("c2"), col("term"))
+        .orderBy(desc("term"), asc("bucket"), asc("rnk"))
+    }),
+
     // DSIR resampling: keep ∝ score via max-normalized permille rate +
     // deterministic hash holdout (the retry-stable twin of the paper's
     // Gumbel resampling). floor(1000·score/max) is two correctly-rounded
@@ -2011,6 +2047,21 @@ object SparkEntry {
         |eb AS (SELECT 'bm25' AS run, nr.q_id, nr.n_rel, coalesce(hb.hits, CAST(0 AS BIGINT)) AS hits_at_k, hb.fr AS first_rel_rank, coalesce(CAST(1.0 AS DOUBLE) / CAST(hb.fr AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr, CAST(coalesce(hb.hits, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE) AS recall_at_k FROM nr LEFT JOIN hb USING (q_id)),
         |ed AS (SELECT 'dense' AS run, nr.q_id, nr.n_rel, coalesce(hd.hits, CAST(0 AS BIGINT)) AS hits_at_k, hd.fr AS first_rel_rank, coalesce(CAST(1.0 AS DOUBLE) / CAST(hd.fr AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rr, CAST(coalesce(hd.hits, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE) AS recall_at_k FROM nr LEFT JOIN hd USING (q_id)),
         |ev AS (SELECT * FROM eb UNION ALL SELECT * FROM ed)""".stripMargin
+    // χ² drift CTE chain (snapshots, features, bucket histograms, per-
+    // bucket terms in `tm`) shared by corpus_drift and its attribution
+    val driftCte =
+      """s2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' drifted topic tokens emerging here' ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0),
+          |k1 AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM documents),
+          |k2 AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM s2),
+          |f1 AS (SELECT unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM k1),
+          |f2 AS (SELECT unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM k2),
+          |b1 AS (SELECT ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 1024 AS bucket, CAST(count(*) AS BIGINT) AS o1 FROM f1 GROUP BY 1),
+          |b2 AS (SELECT ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 1024 AS bucket, CAST(count(*) AS BIGINT) AS o2 FROM f2 GROUP BY 1),
+          |nn AS (SELECT (SELECT CAST(sum(o1) AS BIGINT) FROM b1) AS n1, (SELECT CAST(sum(o2) AS BIGINT) FROM b2) AS n2),
+          |j AS (SELECT coalesce(b1.bucket, b2.bucket) AS bucket, coalesce(o1, 0) AS o1, coalesce(o2, 0) AS o2 FROM b1 FULL JOIN b2 ON b1.bucket = b2.bucket),
+          |tm AS (SELECT bucket, o1, o2,
+          |    CAST(o1*n2 - o2*n1 AS DOUBLE) * CAST(o1*n2 - o2*n1 AS DOUBLE) / CAST(n1*n2*(o1+o2) AS DOUBLE) AS term
+          |  FROM j, nn)""".stripMargin.replace("\n", " ")
     // DSIR CTE chain shared by dsir_importance and dsir_resample: hashed
     // feature histograms, add-1 ratio contributions as exact BIGINTs,
     // bucket-ordered left fold, one trailing division -> per-doc scores in
@@ -3137,22 +3188,24 @@ object SparkEntry {
       // χ² drift replay: dsir-style feature buckets for both snapshots,
       // full outer join, exact D/den, bucket-ordered total fold
       "corpus_drift" ->
-        ("""WITH s2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' drifted topic tokens emerging here' ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0),
-          |k1 AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM documents),
-          |k2 AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t FROM s2),
-          |f1 AS (SELECT unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM k1),
-          |f2 AS (SELECT unnest(list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS feat FROM k2),
-          |b1 AS (SELECT ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 1024 AS bucket, CAST(count(*) AS BIGINT) AS o1 FROM f1 GROUP BY 1),
-          |b2 AS (SELECT ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 1024 AS bucket, CAST(count(*) AS BIGINT) AS o2 FROM f2 GROUP BY 1),
-          |nn AS (SELECT (SELECT CAST(sum(o1) AS BIGINT) FROM b1) AS n1, (SELECT CAST(sum(o2) AS BIGINT) FROM b2) AS n2),
-          |j AS (SELECT coalesce(b1.bucket, b2.bucket) AS bucket, coalesce(o1, 0) AS o1, coalesce(o2, 0) AS o2 FROM b1 FULL JOIN b2 ON b1.bucket = b2.bucket),
-          |tm AS (SELECT bucket, o1, o2,
-          |    CAST(o1*n2 - o2*n1 AS DOUBLE) * CAST(o1*n2 - o2*n1 AS DOUBLE) / CAST(n1*n2*(o1+o2) AS DOUBLE) AS term
-          |  FROM j, nn),
-          |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list({'bucket': bucket, 'term': term} ORDER BY bucket), x -> x.term)), (a, b) -> a + b) AS chi2, CAST(count(*) - 1 AS BIGINT) AS df FROM tm),
+        (s"WITH $driftCte, " +
+          """tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list({'bucket': bucket, 'term': term} ORDER BY bucket), x -> x.term)), (a, b) -> a + b) AS chi2, CAST(count(*) - 1 AS BIGINT) AS df FROM tm),
           |tp AS (SELECT * FROM tm ORDER BY term DESC, bucket LIMIT 20)
           |SELECT tp.bucket, tp.o1, tp.o2, tp.term, tot.chi2, tot.df
           |FROM tp, tot ORDER BY tp.term DESC, tp.bucket""".stripMargin.replace("\n", " ")),
+
+      // attribution: per top-5 bucket, top-3 features by combined count
+      "corpus_drift_tokens" ->
+        (s"WITH $driftCte, " +
+          """tp AS (SELECT bucket, term FROM tm ORDER BY term DESC, bucket LIMIT 5),
+            |cc1 AS (SELECT feat, CAST(count(*) AS BIGINT) AS c1 FROM f1 GROUP BY feat),
+            |cc2 AS (SELECT feat, CAST(count(*) AS BIGINT) AS c2 FROM f2 GROUP BY feat),
+            |fc AS (SELECT coalesce(cc1.feat, cc2.feat) AS feat, coalesce(cc1.c1, 0) AS c1, coalesce(cc2.c2, 0) AS c2 FROM cc1 FULL JOIN cc2 ON cc1.feat = cc2.feat),
+            |fb AS (SELECT feat, ('0x' || substr(sha256(feat), 1, 6))::BIGINT % 1024 AS bucket, c1, c2 FROM fc),
+            |fj AS (SELECT fb.feat, fb.bucket, fb.c1, fb.c2, tp.term FROM fb JOIN tp USING (bucket)),
+            |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY bucket ORDER BY (c1 + c2) DESC, feat) AS INTEGER) AS rnk FROM fj)
+            |SELECT bucket, rnk, feat, c1, c2, term FROM rk WHERE rnk <= 3
+            |ORDER BY term DESC, bucket, rnk""".stripMargin.replace("\n", " ")),
 
       // DSIR replay (CTE factored above): scores then the keep threshold
       "dsir_importance" ->

@@ -982,6 +982,17 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // pseudo-relevance-feedback expansion (RM3 shape): top-3 feedback docs
+    // per query mine 2 expansion terms (w = Σ (tf/dl)·score folded in
+    // doc order — bit-exact), expanded queries re-retrieve top-8
+    "bm25_prf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Retrieval.prfExpandedTopK(d,
+          Retrieval.queryTerms(d.where(col("doc_id") < 20)),
+          kFeedback = 3, mExpansion = 2, k = 8)
+        .orderBy("q_id", "rank")
+    }),
+
     // incremental vocabulary novelty: the delta's words flagged against
     // the history vocabulary (docs < 250) — the Heaps-law new-type-rate
     // health signal; history is never rescanned. A planted suffix token
@@ -3165,6 +3176,25 @@ object SparkEntry {
           |mp AS (SELECT q_id, cid // 1024 AS doc_id, max(score) AS score FROM cr WHERE crank <= 50 GROUP BY 1, 2),
           |fr AS (SELECT q_id, doc_id, score, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank FROM mp)
           |SELECT q_id, rank, doc_id, score FROM fr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")),
+
+      // PRF expansion: feedback docs from the first bm25 pass (bm rank<=3),
+      // term mining with the doc-ordered fold, anti-join against original
+      // terms, top-2 by (w, term), then the FULL second scoring chain
+      "bm25_prf" ->
+        (s"WITH $bm25Cte, " +
+          """fb AS (SELECT q_id, doc_id, score FROM bm WHERE rank <= 3),
+            |cd AS (SELECT fb.q_id, tfr.term, fb.doc_id AS d, CAST(tfr.tf AS DOUBLE) / CAST(dlr.dl AS DOUBLE) * fb.score AS contrib FROM fb JOIN tfr ON fb.doc_id = tfr.doc_id JOIN dlr ON fb.doc_id = dlr.doc_id),
+            |cw AS (SELECT q_id, term, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list({'d': d, 'contrib': contrib} ORDER BY d), x -> x.contrib)), (a, b) -> a + b) AS w FROM cd GROUP BY q_id, term),
+            |cwx AS (SELECT cw.q_id, cw.term, cw.w FROM cw ANTI JOIN qt ON cw.q_id = qt.q_id AND cw.term = qt.term),
+            |cx AS (SELECT q_id, term FROM (SELECT q_id, term, row_number() OVER (PARTITION BY q_id ORDER BY w DESC, term) AS xr FROM cwx) WHERE xr <= 2),
+            |q2 AS (SELECT q_id, term FROM qt UNION ALL SELECT q_id, term FROM cx),
+            |dfq2 AS (SELECT term, count(*) AS df FROM tfr WHERE term IN (SELECT term FROM q2) GROUP BY term),
+            |mt2 AS (SELECT q2.q_id, tfr.doc_id, tfr.term, tfr.tf, dlr.dl, dfq2.df, str.s, str.n FROM q2 JOIN tfr USING (term) JOIN dfq2 USING (term) JOIN dlr USING (doc_id) CROSS JOIN str),
+            |ctr2 AS (SELECT q_id, doc_id, term, 22*tf*s*(2*(n-df)+1) AS num, (10*tf*s + 3*s + 9*dl*n)*(2*df+1) AS den FROM mt2),
+            |ga2 AS (SELECT q_id, doc_id, list({'term': term, 'num': num, 'den': den} ORDER BY term) AS arr FROM ctr2 GROUP BY q_id, doc_id),
+            |scb2 AS (SELECT q_id, doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(arr, x -> CAST(x.num AS DOUBLE)/CAST(x.den AS DOUBLE))), (a,b) -> a+b) AS score FROM ga2),
+            |bm2 AS (SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank, score FROM scb2)
+            |SELECT q_id, rank, doc_id, score FROM bm2 WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin.replace("\n", " ")),
 
       // vocab delta: word-level incremental novelty replay
       "vocab_delta" ->

@@ -213,6 +213,65 @@ object Retrieval {
       .select(col("q_id"), col("rank"), col("maxp_doc").as(idCol), col("score"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM3 shape — Lavrenko &
+    * Croft 2001 relevance models as popularized by Abdul-Jaleel 2004 —
+    * with UNWEIGHTED expanded queries, since this BM25 surface scores
+    * terms unweighted; the classic "retrieve → mine feedback terms →
+    * re-retrieve" loop):
+    *
+    *  1. first pass: [[bm25TopK]] top `kFeedback` docs per query;
+    *  2. candidate expansion terms scored
+    *     `w(q,t) = Σ_{d ∈ fb(q)} (tf(t,d)/dl_d) · score_d` — each term one
+    *     double divide+multiply of exact operands, summed in doc_id order
+    *     (the fixed-fold contract), so `w` replays bit-exactly;
+    *  3. top `mExpansion` candidates per query (ties to the smallest term)
+    *     that are NOT already query terms join the query;
+    *  4. second pass: [[bm25TopK]] with the expanded queries → final top-k.
+    *
+    * Scale shape: the feedback frame is queries × kFeedback rows
+    * (broadcast); term mining joins it against the corpus tf table —
+    * everything query-side stays bounded, the corpus never shuffles beyond
+    * the two bm25 passes themselves.
+    */
+  def prfExpandedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      kFeedback: Int = 3,
+      mExpansion: Int = 2,
+      k: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(kFeedback > 0 && mExpansion >= 0 && k > 0,
+      s"need kFeedback > 0, mExpansion >= 0, k > 0; got $kFeedback/$mExpansion/$k")
+    val fb = bm25TopK(corpus, queries, k = kFeedback, idCol = idCol,
+        textCol = textCol)
+      .select(col("q_id"), col(idCol), col("score"))
+    val tf = corpus
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    val cand = tf.join(dl, Seq(idCol)).join(broadcast(fb), Seq(idCol))
+      .select(col("q_id"), col("term"),
+        struct(col(idCol).as("d"),
+          ((col("tf").cast("double") / col("dl").cast("double")) * col("score"))
+            .as("contrib")).as("c"))
+      .groupBy("q_id", "term")
+      .agg(sort_array(collect_list(col("c"))).as("arr"))
+      .withColumn("w", aggregate(col("arr"), lit(0.0d),
+        (acc, x) => acc + x.getField("contrib")))
+      .drop("arr")
+    val expansion = cand
+      .join(queries.select("q_id", "term"), Seq("q_id", "term"), "left_anti")
+      .withColumn("xrank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("w"), asc("term"))))
+      .where(col("xrank") <= mExpansion)
+      .select("q_id", "term")
+    bm25TopK(corpus, queries.select("q_id", "term").unionByName(expansion),
+      k = k, idCol = idCol, textCol = textCol)
+  }
+
   /** lcm(1..k) — the common denominator that turns a reciprocal-rank SUM
     * into an integer sum. Fits in a long for k ≤ 42 (lcm(1..43) > 2^63).
     */

@@ -179,6 +179,33 @@ class RetrievalSpec extends AnyFunSuite {
       kChunks = 1, k = 5))
   }
 
+  test("prfExpandedTopK: expansion retrieves a doc sharing NO original term; m=0 degrades to plain bm25") {
+    // query: "alpha". doc 1 (feedback) pairs alpha with "bridge"; doc 3
+    // contains ONLY "bridge" — invisible to the original query, reachable
+    // only through expansion
+    val c = Seq(
+      (1L, "alpha bridge bridge"),
+      (2L, "alpha filler words"),
+      (3L, "bridge bridge bridge unrelated"),
+      (4L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val q = Seq((9L, "alpha")).toDF("q_id", "term")
+    val expanded = Retrieval.prfExpandedTopK(c, q, kFeedback = 2,
+      mExpansion = 1, k = 4).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expanded.contains(3L), s"expansion should reach doc 3, got $expanded")
+    val plain = Retrieval.bm25TopK(c, q, k = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(3L))
+    // mExpansion = 0: identical to the plain run (schema and content)
+    val zero = Retrieval.prfExpandedTopK(c, q, kFeedback = 2, mExpansion = 0, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val plainFull = Retrieval.bm25TopK(c, q, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(zero === plainFull)
+    intercept[IllegalArgumentException](
+      Retrieval.prfExpandedTopK(c, q, kFeedback = 0))
+  }
+
   test("bm25TopK plan: corpus is never broadcast; query-side joins are") {
     val queries = Retrieval.queryTerms(corpus.where($"doc_id" === 1), nTerms = 6)
     val plan = Retrieval.bm25TopK(corpus, queries, k = 5)

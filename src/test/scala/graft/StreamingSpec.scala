@@ -135,6 +135,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.where(col("domain") === "example.co.uk").count() > 0)
   }
 
+  test("streaming drift histograms: complete-mode bucket counts equal the batch histogram") {
+    // the drift monitor's streaming half: bucket counts accumulate over
+    // the stream (complete output mode — state is <= nBuckets rows), so a
+    // continuous-ingest job can chi-square every increment against a
+    // static reference snapshot without rescanning anything
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_drift").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val hist = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+      .select(explode(graft.ops.Dsir.featureArray(col("text"))).as("feat"))
+      .select(graft.ops.Dsir.featureBucket(col("feat"), 512).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val q = hist.writeStream.format("memory").queryName("drift_hist")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT * FROM drift_hist")
+    val want = graft.ops.Dsir.bucketHistogram(
+      spark.read.parquet(s"$dir/in"), nBuckets = 512)
+    assert(got.count() == want.count() && want.count() > 0)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // χ² of the streamed histogram against the batch one is exactly zero
+    val tot = graft.ops.Drift.chiSquareTotal(
+      graft.ops.Drift.chiSquareDrift(got, want)).collect()(0)
+    assert(tot.getDouble(0) === 0.0)
+  }
+
   test("streaming PQ encode: stateless scan-stage twin agrees with batch codes") {
     // encode is a pure projection, so the incremental pipeline must emit
     // byte-identical codes — the shape a continuous embedding-ingest job

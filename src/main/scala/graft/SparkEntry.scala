@@ -1054,9 +1054,13 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" drifted topic tokens emerging here")))
           .otherwise(col("text")))
+      // per-bucket frame is <= nBuckets rows but its LINEAGE is two corpus
+      // scans — eagerly checkpoint it so the totals + top-20 consumers
+      // don't re-run the snapshots (4 scans -> 2)
       val per = Drift.chiSquareDrift(
         Dsir.bucketHistogram(base, nBuckets = 1024),
         Dsir.bucketHistogram(snap2, nBuckets = 1024))
+        .localCheckpoint(true)
       per.orderBy(desc("term"), asc("bucket")).limit(20)
         .crossJoin(broadcast(Drift.chiSquareTotal(per)))
         .orderBy(desc("term"), asc("bucket"))
@@ -1073,17 +1077,24 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" drifted topic tokens emerging here")))
           .otherwise(col("text")))
+      // per-feature counts are the ONLY corpus scans: the bucket
+      // histograms derive from them by rollup (the dsir single-scan
+      // lesson), and both frames checkpoint so the drift + attribution
+      // consumers never re-run the snapshots
       def featCounts(df: DataFrame, cName: String) = df
         .select(explode(Dsir.featureArray(col("text"))).as("feat"))
         .groupBy("feat").agg(count(lit(1)).as(cName))
         .withColumn("bucket", Dsir.featureBucket(col("feat"), 1024))
-      val per = Drift.chiSquareDrift(
-        Dsir.bucketHistogram(base, nBuckets = 1024),
-        Dsir.bucketHistogram(snap2, nBuckets = 1024))
+        .localCheckpoint(true)
+      val fc1 = featCounts(base, "c1")
+      val fc2 = featCounts(snap2, "c2")
+      def hist(fc: DataFrame, cName: String) =
+        fc.groupBy("bucket").agg(sum(cName).as("cnt"))
+      val per = Drift.chiSquareDrift(hist(fc1, "c1"), hist(fc2, "c2"))
       val top = per.orderBy(desc("term"), asc("bucket")).limit(5)
         .select(col("bucket"), col("term"))
-      val feats = featCounts(base, "c1")
-        .join(featCounts(snap2, "c2").drop("bucket"), Seq("feat"), "full_outer")
+      val feats = fc1
+        .join(fc2.drop("bucket"), Seq("feat"), "full_outer")
         .select(col("feat"),
           coalesce(col("bucket"), Dsir.featureBucket(col("feat"), 1024)).as("bucket"),
           coalesce(col("c1"), lit(0L)).as("c1"),

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Optimization-round measurement harness (guide §1.4): times individual
+  * declared queries through the noop sink with the SAME session config as
+  * [[Bench]], prints one JSON line per query, and can dump
+  * `.explain("formatted")` plans to `plans/r08/`. Bench.scala itself is
+  * frozen for measurement; this main exists so per-query isolation and plan
+  * capture never touch the driver contract.
+  *
+  * Usage: `sbt "runMain graft.BenchExtra [runs=N] [plans] [query ...]"`
+  * (no query args = the full heavy set).
+  */
+object BenchExtra {
+
+  def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Single-thread microbenchmark of the per-row PDF chain (synth → redact →
+    * re-extract) — attributes the per-document cost outside Spark.
+    */
+  def pdfMicro(): Unit = {
+    val src = "id A123456789 here\ncall 0912-345-678 now\n" + ("lorem ipsum dolor sit amet " * 3).take(80)
+    def time(label: String, n: Int)(f: => Any): Unit = {
+      (1 to 200).foreach(_ => f) // warmup
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => f)
+      println(f"$label: ${(System.nanoTime() - t0) / 1e3 / n}%.1f us/op")
+    }
+    val pdf = graft.extract.PdfBuilder.singlePage(src)
+    val (red, _) = graft.extract.PdfRedact.redact(pdf)
+    time("pdfSynth", 2000)(graft.extract.PdfBuilder.singlePage(src))
+    time("pageBlocks", 2000)(graft.extract.PdfExtract.pageBlocks(pdf))
+    time("detect(block)", 2000)(
+      graft.pipeline.DeidCore.detect(src, "zh", withStub = false))
+    time("redact(full)", 1000)(graft.extract.PdfRedact.redact(pdf))
+    time("extractText(redacted)", 2000)(graft.extract.PdfExtract.extractText(red))
+    time("rewrite(full)", 1000)(graft.extract.PdfRewrite.redact(pdf))
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.contains("pdfmicro")) { pdfMicro(); return }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val runs = args.collectFirst { case s if s.startsWith("runs=") =>
+      s.stripPrefix("runs=").toInt }.getOrElse(3)
+    val dumpPlans = args.contains("plans")
+    val names0 = args.filterNot(a => a.startsWith("runs=") || a == "plans")
+    val names = if (names0.nonEmpty) names0.toSeq else Seq(
+      "pdf_redact", "pdf_rewrite_redact", "repetition_filter_full",
+      "domain_cap_exact", "knn_lsh", "dedup_minhash_pairs",
+      "dedup_simhash_pairs", "bm25_topk", "dsir_importance",
+      "crawl_curation_pipeline", "dedup_keepers", "corpus_build_decision",
+      "sentence_span_dedup", "dedup_substring_merged", "semantic_dedup_pairs",
+      "url_dedup", "decontamination_scrub", "c4_filter", "hashed_quality",
+      "knn_pq", "lm_quality_buckets", "repetition_filter")
+
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (dumpPlans) {
+        val dir = new java.io.File("plans/r08")
+        dir.mkdirs()
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"plans/r08/${name}_current.txt"),
+          plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      spark.sparkContext.setJobDescription(s"bench-extra: $name")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        force(SparkEntry.queries(name)(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      println(f"""{"query":"$name","best":${times.min}%.3f,"runs":${times.map(t => f"$t%.3f").mkString("[", ",", "]")}}""")
+    }
+    spark.stop()
+  }
+}

@@ -56,8 +56,17 @@ object PdfBuilder {
       .getBytes(StandardCharsets.ISO_8859_1)
   }
 
+  // one native zlib stream per task thread, reset per call: a fresh
+  // Deflater per row allocates (and, absent end(), finalizer-leaks) a
+  // native stream — measurable at ~100k docs/task. reset() keeps the level
+  // and strategy, so output bytes are identical to a fresh Deflater.
+  private val deflater = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater = new Deflater()
+  }
+
   private def deflate(data: Array[Byte]): Array[Byte] = {
-    val d = new Deflater()
+    val d = deflater.get()
+    d.reset()
     d.setInput(data)
     d.finish()
     val out = new ByteArrayOutputStream()

@@ -218,8 +218,16 @@ object PdfExtract {
     else "/(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
   }
 
+  // one native zlib stream per task thread, reset per call (the
+  // PdfBuilder.deflate discipline): a fresh Inflater per stream allocates a
+  // native zlib state per row — and the early-return path never end()ed it
+  private val inflater = new ThreadLocal[Inflater] {
+    override def initialValue(): Inflater = new Inflater()
+  }
+
   private[extract] def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
+    val inf = inflater.get()
+    inf.reset()
     inf.setInput(data)
     val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
     val buf = new Array[Byte](8192)
@@ -230,7 +238,6 @@ object PdfExtract {
         else if (n == 0 && inf.needsDictionary()) return out.toByteArray
       }
     } catch { case _: java.util.zip.DataFormatException => () } // partial OK
-    inf.end()
     out.toByteArray
   }
 

@@ -225,15 +225,18 @@ object TextStats {
     // split(trim) never yields interior empties; a leading tab keeps its
     // leading "" token (the pinned ShinglesExpr semantics) — both engines
     // see the identical token sequence, so no filter step that would
-    // re-index adjacency
-    val toks = docs.select(col(idCol),
-      posexplode(split(lower(trim(col(textCol))), "\\s+")))
-      .toDF(idCol, "pos", "term")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val bigrams = toks
-      .withColumn("nxt", lead(col("term"), 1).over(w))
-      .where(col("nxt").isNotNull && col("term") =!= "" && col("nxt") =!= "")
-      .select(col(idCol), concat(col("term"), lit(" "), col("nxt")).as("bigram"))
+    // re-index adjacency. r8: adjacent pairs come from a scan-stage
+    // zip_with over the token array (the Dsir.featureArray shape) instead
+    // of posexplode + lead window — same pair sequence (the trailing
+    // (last, null) pair nulls out and is filtered), no doc-keyed exchange
+    // + sort before the bigram aggregation
+    val arr = split(lower(trim(col(textCol))), "\\s+")
+    val bigArr = filter(
+      zip_with(arr, slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        (a, b) => when(a =!= "" && b =!= "", concat(a, lit(" "), b))),
+      g => g.isNotNull)
+    val bigrams = docs
+      .select(col(idCol), explode(bigArr).as("bigram"))
       .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol))
       // min over (−cnt, bigram): max count, ties → smallest bigram
@@ -304,37 +307,56 @@ object TextStats {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // r8 shape change (guide §2.4 — remove shuffles outright): the
+    // line/paragraph/token scalars are computed from the doc's own
+    // unit/token ARRAYS in one scan-stage projection — the previous form
+    // exploded units and tokens into three separate groupBy chains for
+    // per-doc-local arithmetic the arrays express directly. The n-gram
+    // half keeps the codegen'd lead-window build (HOF/arrays_zip
+    // formulations measured 2–9× slower) but persists it so the
+    // exchange+sort+window chain runs once instead of once per consumer.
 
-    // per-unit (line / paragraph) duplication: explode → per-(doc, unit)
-    // counts → per-doc integer masses
-    def unitStats(sep: String, prefix: String): DataFrame =
-      docs.select(col(idCol), explode(split(col(textCol), sep)).as("unit"))
-        .groupBy(col(idCol), col("unit")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col(idCol)).agg(
-          sum("cnt").as(s"n_${prefix}s"),
-          sum(col("cnt") - 1).as(s"n_dup_${prefix}s"),
-          sum((col("cnt") - 1) * length(col("unit"))).as(s"dup_${prefix}_chars"),
-          sum(col("cnt") * length(col("unit"))).as(s"${prefix}_chars"))
-    val lineStats = unitStats("\n", "line")
-    val paraStats = unitStats("\n\n", "para")
+    // per-unit (line / paragraph) duplication, per doc in one projection:
+    //   Σ(cnt−1)         = size − size(distinct)
+    //   Σ(cnt−1)·len(u)  = Σ len over all units − Σ len over distinct units
+    // (identical integer masses to the old per-(doc, unit) count rollup)
+    def charSum(a: Column): Column =
+      aggregate(a, lit(0L), (acc, u) => acc + length(u).cast("long"))
+    def unitCols(sep: String, prefix: String): Seq[Column] = {
+      val units = split(col(textCol), sep)
+      Seq(size(units).cast("long").as(s"n_${prefix}s"),
+        (size(units) - size(array_distinct(units))).cast("long")
+          .as(s"n_dup_${prefix}s"),
+        (charSum(units) - charSum(array_distinct(units)))
+          .as(s"dup_${prefix}_chars"),
+        charSum(units).as(s"${prefix}_chars"))
+    }
 
-    val toks = docs.select(col(idCol),
-      posexplode(split(lower(trim(col(textCol))), "\\s+")))
-      .toDF(idCol, "pos", "term")
-    val tokStats = toks.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_tokens"),
-      sum(length(col("term"))).as("tok_chars"))
+    // the pinned tokenizer: split(lower(trim(text)), '\s+') — split(trim)
+    // never yields interior empties; a leading tab keeps its leading ""
+    // token, and windows containing an empty token are skipped below
+    val arr = split(lower(trim(col(textCol))), "\\s+")
+    val scalars = docs.select(
+      col(idCol) +: (unitCols("\n", "line") ++ unitCols("\n\n", "para") ++ Seq(
+        size(arr).cast("long").as("n_tokens"),
+        charSum(arr).as("tok_chars"))): _*)
 
     // one lead-window scan builds every 2..10-gram start (doc partition
     // bounds the window; no global sort), then ONE explode per consumer
-    // emits the window sizes — per-n union branches would recompute the
-    // window chain per branch AND clone the generator expression into each
-    // branch's inferred filters (the round-5 janino lesson)
+    // emits the window sizes. r8: the lead frame is PERSISTED — it feeds
+    // three consumers (text grams, hash grams, and the hash grams' count
+    // join-back), and without the cache the exchange + sort + window chain
+    // re-executed once per consumer (guide §5 — reuse beats recompute when
+    // the subtree is an exchange+sort). Callers release via
+    // catalog.clearCache (the sentenceSpanDedup persist contract).
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), posexplode(arr))
+      .toDF(idCol, "pos", "term")
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val leads = toks.select(
       col(idCol) +: col("pos") +: col("term").as("t0") +:
         (1 to 9).map(i => lead(col("term"), i).over(w).as(s"t$i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def gramParts(n: Int) = (0 until n).map(i => col(s"t$i"))
     def gramValid(n: Int) =
       gramParts(n).map(p => p.isNotNull && p =!= "").reduce(_ && _)
@@ -352,8 +374,7 @@ object TextStats {
 
     // n = 5..10 only ever test EQUALITY (count > 1, join back), so the
     // gram key is xxhash64 over the n lead columns — field-wise, so there
-    // is no separator ambiguity and no per-row string building (profiled
-    // 3× cheaper than materializing 6 gram strings per token). Within-doc
+    // is no separator ambiguity and no per-row string building. Within-doc
     // same-n collision odds are (grams/doc)²/2⁶⁴ — negligible, and the
     // DuckDB oracle replays by TEXT, so a collision would fail the oracle
     // loudly rather than pass silently.
@@ -399,10 +420,9 @@ object TextStats {
       when(den > 0, num.cast("double") / den.cast("double"))
 
     val normChars = col("tok_chars") + col("n_tokens") - 1
-    docs.select(col(idCol))
-      .join(lineStats, Seq(idCol), "left")
-      .join(paraStats, Seq(idCol), "left")
-      .join(tokStats, Seq(idCol), "left")
+    // the unit/token scalars ride the scan-stage projection — only the two
+    // gram aggregates join back (was a 5-frame join of 5 shuffle chains)
+    scalars
       .join(topShares, Seq(idCol), "left")
       .join(dupMass, Seq(idCol), "left")
       .select(

@@ -198,15 +198,63 @@ object UrlOps {
     * `n_domain`, `keep`.
     */
   def domainCapExact(docs: DataFrame, domainCol: String, idCol: String = "doc_id",
-      cap: Int = 1000, maxDomains: Int = 100000): DataFrame = {
+      cap: Int = 1000, maxDomains: Int = 100000,
+      smallGroupMax: Long = 1L << 20): DataFrame = {
     require(cap > 0, s"domainCapExact: cap must be positive, got $cap")
-    import graft.metrics.Metrics
-    // v confined to 32 bits: halves the bisection pass count vs the full
-    // 51-bit product (each pass is a corpus-scan counting agg — the
-    // dominant cost); the tie stage below makes collisions harmless
+    // v confined to 32 bits: halves the bisection pass count on the
+    // huge-domain path (each pass is a counting agg); the (v, id) total
+    // order makes collisions harmless on both paths
     val keyed = docs
       .withColumn("cap_g", coalesce(col(domainCol).cast("string"), lit("null#domain")))
       .withColumn("cap_v", mulHashSlot(col(idCol), lit(1L << 32)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the kept set per domain = the min(cap, n) smallest rows under the
+    // total order (v, id). r8 split by domain size (guide §1.2 — fewer
+    // passes IS the algorithmic win here):
+    //  - domains with n <= smallGroupMax (one agg buffer of n (v,id)
+    //    pairs, ~16 B each — bounded memory): ONE aggregation computes the
+    //    k-th smallest pair in-group; keep = (v, id) <= threshold-pair.
+    //    Identical selection to the bisection (same total order, same k).
+    //  - larger domains (a billion-page mirror farm must never
+    //    materialize in one buffer): the counting-bisection path, O(log
+    //    range) passes over only those domains' rows.
+    // One sizes pass + one threshold pass replaces ~35 full-input counting
+    // passes when no domain exceeds the bound — the common case by orders
+    // of magnitude.
+    val heads = keyed.groupBy("cap_g").agg(count(lit(1)).as("n"))
+      .limit(maxDomains + 1).collect()
+    require(heads.length <= maxDomains,
+      s"more than $maxDomains domains - per-domain threshold state is " +
+        "driver-side; use a coarser domain key or raise maxDomains")
+    val largeDomains = heads.filter(_.getLong(1) > smallGroupMax)
+      .map(_.getString(0)).toSeq
+    val smallKeyed =
+      if (largeDomains.isEmpty) keyed
+      else keyed.where(!col("cap_g").isInCollection(largeDomains))
+    val idL = col(idCol).cast("long")
+    val thr = smallKeyed.groupBy("cap_g").agg(
+      count(lit(1)).as("n_domain"),
+      element_at(
+        sort_array(collect_list(struct(col("cap_v").as("v"), idL.as("i")))),
+        least(lit(cap.toLong), count(lit(1))).cast("int")).as("cap_thr"))
+    val smallOut = smallKeyed.join(broadcast(thr), Seq("cap_g"))
+      .withColumn("keep",
+        struct(col("cap_v").as("v"), idL.as("i")) <= col("cap_thr"))
+      .drop("cap_g", "cap_v", "cap_thr")
+    if (largeDomains.isEmpty) smallOut
+    else smallOut.unionByName(domainCapExactBisect(
+      keyed.where(col("cap_g").isInCollection(largeDomains)), idCol, cap, maxDomains))
+  }
+
+  /** Counting-bisection cap path for domains too large for an in-group
+    * threshold buffer — the pre-r8 [[domainCapExact]] body, now applied
+    * only to the over-`smallGroupMax` subset. Input: the keyed frame
+    * (`cap_g`, `cap_v` present); output: input minus helpers + `n_domain`,
+    * `keep`.
+    */
+  private def domainCapExactBisect(keyed: DataFrame, idCol: String,
+      cap: Int, maxDomains: Int): DataFrame = {
+    import graft.metrics.Metrics
     val kth = Metrics.groupedKthSmallest(keyed, "cap_g", "cap_v",
         (_, n) => math.min(cap.toLong, n), maxDomains)
       .select(col("cap_g").as("kth_g"), col("n").as("n_domain"), col("kth"))

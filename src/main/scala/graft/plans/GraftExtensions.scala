@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // fan small scans out before per-row-expensive document projections
+    // (PDF/Office synth-parse-redact chains) — see DistributeExpensiveProjections
+    ext.injectOptimizerRule(DistributeExpensiveProjections)
+
     def inject(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit = {
       val fb: FunctionRegistry.FunctionBuilder = (args: Seq[Expression]) => builder(args)
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), fb))

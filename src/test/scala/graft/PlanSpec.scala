@@ -126,7 +126,12 @@ class PlanSpec extends AnyFunSuite {
       graft.functions.gf.pdfRewrite(graft.functions.gf.pdfSynth(
         substring(col("text"), 1, 100))).getField("n_rects").as("n"))
     val p1 = plan(pdfQ)
-    assert(!p1.contains("Exchange"), p1) // no shuffle: embarrassingly parallel
+    // r8: DistributeExpensiveProjections fans the sub-split-size scan out
+    // round-robin before the ~1 ms/row synth+rewrite chain — exactly ONE
+    // exchange, round-robin (never a key shuffle), feeding the projection
+    assert("Exchange".r.findAllIn(p1).size == 1, p1)
+    assert(p1.contains("RoundRobinPartitioning"), p1)
+    assert(!p1.contains("hashpartitioning") && !p1.contains("rangepartitioning"), p1)
     val anchored = SparkEntry.queries("anchored_extract")(spark, sfDir)
     val p2 = plan(anchored)
     // exactly the contract orderBy's range exchange; detection+anchoring add none
@@ -221,11 +226,12 @@ class PlanSpec extends AnyFunSuite {
       docs.select("doc_id", "text"), Seq("doc_id" -> col("doc_id"))))
     assert(!pc.contains("Window"), pc)
     assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"), pc)
-    // repetition bigrams: the lead window hash-partitions on the DOC id —
-    // never a global range sort
+    // repetition bigrams (r8): adjacent pairs come from a scan-stage
+    // zip_with over the token array — NO window, no doc-keyed
+    // exchange+sort before the bigram aggregation, never a global range sort
     val pb = plan(graft.ops.TextStats.repetitionSignals(
       docs.select("doc_id", "text")))
-    assert(pb.contains("Window"), pb)
+    assert(!pb.contains("Window"), pb)
     assert(!pb.contains("rangepartitioning"), pb)
   }
 

@@ -40,6 +40,53 @@ object BenchExtra {
     time("rewrite(full)", 1000)(graft.extract.PdfRewrite.redact(pdf))
   }
 
+  /** Per-stage wall/task-time attribution for one query (guide §1.1): runs
+    * the query once warm, then once with a listener, printing each stage's
+    * task-time sum and row counts.
+    */
+  def profile(spark: SparkSession, sfDir: String, name: String): Unit = {
+    force(SparkEntry.queries(name)(spark, sfDir)) // warm
+    spark.catalog.clearCache()
+    val stages = scala.collection.mutable.LinkedHashMap.empty[Int, (String, Long, Long, Int)]
+    val stageJob = scala.collection.mutable.HashMap.empty[Int, String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val cs = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        stageJob.synchronized {
+          j.stageIds.foreach(sid => stageJob(sid) = s"job${j.jobId}[$cs]")
+        }
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = s.stageInfo
+        val graftLine = si.details.linesIterator
+          .find(l => l.contains("graft") && !l.contains("BenchExtra"))
+          .getOrElse("").trim.take(60)
+        val job = stageJob.synchronized(stageJob.getOrElse(si.stageId, "?"))
+        stages.synchronized {
+          stages(si.stageId) = (s"$job $graftLine",
+            si.taskMetrics.executorRunTime,
+            si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+            si.numTasks)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    try force(SparkEntry.queries(name)(spark, sfDir))
+    finally {
+      org.apache.spark.sql.graftshim.Bridge.waitListeners(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    println(f"== $name wall ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    stages.toSeq.sortBy(-_._2._2).take(25).foreach { case (id, (nm, rt, sw, nt)) =>
+      println(f"  stage $id%4d  runTime ${rt / 1000.0}%8.2f s  shufWrite ${sw / 1e6}%8.1f MB  tasks $nt%4d  $nm")
+    }
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.contains("pdfmicro")) { pdfMicro(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,6 +103,10 @@ object BenchExtra {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.headOption.contains("profile")) {
+      args.drop(1).foreach(n => profile(spark, sfDir, n))
+      spark.stop(); return
+    }
     val runs = args.collectFirst { case s if s.startsWith("runs=") =>
       s.stripPrefix("runs=").toInt }.getOrElse(3)
     val dumpPlans = args.contains("plans")

@@ -52,6 +52,20 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Fan a row-group-bound scan across the cluster before a CPU-heavy
+    * per-row chain (signatures, regex batteries, shingle explodes). The
+    * fixture parquet files carry ONE row group, so however many byte-range
+    * splits the scan planner makes, every row lands in one task — the
+    * whole scan-stage chain of a query then runs on one core of
+    * `local[32]` (guide §2.6 idle capacity / §6 input splits). A
+    * round-robin repartition of the narrow input rows costs one tiny
+    * exchange and parallelizes everything above it; partition count is the
+    * session's core count, never a constant. Applied only where the
+    * downstream per-row work dominates that exchange.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
 
@@ -686,7 +700,7 @@ object SparkEntry {
     // first 6 distinct tokens of docs 0..19 in first-occurrence order.
     "bm25_topk" -> ((s, dir) => {
       val d = docs(s, dir)
-      Retrieval.bm25TopK(d,
+      Retrieval.bm25TopK(spread(d),
           Retrieval.queryTerms(d.where(col("doc_id") < 20)), k = 5)
         .orderBy("q_id", "rank")
     }),
@@ -1029,7 +1043,7 @@ object SparkEntry {
     // SAME marker to %6 docs — marker-bearing docs score visibly above the
     // rest, so keep bites both ways at every scale
     "dsir_importance" -> ((s, dir) => {
-      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = spread(docs(s, dir).select(col("doc_id"), col("text")))
       val marker = lit(" premium curated encyclopedia reference article")
       val corpus = base.withColumn("text",
         when(col("doc_id") % 6 === 0, concat(col("text"), marker))
@@ -1157,7 +1171,7 @@ object SparkEntry {
     // them into one bogus mega-class)
     "url_dedup" -> ((s, dir) =>
       UrlOps.urlKeepers(
-          docs(s, dir).select(col("doc_id"), urlPlant.as("url")))
+          spread(docs(s, dir).select(col("doc_id"), urlPlant.as("url"))))
         .coalesce(1).sortWithinPartitions("doc_id")),
 
     // per-domain volume cap: 3 hot domains (~n/4 docs each — always over
@@ -1219,7 +1233,7 @@ object SparkEntry {
     // survivors (over cap 25), tiny-site.net 2 survivors (under cap),
     // %19 garbage URLs fail url_ok. Reason flags per doc, one final AND.
     "crawl_curation_pipeline" -> ((s, dir) => {
-      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = spread(docs(s, dir).select(col("doc_id"), col("text")))
       val d = col("doc_id")
       val k2 = pmod(d, lit(200L))
       val host = when(k2 % 100 === 47, lit("tiny-site.net"))
@@ -1238,10 +1252,16 @@ object SparkEntry {
           when(d % 7 === 0, lit("/")).otherwise(lit("")),
           when(d % 5 === 0, lit("?utm_source=f&x=1")).otherwise(lit("?x=1")),
           when(d % 11 === 0, lit("#top")).otherwise(lit(""))))
-      val canon = base.withColumn("url", raw)
+      // r8: canonicalize ONCE and checkpoint the narrow result — the
+      // ~10-regex canonicalization chain previously re-ran inside
+      // urlKeepers (which canonicalizes its url column itself) and again
+      // in each consumer of `canon`; the keeper dedup now keys directly on
+      // the precomputed canonical form (identical class key)
+      val canon = base.select(col("doc_id"), raw.as("url"))
         .withColumn("curl", UrlOps.canonicalizeUrl(col("url")))
         .withColumn("url_ok", col("curl").isNotNull)
-      val keepers = UrlOps.urlKeepers(canon.select(col("doc_id"), col("url")))
+        .localCheckpoint(true)
+      val keepers = UrlOps.urlKeepersCanonical(canon)
       val staged = canon.join(keepers, Seq("doc_id"))
         .withColumn("is_url_dup", col("url_ok") && col("is_dup"))
       val surv = staged.where(col("url_ok") && !col("is_dup"))
@@ -1336,11 +1356,12 @@ object SparkEntry {
         sl(11), lit(". "), sl(16), lit("."))
       val altPage = concat(sl(1), lit(". "), sl(6), lit(". "),
         sl(11), lit(". "), sl(21), lit("."))
-      val base = docs(s, dir).select(col("doc_id"), page.as("text"))
+      val d = spread(docs(s, dir).select(col("doc_id"), col("text")))
+      val base = d.select(col("doc_id"), page.as("text"))
       val planted = base
-        .unionAll(docs(s, dir).where(col("doc_id") % 10 === 0)
+        .unionAll(d.where(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 100000L).as("doc_id"), page.as("text")))
-        .unionAll(docs(s, dir).where(col("doc_id") % 25 === 0)
+        .unionAll(d.where(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 200000L).as("doc_id"), altPage.as("text")))
       WebClean.sentenceSpanDedup(planted).orderBy("doc_id")
     }),
@@ -1419,7 +1440,7 @@ object SparkEntry {
     // (dup-para), the whole text repeated inline (every n-gram clause),
     // and a repeated 9-token tail (5..9-gram clauses bite, 10-gram passes)
     "repetition_filter_full" -> ((s, dir) => {
-      val base = docs(s, dir).select("doc_id", "text")
+      val base = spread(docs(s, dir).select("doc_id", "text"))
       def plant(mod: Int, offset: Long, newText: org.apache.spark.sql.Column) =
         base.where(col("doc_id") % mod === 0)
           .select((col("doc_id") + offset).as("doc_id"), newText.as("text"))
@@ -1999,7 +2020,10 @@ object SparkEntry {
     * corpus (same construction in tests; derived only from sfDir).
     */
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    // spread before the plant union: every consumer (minhash/simhash
+    // signatures, shingle/window explodes, decontamination digests) runs
+    // its per-row CPU above this point
+    val base = spread(docs(s, dir).select(col("doc_id"), col("text")))
     val near = base.where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text"))
@@ -2017,9 +2041,13 @@ object SparkEntry {
     */
   private def clusterPairGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val subset = plantedDocs(s, dir).where(col("doc_id") % 100000 < 50)
+    // r8: checkpoint the (tiny) pair set eagerly — the CC consumer probes
+    // it several times (size gate + labeling), and each probe would
+    // otherwise re-run the whole shingle-explode self-join chain
     val pairs = Dedup.ngramJaccardCountsExact(subset, k = 3)
       .where(col("inter") >= 1 && col("inter") * 2 >= col("ua"))
       .select("a", "b")
+      .localCheckpoint(true)
     (pairs, subset.select("doc_id"))
   }
 

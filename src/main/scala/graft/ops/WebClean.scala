@@ -146,8 +146,12 @@ object WebClean {
     val sentsArr = transform(
       regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]"), lit(0)),
       s => trim(s))
-    // (id, idx, sentence) — idx 0-based
+    // (id, idx, sentence) — idx 0-based. r8: persisted — it feeds the span
+    // build AND the survivor anti-join, and without the cache the
+    // sentence-regex explode re-ran per consumer (release via
+    // catalog.clearCache, the established persist contract)
     val sents = df.select(col(idCol), posexplode_outer(sentsArr).as(Seq("idx", "sent")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // spans: sentence idx i owns the span [i, i+spanLen); lead() builds the
     // span text inside the doc partition (doc-local window — bounded by the
     // doc's own sentence count, never a corpus-wide key)

@@ -162,14 +162,32 @@ class OpsSpec extends AnyFunSuite {
     // chain 1-2-3-4-5-6: min-label needs 5 rounds to reach the far end
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
     val nodes = (1L to 6L).toDF("doc_id")
+    // smallGraphMax = 0 forces the distributed loop (a 5-edge graph would
+    // otherwise take the r8 driver union-find path, which has no rounds)
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, nodes, maxIter = 2)
+      Dedup.connectedComponents(chain, nodes, maxIter = 2, smallGraphMax = 0)
     }
     assert(e.getMessage.contains("maxIter"))
     // with enough rounds the same chain collapses to one component
-    val ok = Dedup.connectedComponents(chain, nodes, maxIter = 8)
+    val ok = Dedup.connectedComponents(chain, nodes, maxIter = 8, smallGraphMax = 0)
       .collect().map(r => r.getAs[Long]("component")).toSet
     assert(ok == Set(1L))
+  }
+
+  test("connectedComponents small-graph driver path equals the distributed loop") {
+    // r8: graphs under smallGraphMax union-find on the driver; the labeling
+    // must be IDENTICAL to the distributed min-label fixpoint — chain,
+    // star, two components, isolated nodes, out-of-order edges
+    val edges = Seq((5L, 6L), (2L, 1L), (3L, 2L), (9L, 8L), (4L, 3L))
+      .toDF("a", "b")
+    val nodes = (1L to 10L).toDF("doc_id")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    val driver = labelMap(Dedup.connectedComponents(edges, nodes))
+    val dist = labelMap(Dedup.connectedComponents(edges, nodes, smallGraphMax = 0))
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    assert(driver == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 10L), driver)
   }
 
   test("connectedComponents runs ONE action per propagation round") {
@@ -193,7 +211,7 @@ class OpsSpec extends AnyFunSuite {
     }
     spark.listenerManager.register(listener)
     try {
-      Dedup.connectedComponents(chain, nodes, maxIter = 8)
+      Dedup.connectedComponents(chain, nodes, maxIter = 8, smallGraphMax = 0)
       // the listener bus is async: wait for the count to stabilize
       var last = -1
       var stable = 0

@@ -136,7 +136,7 @@ object SparkEntry {
     */
   private def corpusBuildFrame(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.{Dedup, Sampling, TextStats}
-    val d = docs(s, dir).select("doc_id", "source", "text")
+    val d = spread(docs(s, dir).select("doc_id", "source", "text"))
     val n = parquetRowCount(s, s"$dir/documents.parquet")
     val g = TextStats.gopherSignals(d.select("doc_id", "text"))
       .withColumn("keep_quality",

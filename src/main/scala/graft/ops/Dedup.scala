@@ -274,6 +274,11 @@ object Dedup {
           "(Dedup.shingleSetKeepers / multisetKeepers) for exact-regime " +
           "classes, or raise maxBucketFreq deliberately."
     }
+    // r8: candidates and shingles stay LAZY persists — each is consumed by
+    // two branches of the one result job, so the cache still deduplicates
+    // their computation, but the per-stage eager count() jobs are gone
+    // (three materialization actions collapsed into the final one; same
+    // release-everything-before-return cache hygiene).
     val candidates = b.as("l")
       .join(b.as("r"),
         col("l.band") === col("r.band") &&
@@ -1005,11 +1010,12 @@ object Dedup {
           "quadratic. Use the linear keeper form (Dedup.multisetKeepers) " +
           "for exact-duplicate classes, or raise maxSigFreq deliberately."
     }
+    // r8: lazy persist — cand feeds the id-prune and the verify join of
+    // the ONE result job; the eager count added a job without saving work
     val cand = sigs.as("l").join(sigs.as("r"),
         col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"))
       .persist(lvl)
-    cand.count()
     val candidateIds = cand.select(col("a").as(idCol))
       .union(cand.select(col("b").as(idCol)))
       .distinct()

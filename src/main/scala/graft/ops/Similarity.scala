@@ -176,7 +176,7 @@ object Similarity {
       vecCol: String = "embedding",
       nHint: Long = 0L // approximate corpus size; avoids any count job
   ): DataFrame = {
-    val pairs = candidatePairs(corpus, resolveBits(nHint, bits), tables, dim,
+    val (pairs, bands) = candidatePairs(corpus, resolveBits(nHint, bits), tables, dim,
       idCol, vecCol, ordered = false)
     val result = scorePairs(corpus, pairs, idCol, vecCol)
       .withColumn("rank", row_number().over(
@@ -185,7 +185,7 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
-    pairs.unpersist()
+    bands.unpersist()
     result
   }
 
@@ -240,19 +240,21 @@ object Similarity {
       idCol: String,
       vecCol: String,
       ordered: Boolean
-  ): DataFrame = {
+  ): (DataFrame, DataFrame) = {
     val b = lshTables(corpus, bits, tables, dim, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cond = if (ordered) col("l.id") < col("r.id") else col("l.id") =!= col("r.id")
+    // r8: the deduped pair frame is returned LAZY — both callers consume it
+    // exactly once (scoring), so persisting + counting it here paid one
+    // extra job and one cache pass of the biggest frame in the path for
+    // nothing. The banded frame stays persisted (self-join reads it twice);
+    // the caller releases it after its own result materializes.
     val pairs = b.as("l").join(b.as("r"),
         col("l.table") === col("r.table") &&
           col("l.bucket") === col("r.bucket") && cond)
       .select(col("l.id").as("q_id"), col("r.id").as("n_id"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    b.unpersist()
-    pairs
+    (pairs, b)
   }
 
   /** Exact cosine for candidate pairs: vectors join back once per side —
@@ -405,14 +407,14 @@ object Similarity {
       vecCol: String = "embedding",
       nHint: Long = 0L
   ): DataFrame = {
-    val pairs = candidatePairs(corpus, resolveBits(nHint, bits), tables, dim,
+    val (pairs, bands) = candidatePairs(corpus, resolveBits(nHint, bits), tables, dim,
       idCol, vecCol, ordered = true)
     val result = scorePairs(corpus, pairs, idCol, vecCol)
       .where(col("sim") >= threshold)
       .select(col("q_id").as("a"), col("n_id").as("b"), col("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
-    pairs.unpersist()
+    bands.unpersist()
     result
   }
 }

@@ -546,7 +546,9 @@ object SparkEntry {
       Dedup.qualityKeepers(
           Dedup.connectedComponents(pairs, nodes),
           TextStats.qualityScore(subset).select("doc_id", "quality_score"))
-        .orderBy("doc_id")
+        // coalesce, not orderBy: the range sampler would re-run the
+        // quality-score and keeper join chains a second time
+        .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
     // exact substring dedup (Lee et al. 2022, windowed): token-index spans
@@ -563,7 +565,8 @@ object SparkEntry {
       Dedup.mergeTokenSpans(Dedup.duplicatedWindowSpans(
           plantedDocs(s, dir).where(col("doc_id") % 100000 < 50), k = 8))
         .select("doc_id", "tok_start", "tok_end")
-        .orderBy("doc_id", "tok_start")),
+        // coalesce, not orderBy: no range-sampling second pass
+        .coalesce(1).sortWithinPartitions("doc_id", "tok_start")),
 
     // benchmark decontamination: corpus spans overlapping a "benchmark" set
     // (every 7th document's raw text) via broadcast digest semi-join —
@@ -702,7 +705,9 @@ object SparkEntry {
       val d = docs(s, dir)
       Retrieval.bm25TopK(spread(d),
           Retrieval.queryTerms(d.where(col("doc_id") < 20)), k = 5)
-        .orderBy("q_id", "rank")
+        // coalesce+sortWithinPartitions, NOT orderBy: the range sampler
+        // would execute the whole corpus-side tf chain a second time
+        .coalesce(1).sortWithinPartitions("q_id", "rank")
     }),
 
     // hybrid retrieval: reciprocal-rank fusion of the BM25 run with the
@@ -1221,7 +1226,8 @@ object SparkEntry {
         .select("doc_id", "domain")
       UrlOps.domainCapExact(withDomain, "domain", "doc_id", cap = 25)
         .select("doc_id", "domain", "n_domain", "keep")
-        .orderBy("doc_id")
+        // coalesce, not orderBy: no range-sampling second pass
+        .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
     // END-TO-END crawl curation: canonicalize → URL-keeper dedup →
@@ -1363,7 +1369,9 @@ object SparkEntry {
           .select((col("doc_id") + 100000L).as("doc_id"), page.as("text")))
         .unionAll(d.where(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 200000L).as("doc_id"), altPage.as("text")))
-      WebClean.sentenceSpanDedup(planted).orderBy("doc_id")
+      // coalesce, not orderBy: the range sampler would re-run the
+      // span-dedup join chain a second time
+      WebClean.sentenceSpanDedup(planted).coalesce(1).sortWithinPartitions("doc_id")
     }),
 
     // END-TO-END C4 pipeline: manufacture pages → line-clean + page-gate →
@@ -1428,7 +1436,8 @@ object SparkEntry {
           concat_ws("\n", col("text"), col("text"), col("text")).as("text"))
       TextStats.repetitionSignals(base.unionAll(planted))
         .withColumn("keep", TextStats.repetitionKeep(maxTopBigramFrac = 0.05))
-        .orderBy("doc_id")
+        // coalesce, not orderBy: no range-sampling second pass
+        .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
     // the FULL Gopher §A1.1 repetition battery (VERDICT r6 #3): dup
@@ -1525,7 +1534,10 @@ object SparkEntry {
     // standalone query oracles, and the composed oracle replays all five
     // in one WITH.
     "corpus_build_decision" -> ((s, dir) =>
-      corpusBuildFrame(s, dir).drop("source").orderBy("doc_id")),
+      // coalesce, not orderBy: the range sampler would re-run the
+      // five-gate signal chains a second time
+      corpusBuildFrame(s, dir).drop("source")
+        .coalesce(1).sortWithinPartitions("doc_id")),
 
     // the rollup every pipeline run emits: per source, how many documents
     // each gate dropped and how many survived — one groupBy over the same

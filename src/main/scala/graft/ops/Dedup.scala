@@ -44,7 +44,14 @@ object Dedup {
     * differ only in the class-key expression.
     */
   private[ops] def keepersByKey(docs: DataFrame, idCol: String, key: Column): DataFrame = {
+    // r8: lazy persist — the keyed frame feeds the class aggregation AND
+    // the probe side of the join-back. When the one-row-per-class build
+    // side broadcasts (the common plan), the probe side carries no
+    // exchange, so without the cache the class-key chain (sha2 digest /
+    // multiset key / URL canonicalization) re-evaluated per consumer.
+    // Narrow (id, key) rows only; callers release via catalog.clearCache.
     val keyed = docs.select(col(idCol), key.as("dup_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val classes = keyed.groupBy(col("dup_key"))
       .agg(min(col(idCol)).as("keeper_id"))
       .withColumnRenamed("dup_key", "class_key")
@@ -444,11 +451,18 @@ object Dedup {
     // join replaces diameter+1 iterative join rounds (each a full
     // AQE-staged job). Larger graphs take the distributed min-label loop
     // below unchanged; both paths emit the identical min-reachable-id
-    // labeling. `edges.limit(n+1).count` probes the bound without a full
-    // count of an over-bound edge set.
-    val edgeProbe = edges.limit((smallGraphMax + 1).toInt).select("a", "b")
-      .collectAsList()
-    if (edgeProbe.size() <= smallGraphMax) {
+    // labeling. Long ids only (the union-by-min order must equal Spark's
+    // min semantics; non-integral id types fall through to the loop),
+    // probed with `limit(n+1)` so an over-bound edge set is never fully
+    // collected.
+    val longIds = Seq(edges.schema("a").dataType, edges.schema("b").dataType,
+      nodes.schema(idCol).dataType)
+      .forall(_ == org.apache.spark.sql.types.LongType)
+    val edgeProbe =
+      if (longIds) edges.limit((smallGraphMax + 1).toInt).select("a", "b")
+        .collectAsList()
+      else java.util.Collections.emptyList[org.apache.spark.sql.Row]()
+    if (longIds && edgeProbe.size() <= smallGraphMax) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -1200,6 +1214,10 @@ object Dedup {
         concat(lit("null#"), concat_ws("#", okNames.map(col): _*)))
         .as("norm_key")): _*)
       .select(col("norm_key"), struct(okNames.map(col): _*).as("ok"))
+      // r8: lazy persist — same rationale as keepersByKey (the normalize +
+      // sha2 chain otherwise re-evaluates on the probe side of the
+      // join-back when the class build side broadcasts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val classes = keyed.groupBy("norm_key")
       .agg(count(lit(1)).as("n_copies"), min(col("ok")).as("keeper"))
     keyed.join(classes, "norm_key")

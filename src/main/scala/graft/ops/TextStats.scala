@@ -400,12 +400,17 @@ object TextStats {
         sum(when(col("n") === 3, col("top_mass"))).as("top_3gram_chars"),
         sum(when(col("n") === 4, col("top_mass"))).as("top_4gram_chars"))
 
-    // duplicate-{5..10}-gram masses: counts>1 join back to starts (doc-local
-    // keys), covered positions deduplicated before the char sum
-    val gramCnt510 = grams510.groupBy(col(idCol), col("n"), col("ghash"))
-      .agg(count(lit(1)).as("cnt"))
+    // duplicate-{5..10}-gram masses: r8 marks duplicated starts with ONE
+    // count window over the doc-local (id, n, ghash) key instead of the
+    // groupBy + join-back — one shuffle of the gram frame rather than two,
+    // and the gram explode runs once. The key is doc-local (occurrences of
+    // one n-gram inside one document), so group sizes are bounded by the
+    // doc itself — the corpus-hot-key objection to windows does not apply.
+    // Covered positions still deduplicate before the char sum.
+    val wDup = Window.partitionBy(col(idCol), col("n"), col("ghash"))
     val dupMarks = grams510
-      .join(gramCnt510.where(col("cnt") > 1), Seq(idCol, "n", "ghash"))
+      .withColumn("cnt", count(lit(1)).over(wDup))
+      .where(col("cnt") > 1)
       .select(col(idCol), col("n"),
         explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("j"))
       .distinct()

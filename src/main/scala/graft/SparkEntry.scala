@@ -1370,8 +1370,10 @@ object SparkEntry {
         .unionAll(d.where(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 200000L).as("doc_id"), altPage.as("text")))
       // coalesce, not orderBy: the range sampler would re-run the
-      // span-dedup join chain a second time
-      WebClean.sentenceSpanDedup(planted).coalesce(1).sortWithinPartitions("doc_id")
+      // span-dedup join chain a second time; eager checkpoint so the
+      // rebuild joins stay parallel (see repetition_filter_full)
+      WebClean.sentenceSpanDedup(planted).localCheckpoint(true)
+        .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
     // END-TO-END C4 pipeline: manufacture pages → line-clean + page-gate →
@@ -1474,6 +1476,12 @@ object SparkEntry {
       // (Verify writes coalesce(1))
       TextStats.repetitionSignalsFull(planted)
         .withColumn("keep", TextStats.repetitionKeepFull())
+        // eager checkpoint before the single-partition sort: the signal
+        // joins broadcast their small sides, so a bare coalesce(1) would
+        // pull the whole scalar battery + joins into ONE task; the
+        // checkpoint job runs them at full parallelism and the coalesced
+        // task only merges + sorts the final ~1-row-per-doc frame
+        .localCheckpoint(true)
         .coalesce(1).sortWithinPartitions("doc_id")
     }),
 
@@ -1535,8 +1543,11 @@ object SparkEntry {
     // in one WITH.
     "corpus_build_decision" -> ((s, dir) =>
       // coalesce, not orderBy: the range sampler would re-run the
-      // five-gate signal chains a second time
+      // five-gate signal chains a second time; the eager checkpoint keeps
+      // the five broadcast-joined signal chains parallel instead of
+      // collapsing into the coalesced single task
       corpusBuildFrame(s, dir).drop("source")
+        .localCheckpoint(true)
         .coalesce(1).sortWithinPartitions("doc_id")),
 
     // the rollup every pipeline run emits: per source, how many documents

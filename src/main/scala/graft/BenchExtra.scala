@@ -103,6 +103,26 @@ object BenchExtra {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    if (args.headOption.contains("oplans")) {
+      // operator-level plans for frames whose declared-query plan is
+      // truncated by an eager checkpoint (the battery executes during
+      // construction and the query plan shows only the checkpoint scan)
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val dir = new java.io.File("plans/r08"); dir.mkdirs()
+      def dump(name: String, df: DataFrame): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"plans/r08/$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      dump("op_repetition_signals_full_after",
+        graft.ops.TextStats.repetitionSignalsFull(d))
+      dump("op_repetition_signals_after", graft.ops.TextStats.repetitionSignals(d))
+      dump("op_keepers_by_key_exact_after", graft.ops.Dedup.exact(d))
+      spark.stop(); return
+    }
     if (args.headOption.contains("profile")) {
       args.drop(1).foreach(n => profile(spark, sfDir, n))
       spark.stop(); return

@@ -1058,7 +1058,10 @@ object SparkEntry {
       Dsir.importanceScores(corpus, target, nBuckets = 4096)
         .withColumn("keep", col("score") >= 0.9)
         // coalesce, not orderBy: the range sampler would re-run the
-        // histogram joins + fold a second time (benched query)
+        // histogram joins + fold a second time (benched query); eager
+        // checkpoint so the per-doc collect_list aggregation + fold stay
+        // parallel instead of collapsing into the coalesced single task
+        .localCheckpoint(true)
         .coalesce(1).sortWithinPartitions("doc_id")
     }),
 

@@ -353,13 +353,22 @@ object TextStats {
     val toks = docs.select(col(idCol), posexplode(arr))
       .toDF(idCol, "pos", "term")
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val leads = toks.select(
+    val leadsWide = toks.select(
       col(idCol) +: col("pos") +: col("term").as("t0") +:
         (1 to 9).map(i => lead(col("term"), i).over(w).as(s"t$i")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def gramParts(n: Int) = (0 until n).map(i => col(s"t$i"))
     def gramValid(n: Int) =
       gramParts(n).map(p => p.isNotNull && p =!= "").reduce(_ && _)
+    // the persisted frame carries only what the consumers read: the four
+    // lead TOKENS the 2..4-gram text build needs, and the 5..10-gram
+    // xxhash64 keys PRE-HASHED in the window stage (null ⟺ the window was
+    // invalid — same field-wise hash values, but the cache holds 6 longs
+    // instead of 6 strings and the hash work rides the one window pass)
+    val leads = leadsWide.select(
+      Seq(col(idCol), col("pos"), col("t0"), col("t1"), col("t2"), col("t3")) ++
+        (5 to 10).map(n =>
+          when(gramValid(n), xxhash64(gramParts(n): _*)).as(s"h$n")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // n = 2..4 carry the gram TEXT — the top-share needs its length and
     // the deterministic smallest-text tie-break
@@ -379,8 +388,8 @@ object TextStats {
     // DuckDB oracle replays by TEXT, so a collision would fail the oracle
     // loudly rather than pass silently.
     val hashStructs = (5 to 10).map { n =>
-      when(gramValid(n),
-        struct(lit(n).as("n"), xxhash64(gramParts(n): _*).as("ghash")))
+      when(col(s"h$n").isNotNull,
+        struct(lit(n).as("n"), col(s"h$n").as("ghash")))
     }
     val grams510 = leads
       .select(col(idCol), col("pos"),

@@ -62,11 +62,15 @@ object BenchExtra {
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = s.stageInfo
         val graftLine = si.details.linesIterator
-          .find(l => l.contains("graft") && !l.contains("BenchExtra"))
-          .getOrElse("").trim.take(60)
+          .filter(l => l.contains("graft") && !l.contains("BenchExtra"))
+          .take(2).mkString(" <- ").trim.take(120)
         val job = stageJob.synchronized(stageJob.getOrElse(si.stageId, "?"))
+        val tm = si.taskMetrics
+        val scopes = si.rddInfos.flatMap(_.scope).map(_.name)
+          .distinct.mkString(",").take(120)
+        val extra = f"cpu ${tm.executorCpuTime / 1e9}%6.2f deser ${tm.executorDeserializeTime / 1000.0}%5.2f gc ${tm.jvmGCTime / 1000.0}%5.2f in ${tm.inputMetrics.bytesRead / 1e6}%6.1fMB/${tm.inputMetrics.recordsRead}%d"
         stages.synchronized {
-          stages(si.stageId) = (s"$job $graftLine",
+          stages(si.stageId) = (s"$extra  $job {$scopes} [${si.name.take(30)}] $graftLine",
             si.taskMetrics.executorRunTime,
             si.taskMetrics.shuffleWriteMetrics.bytesWritten,
             si.numTasks)

@@ -2046,16 +2046,21 @@ object SparkEntry {
     * corpus (same construction in tests; derived only from sfDir).
     */
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
-    // spread before the plant union: every consumer (minhash/simhash
+    // spread ABOVE the plant union (r8): every consumer (minhash/simhash
     // signatures, shingle/window explodes, decontamination digests) runs
-    // its per-row CPU above this point
-    val base = spread(docs(s, dir).select(col("doc_id"), col("text")))
+    // its per-row CPU above this point. Spreading below the union planned
+    // THREE scan+exchange chains — Catalyst pushes each plant branch's
+    // doc_id filter through the round-robin exchange down to the parquet
+    // scan, so the shared-exchange reuse never fires and every downstream
+    // stage ran at 3×parallelism partitions of mostly-empty tasks. One
+    // union of narrow scans under ONE round-robin exchange instead.
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
     val near = base.where(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text"))
     val exact = base.where(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 200000).as("doc_id"), col("text"))
-    base.union(near).union(exact)
+    spread(base.union(near).union(exact))
   }
 
 

@@ -114,6 +114,48 @@ object Dedup {
   private[ops] def nullSafeKey(key: Column, idCol: String): Column =
     coalesce(key, concat(lit("null#"), col(idCol).cast("string")))
 
+  /** Candidate (a, b) pairs (a < b) from bucket membership via ONE
+    * aggregation instead of the bucket-keyed self-join: collect each
+    * bucket's sorted member ids, drop singleton buckets outright (they can
+    * emit no pair — the self-join shuffled and probed them for nothing;
+    * at corpus scale they are the overwhelming majority of buckets), and
+    * enumerate each sorted array's ordered pairs. The pair SET is exactly
+    * the self-join's `l.key = r.key && l.id < r.id` output, but the plan
+    * pays one shuffle of the narrow keyed frame where the join paid two
+    * shuffle/broadcast sides plus a hash-relation build and probe.
+    *
+    * Memory contract: one member array per bucket lives in the aggregation
+    * buffer, so callers MUST run their hot-key guard BEFORE this helper —
+    * after a `guardHotKey(maxFreq)` pass the arrays are bounded by maxFreq
+    * (8·maxFreq bytes). An unguarded mega-bucket belongs to the guard's
+    * loud refusal, not to this buffer.
+    */
+  private[ops] def bucketPairs(
+      keyed: DataFrame,
+      keyCols: Seq[String],
+      idCol: String): DataFrame =
+    keyed.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+
+  /** Partition count for a pinned (`REPARTITION_BY_NUM`) bucket-key
+    * exchange under [[bucketPairs]]: AQE sizes post-shuffle coalescing by
+    * the AGGREGATED bucket bytes, not the exploded pair output, so a
+    * small-looking bucket frame collapses pair ENUMERATION onto one task
+    * unless the count is pinned. max(shuffle.partitions, cores) keeps the
+    * local bench at full width and defers to the configured shuffle
+    * parallelism on a real cluster — never a constant.
+    */
+  private[ops] def bucketParts(df: DataFrame): Int = {
+    val s = df.sparkSession
+    math.max(s.sparkContext.defaultParallelism,
+      s.sessionState.conf.numShufflePartitions)
+  }
+
   /** Shared hot-key guard for the pair-emitting paths: if any key of
     * `keyed` occurs more than `maxFreq` times, release `cleanup` and throw
     * with the caller's message (built from a `k=v, …` description of the
@@ -263,7 +305,16 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucketFreq: Int = 1000
   ): DataFrame = {
+    // r8: cache the banded frame ALREADY hash-partitioned on the bucket
+    // key — the guard aggregation and the bucket-pair aggregation then
+    // both run exchange-free on the cached partitioning (one shuffle paid
+    // once at cache build instead of one per aggregation). Partition count
+    // comes from spark.sql.shuffle.partitions — session-scale, not a
+    // constant. A guard-worthy mega-bucket makes its partition a spilled
+    // straggler during the cache build, but MEMORY_AND_DISK streams it and
+    // the guard still refuses loudly right after.
     val b = minhashBands(docs, idCol, textCol, numHashes, bands)
+      .repartition(bucketParts(docs), col("band"), col("band_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Hot-bucket guard (the ngramJaccardCounts maxDocFreq discipline applied
     // to LSH buckets): one (band, band_hash) bucket holding m docs produces
@@ -281,25 +332,26 @@ object Dedup {
           "(Dedup.shingleSetKeepers / multisetKeepers) for exact-regime " +
           "classes, or raise maxBucketFreq deliberately."
     }
-    // r8: candidates and shingles stay LAZY persists — each is consumed by
-    // two branches of the one result job, so the cache still deduplicates
-    // their computation, but the per-stage eager count() jobs are gone
-    // (three materialization actions collapsed into the final one; same
-    // release-everything-before-return cache hygiene).
-    val candidates = b.as("l")
-      .join(b.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
+    // r8: candidates via [[bucketPairs]] — one aggregation shuffle of the
+    // banded frame replaces the two-sided bucket self-join, and singleton
+    // buckets are pruned before pair enumeration. Both multi-consumer
+    // frames (candidates feeds the id-prune AND the verify join; sh feeds
+    // both verify sides) are materialized EAGERLY: lazy persists raced
+    // under AQE's concurrent stage submission — the profiled plan re-ran
+    // the shingle chain 3× before any cache block landed.
+    val candidates = bucketPairs(b, Seq("band", "band_hash"), idCol)
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidateIds = candidates.select(col("a").as(idCol))
-      .union(candidates.select(col("b").as(idCol)))
+    candidates.count()
+    // one explode over the cached pair frame instead of a two-branch
+    // union — the pair cache is scanned once
+    val candidateIds = candidates
+      .select(explode(array(col("a"), col("b"))).as(idCol))
       .distinct()
     val sh = docs.join(candidateIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingles(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val result = candidates
       .join(sh.withColumnRenamed(idCol, "a").withColumnRenamed("sh", "sh_a"), "a")
       .join(sh.withColumnRenamed(idCol, "b").withColumnRenamed("sh", "sh_b"), "b")
@@ -1011,8 +1063,11 @@ object Dedup {
     // call is an action; the returned verified-pair frame is persisted and
     // materialized, all intermediates released; caller owns `unpersist()`.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // r8: cached pre-partitioned on the signature — guard agg and the
+    // bucket-pair agg both run exchange-free (see minhashNearDups note)
     val sigs = docs
       .select(col(idCol).as("id"), graft.functions.gf.simhash64(col(textCol)).as("sig"))
+      .repartition(bucketParts(docs), col("sig"))
       .persist(lvl)
     // Hot-signature guard: a corpus where m docs collapse to one signature
     // (empty/near-empty texts at real-corpus scale) makes this equality
@@ -1024,14 +1079,18 @@ object Dedup {
           "quadratic. Use the linear keeper form (Dedup.multisetKeepers) " +
           "for exact-duplicate classes, or raise maxSigFreq deliberately."
     }
-    // r8: lazy persist — cand feeds the id-prune and the verify join of
-    // the ONE result job; the eager count added a job without saving work
-    val cand = sigs.as("l").join(sigs.as("r"),
-        col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
-      .persist(lvl)
-    val candidateIds = cand.select(col("a").as(idCol))
-      .union(cand.select(col("b").as(idCol)))
+    // r8: candidates via [[bucketPairs]] (one aggregation shuffle keyed on
+    // the signature; singleton signatures — nearly every doc — pruned
+    // before pair enumeration; no distinct needed: one bucket per id, so a
+    // pair is emitted exactly once, as in the old l<r self-join). cand and
+    // keys are both materialized EAGERLY: each feeds two downstream join
+    // branches, and lazy persists raced under AQE's concurrent stage
+    // submission — the profiled plan re-ran the semi-join + multiset-key
+    // chain up to 6× before any cache block landed.
+    val cand = bucketPairs(sigs, Seq("sig"), "id").persist(lvl)
+    cand.count()
+    val candidateIds = cand
+      .select(explode(array(col("a"), col("b"))).as(idCol))
       .distinct()
     // the token-multiset key via [[graft.functions.TokenMultisetKeyExpr]] —
     // the SAME Locale.ROOT lowering the signature uses, so "equal key ⇒
@@ -1041,6 +1100,8 @@ object Dedup {
     // prune).
     val keys = docs.join(candidateIds, Seq(idCol), "left_semi")
       .select(col(idCol), graft.functions.gf.tokenMultisetKey(col(textCol)).as("key"))
+      .persist(lvl)
+    keys.count()
     val result = cand
       .join(keys.withColumnRenamed(idCol, "a").withColumnRenamed("key", "key_a"), "a")
       .join(keys.withColumnRenamed(idCol, "b").withColumnRenamed("key", "key_b"), "b")
@@ -1048,7 +1109,7 @@ object Dedup {
       .select("a", "b")
       .persist(lvl)
     result.count()
-    sigs.unpersist(); cand.unpersist()
+    sigs.unpersist(); cand.unpersist(); keys.unpersist()
     result
   }
 
@@ -1108,6 +1169,7 @@ object Dedup {
     val banded = sigs.select(col("id"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(sigArr, b * lit(r) + 1, lit(r))))).as(Seq("band", "band_hash")))
+      .repartition(bucketParts(turns), col("band"), col("band_hash"))
       .persist(lvl)
     guardHotKey(banded, Seq("band", "band_hash"), maxBucketFreq,
       () => { sigs.unpersist(); banded.unpersist() }) { (key, freq) =>
@@ -1117,12 +1179,13 @@ object Dedup {
         "window (conv_dedup_fp shape) for exact classes, or raise " +
         "maxBucketFreq deliberately."
     }
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_hash") === col("r.band_hash") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
+    // r8: candidates via [[bucketPairs]] (guard above bounds the arrays);
+    // materialized eagerly — cand feeds the verify join's two probe sides,
+    // and a lazy persist races under AQE's concurrent stage submission
+    val cand = bucketPairs(banded, Seq("band", "band_hash"), "id")
       .distinct()
+      .persist(lvl)
+    cand.count()
     val keys = sigs.select(col("id"), col("fp"), col("fp2"), col("n_turns"))
     val result = cand
       .join(keys.select(col("id").as("a"), col("fp").as("fp_a"),
@@ -1134,7 +1197,7 @@ object Dedup {
       .select("a", "b")
       .persist(lvl)
     result.count()
-    sigs.unpersist(); banded.unpersist()
+    sigs.unpersist(); banded.unpersist(); cand.unpersist()
     result
   }
 

@@ -177,12 +177,33 @@ object Similarity {
       nHint: Long = 0L // approximate corpus size; avoids any count job
   ): DataFrame = {
     val (pairs, bands) = candidatePairs(corpus, resolveBits(nHint, bits), tables, dim,
-      idCol, vecCol, ordered = false)
-    val result = scorePairs(corpus, pairs, idCol, vecCol)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      idCol, vecCol)
+    // r8: cosine is symmetric and bit-exact under argument swap (the
+    // elementwise products commute; the fold order over indices is the
+    // same), so each unordered candidate pair is scored ONCE (a < b) and
+    // then mirrored in the same scan stage by a 2-element explode — half
+    // the vector-join probes and half the cosine work of scoring both
+    // directions, with no union branch to race. Top-k per query is ONE
+    // aggregation (sorted-array slice) instead of exchange + global sort +
+    // Window: per-group state is the query's candidate list, bounded by
+    // Σ bucket sizes over `tables` tables (~tables·2^ceil(log2 128) ids by
+    // [[resolveBits]] construction). The descending struct sort on
+    // (sim, -n_id, n_id) reproduces `row_number over (sim desc, n_id asc)`
+    // exactly — double total order (NaN greatest, 0.0 > -0.0) matches the
+    // window's desc ordering, and (q, n) rows are unique by construction.
+    val scored = scorePairs(corpus, pairs, idCol, vecCol)
+    val mirrored = scored.select(explode(array(
+        struct(col("q_id"), col("n_id"), col("sim")),
+        struct(col("n_id").as("q_id"), col("q_id").as("n_id"), col("sim")))).as("e"))
+      .select(col("e.q_id").as("q_id"), col("e.n_id").as("n_id"), col("e.sim").as("sim"))
+    val result = mirrored
+      .groupBy("q_id")
+      .agg(slice(sort_array(collect_list(
+          struct(col("sim"), (-col("n_id")).as("nk"), col("n_id"))),
+        asc = false), 1, k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.n_id").as("n_id"), col("t.sim").as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
     bands.unpersist()
@@ -225,12 +246,11 @@ object Similarity {
         .as(Seq("table", "bucket")))
   }
 
-  /** Deduped candidate id pairs from the multi-table bucket self-join. The
-    * banded frame is persisted so bucket hashing runs once, and only narrow
-    * (id, table, bucket) rows shuffle. The returned pairs frame is itself
-    * persisted + materialized so the banded cache can be released here (no
-    * cached-block accumulation across invocations); callers unpersist it
-    * once their own result is materialized.
+  /** Deduped candidate id pairs from multi-table bucket membership, via
+    * one bucket-keyed aggregation ([[graft.ops.Dedup.bucketPairs]]). Only
+    * narrow (id, table, bucket) rows shuffle; pairs and the banded frame
+    * are both returned lazy (callers' `unpersist()` on the banded frame is
+    * a no-op kept for API stability).
     */
   private def candidatePairs(
       corpus: DataFrame,
@@ -238,22 +258,31 @@ object Similarity {
       tables: Int,
       dim: Int,
       idCol: String,
-      vecCol: String,
-      ordered: Boolean
+      vecCol: String
   ): (DataFrame, DataFrame) = {
+    // r8: candidates via [[graft.ops.Dedup.bucketPairs]] — ONE aggregation
+    // shuffle of the narrow banded frame (singleton buckets pruned before
+    // pair enumeration) replaces the two-sided bucket self-join, and pairs
+    // are emitted ordered (a < b) exactly once — [[lshTopK]] mirrors AFTER
+    // scoring, so the distinct hashes half the rows the old
+    // both-directions join fed it. No persist on the banded frame any
+    // more: with the self-join gone it has ONE consumer (the bucket
+    // aggregation), so caching would only add a materialization pass.
+    // (Guard-free: sign-LSH bucket sizes are ~128 by [[resolveBits]]
+    // construction, and any bucket big enough to strain one collect_list
+    // buffer has long since made the Θ(m²) pair OUTPUT itself infeasible.)
+    // The deduped pair frame stays LAZY — both callers consume it exactly
+    // once (scoring).
+    // the pinned REPARTITION_BY_NUM bucket exchange keeps pair ENUMERATION
+    // at full width (AQE would coalesce the post-agg stage by the tiny
+    // aggregated size, serializing the explode); the aggregation itself
+    // then needs no exchange of its own — same shuffle count
     val b = lshTables(corpus, bits, tables, dim, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cond = if (ordered) col("l.id") < col("r.id") else col("l.id") =!= col("r.id")
-    // r8: the deduped pair frame is returned LAZY — both callers consume it
-    // exactly once (scoring), so persisting + counting it here paid one
-    // extra job and one cache pass of the biggest frame in the path for
-    // nothing. The banded frame stays persisted (self-join reads it twice);
-    // the caller releases it after its own result materializes.
-    val pairs = b.as("l").join(b.as("r"),
-        col("l.table") === col("r.table") &&
-          col("l.bucket") === col("r.bucket") && cond)
-      .select(col("l.id").as("q_id"), col("r.id").as("n_id"))
+      .repartition(graft.ops.Dedup.bucketParts(corpus),
+        col("table"), col("bucket"))
+    val pairs = graft.ops.Dedup.bucketPairs(b, Seq("table", "bucket"), "id")
       .distinct()
+      .select(col("a").as("q_id"), col("b").as("n_id"))
     (pairs, b)
   }
 
@@ -408,7 +437,7 @@ object Similarity {
       nHint: Long = 0L
   ): DataFrame = {
     val (pairs, bands) = candidatePairs(corpus, resolveBits(nHint, bits), tables, dim,
-      idCol, vecCol, ordered = true)
+      idCol, vecCol)
     val result = scorePairs(corpus, pairs, idCol, vecCol)
       .where(col("sim") >= threshold)
       .select(col("q_id").as("a"), col("n_id").as("b"), col("sim"))

@@ -136,7 +136,12 @@ object SparkEntry {
     */
   private def corpusBuildFrame(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.{Dedup, Sampling, TextStats}
+    // r8: eager checkpoint — five signal chains consume this frame with
+    // different column prunings, so the spread exchange canonicalizes
+    // differently per consumer and exchange reuse never fires; the
+    // checkpoint materializes the narrow frame once per invocation
     val d = spread(docs(s, dir).select("doc_id", "source", "text"))
+      .localCheckpoint(true)
     val n = parquetRowCount(s, s"$dir/documents.parquet")
     val g = TextStats.gopherSignals(d.select("doc_id", "text"))
       .withColumn("keep_quality",
@@ -1365,13 +1370,14 @@ object SparkEntry {
         sl(11), lit(". "), sl(16), lit("."))
       val altPage = concat(sl(1), lit(". "), sl(6), lit(". "),
         sl(11), lit(". "), sl(21), lit("."))
-      val d = spread(docs(s, dir).select(col("doc_id"), col("text")))
+      // spread ABOVE the union (r8) — see repetition_filter_full
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
       val base = d.select(col("doc_id"), page.as("text"))
-      val planted = base
+      val planted = spread(base
         .unionAll(d.where(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 100000L).as("doc_id"), page.as("text")))
         .unionAll(d.where(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 200000L).as("doc_id"), altPage.as("text")))
+          .select((col("doc_id") + 200000L).as("doc_id"), altPage.as("text"))))
       // coalesce, not orderBy: the range sampler would re-run the
       // span-dedup join chain a second time; eager checkpoint so the
       // rebuild joins stay parallel (see repetition_filter_full)
@@ -1454,11 +1460,14 @@ object SparkEntry {
     // (dup-para), the whole text repeated inline (every n-gram clause),
     // and a repeated 9-token tail (5..9-gram clauses bite, 10-gram passes)
     "repetition_filter_full" -> ((s, dir) => {
-      val base = spread(docs(s, dir).select("doc_id", "text"))
+      // spread ABOVE the union (r8): each plant branch's doc_id filter
+      // pushes through a below-union repartition to the scan, planning
+      // FIVE scan+exchange chains and a 5×parallelism-partition checkpoint
+      val base = docs(s, dir).select("doc_id", "text")
       def plant(mod: Int, offset: Long, newText: org.apache.spark.sql.Column) =
         base.where(col("doc_id") % mod === 0)
           .select((col("doc_id") + offset).as("doc_id"), newText.as("text"))
-      val planted = base
+      val planted = spread(base
         .unionAll(plant(97, 400000L,
           concat_ws("\n", col("text"), col("text"), col("text"))))
         .unionAll(plant(89, 500000L,
@@ -1467,7 +1476,7 @@ object SparkEntry {
           concat(col("text"), lit(" "), col("text"))))
         .unionAll(plant(79, 700000L,
           concat(col("text"), lit(" "),
-            array_join(slice(split(trim(col("text")), "\\s+"), 1, 9), " "))))
+            array_join(slice(split(trim(col("text")), "\\s+"), 1, 9), " ")))))
         // the battery scans its input ~7× (units ×2, tokens, grams ×3,
         // mark join) and each scan would otherwise codegen + execute the
         // 5-branch plant union again; localCheckpoint truncates the

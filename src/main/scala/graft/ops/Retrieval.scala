@@ -114,13 +114,25 @@ object Retrieval {
       .select(col(idCol).as("doc_id"), dlCol.as("dl"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .where(col("term") =!= "")
+    // r8: the postings frame is materialized ONCE per invocation
+    // (localCheckpoint — per-call, inside the timed region, never reused
+    // across runs) and every consumer reads it. Lazy composition planned
+    // the scan+tokenize+partial-agg subtree once per consumer FLAVOR:
+    // column pruning gave the df branch a narrower partial aggregate than
+    // the scoring branch (and the stats branch a third), so exchange reuse
+    // never fired and the corpus was tokenized 2-3x per query. tf is the
+    // reduced postings form (≤ one row per (doc, distinct term)), never
+    // the corpus text — the buildPostings shape.
     val tf = tokens.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+      .localCheckpoint(true)
     // one-row corpus stats carried as a broadcast literal frame (no driver
-    // action; the SQL twin is a CROSS JOIN on a count(*) CTE): docs with
-    // at least one token, straight off the scan projection
-    val st = corpus.select(dlCol.as("dl")).where(col("dl") > 0)
-      .agg(sum("dl").as("s_tokens"), count(lit(1)).as("n_docs"))
+    // action; the SQL twin is a CROSS JOIN on a count(*) CTE): s_tokens =
+    // ΣΣtf and n_docs = docs holding ≥1 distinct term are by definition of
+    // dl (= Σ tf per doc) the same values the former second corpus scan
+    // computed from the text.
+    val st = tf.groupBy("doc_id").agg(sum("tf").as("dl2"))
+      .agg(sum("dl2").as("s_tokens"), count(lit(1)).as("n_docs"))
     // df over query terms only: tf filtered to a term still holds EVERY doc
     // containing it, so the per-term count is the true corpus df — and the
     // frame is bounded by the query vocabulary, hence broadcastable
